@@ -1,0 +1,23 @@
+"""TPU-native tightly-coupled GNSS-visual-inertial navigation framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+xiaohong-huang/RTK-Visual-Inertial-Navigation (studied at /root/reference, see
+SURVEY.md): a sliding-window filter fusing RTK/RTD/SPP pseudorange,
+carrier-phase and Doppler GNSS with monocular/stereo vision, IMU and
+magnetometer, with GNSS epochs as first-class states, ordered block
+elimination with ambiguity-tail covariance export, and LAMBDA integer
+ambiguity resolution.
+
+Architecture (TPU-first, not a port):
+  - fixed-shape masked arrays everywhere (no pointer graphs);
+  - residual functions + tangent-space autodiff replace ~3k lines of
+    hand-written Ceres Jacobians;
+  - one batched Gauss-Newton/dogleg engine with a *predefined elimination
+    ordering* replaces modified-Ceres + MarginalizationInfo + IMUGNSSBase;
+  - precision model: device math in float32/float64-on-CPU; large GNSS
+    geometry constants (satellite ranges ~2.6e7 m) are pre-reduced on the
+    host in float64 so the device only sees small well-conditioned deltas;
+  - scaling via vmap/shard_map over windows & factor batches on a Mesh.
+"""
+
+__version__ = "0.1.0"

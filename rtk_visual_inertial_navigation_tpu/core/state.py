@@ -1,0 +1,182 @@
+"""Window state containers and the global tangent-space layout.
+
+The reference keeps per-frame raw ``double*`` parameter blocks inside a
+ceres::Problem keyed by pointer (rvi/swf/swf.h:188-278).  The TPU-native
+equivalent is one fixed-capacity pytree of arrays plus masks; the solver
+works in a single flat *tangent* vector whose index layout IS the
+"predefined elimination ordering" (MyOrdering, rvi/swf/swf_gnss.cpp:629-783):
+
+    [ landmarks (3·NL) | frames (15·NF: 6 pose ⊕ 9 speed-bias) |
+      extrinsics (6·NC) | clocks (NCLK·NF) | phase biases (NB) ]
+
+Landmarks come first (classic Schur group 0); phase biases last so the
+ambiguity tail covariance falls out of the ordered elimination (§2.9 of
+SURVEY.md).  All dims are static capacities; validity masks make unused
+slots inert.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..ops import lie
+
+# per-frame receiver-clock tangent slots, mirroring para_gnss_dt[13]
+# (rvi/swf/swf.h:206-210): 0-5 RTK dtur per (sys,freq), 6-11 SPP dtgps per
+# (sys,freq), 12 Doppler clock drift.
+NCLOCK = 13
+POSE_DIM = 6
+SB_DIM = 9
+FRAME_DIM = POSE_DIM + SB_DIM  # 15
+
+
+class WindowState(NamedTuple):
+    """All estimated quantities, fixed capacity, batch-friendly."""
+
+    p: jnp.ndarray        # (NF,3) antenna position, local frame
+    q: jnp.ndarray        # (NF,4) body->world quaternion (wxyz)
+    v: jnp.ndarray        # (NF,3) antenna velocity
+    ba: jnp.ndarray       # (NF,3) accel bias
+    bg: jnp.ndarray       # (NF,3) gyro bias
+    clk: jnp.ndarray      # (NF,NCLOCK) receiver clock states [m], [m/s]
+    tic: jnp.ndarray      # (NC,3) camera-IMU translation
+    qic: jnp.ndarray      # (NC,4) camera-IMU rotation
+    landmarks: jnp.ndarray  # (NL,3) world points
+    phase_bias: jnp.ndarray  # (NB,) carrier-phase ambiguities [cycle]
+
+    @property
+    def num_frames(self):
+        return self.p.shape[-2]
+
+    @property
+    def num_landmarks(self):
+        return self.landmarks.shape[-2]
+
+    @staticmethod
+    def zeros(nf: int, nl: int, nb: int, nc: int = 2, dtype=jnp.float64):
+        return WindowState(
+            p=jnp.zeros((nf, 3), dtype),
+            q=lie.quat_identity((nf,), dtype),
+            v=jnp.zeros((nf, 3), dtype),
+            ba=jnp.zeros((nf, 3), dtype),
+            bg=jnp.zeros((nf, 3), dtype),
+            clk=jnp.zeros((nf, NCLOCK), dtype),
+            tic=jnp.zeros((nc, 3), dtype),
+            qic=lie.quat_identity((nc,), dtype),
+            landmarks=jnp.zeros((nl, 3), dtype),
+            phase_bias=jnp.zeros((nb,), dtype),
+        )
+
+
+class TangentLayout(NamedTuple):
+    """Static offsets of each group in the flat tangent vector."""
+
+    nf: int
+    nl: int
+    nb: int
+    nc: int
+
+    @property
+    def lm_off(self):
+        return 0
+
+    @property
+    def frame_off(self):
+        return 3 * self.nl
+
+    @property
+    def ext_off(self):
+        return self.frame_off + FRAME_DIM * self.nf
+
+    @property
+    def clk_off(self):
+        return self.ext_off + POSE_DIM * self.nc
+
+    @property
+    def pb_off(self):
+        return self.clk_off + NCLOCK * self.nf
+
+    @property
+    def dim(self):
+        return self.pb_off + self.nb
+
+    # ---- index helpers (static python ints or traced arrays both work) ----
+    def lm_idx(self, l):
+        return self.lm_off + 3 * l
+
+    def pose_idx(self, f):
+        return self.frame_off + FRAME_DIM * f
+
+    def sb_idx(self, f):
+        return self.frame_off + FRAME_DIM * f + POSE_DIM
+
+    def ext_idx(self, c):
+        return self.ext_off + POSE_DIM * c
+
+    def clk_idx(self, f, slot=0):
+        return self.clk_off + NCLOCK * f + slot
+
+    def pb_idx(self, b):
+        return self.pb_off + b
+
+
+def layout_of(state: WindowState) -> TangentLayout:
+    return TangentLayout(
+        nf=state.p.shape[-2],
+        nl=state.landmarks.shape[-2],
+        nb=state.phase_bias.shape[-1],
+        nc=state.tic.shape[-2],
+    )
+
+
+def retract_window(state: WindowState, dx: jnp.ndarray) -> WindowState:
+    """x ⊞ dx over the full window (right-multiplicative on quaternions)."""
+    lay = layout_of(state)
+    nf, nl, nb, nc = lay.nf, lay.nl, lay.nb, lay.nc
+    d_lm = dx[lay.lm_off:lay.lm_off + 3 * nl].reshape(nl, 3)
+    d_fr = dx[lay.frame_off:lay.frame_off + FRAME_DIM * nf].reshape(nf, FRAME_DIM)
+    d_ext = dx[lay.ext_off:lay.ext_off + POSE_DIM * nc].reshape(nc, POSE_DIM)
+    d_clk = dx[lay.clk_off:lay.clk_off + NCLOCK * nf].reshape(nf, NCLOCK)
+    d_pb = dx[lay.pb_off:lay.pb_off + nb]
+    return WindowState(
+        p=state.p + d_fr[:, 0:3],
+        q=lie.quat_boxplus(state.q, d_fr[:, 3:6]),
+        v=state.v + d_fr[:, 6:9],
+        ba=state.ba + d_fr[:, 9:12],
+        bg=state.bg + d_fr[:, 12:15],
+        clk=state.clk + d_clk,
+        tic=state.tic + d_ext[:, 0:3],
+        qic=lie.quat_boxplus(state.qic, d_ext[:, 3:6]),
+        landmarks=state.landmarks + d_lm,
+        phase_bias=state.phase_bias + d_pb,
+    )
+
+
+def window_boxminus(x1: WindowState, x0: WindowState) -> jnp.ndarray:
+    """Flat tangent t with x0 ⊞ t = x1 (quaternion-aware, as the reference's
+    MarginalizationFactor dx computation, marginalization_factor.cpp:401-446)."""
+    lay = layout_of(x0)
+    d_fr = jnp.concatenate(
+        [
+            x1.p - x0.p,
+            lie.quat_boxminus(x1.q, x0.q),
+            x1.v - x0.v,
+            x1.ba - x0.ba,
+            x1.bg - x0.bg,
+        ],
+        axis=-1,
+    ).reshape(-1)
+    d_ext = jnp.concatenate(
+        [x1.tic - x0.tic, lie.quat_boxminus(x1.qic, x0.qic)], axis=-1
+    ).reshape(-1)
+    return jnp.concatenate(
+        [
+            (x1.landmarks - x0.landmarks).reshape(-1),
+            d_fr,
+            d_ext,
+            (x1.clk - x0.clk).reshape(-1),
+            x1.phase_bias - x0.phase_bias,
+        ]
+    )

@@ -1,0 +1,75 @@
+"""Factor evaluation machinery.
+
+Instead of ~14 hand-written analytic Ceres Jacobians (rvi/factor/*, SURVEY.md
+§2.4), every factor here is a plain residual function; Jacobians w.r.t. the
+*tangent space* come from one forward-mode autodiff of
+``res(retract(x, t))`` at ``t = 0``.  Residual dims are 1-15 and tangent dims
+6-36, so jacfwd is a handful of JVPs — trivially fused and batched by XLA.
+
+A ``FactorBatch`` is the universal interchange format consumed by the solver:
+whitened residuals, whitened Jacobian w.r.t. the factor's stacked local
+tangent, global tangent column indices, and a validity mask.  Assembly is a
+single scatter-add of per-factor outer products into the dense (ordered)
+Hessian — the TPU-native replacement for ceres::Problem graph bookkeeping.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+class FactorBatch(NamedTuple):
+    res: jnp.ndarray    # (B, R) whitened residuals (zeroed where invalid)
+    jac: jnp.ndarray    # (B, R, D) whitened d res / d local tangent
+    gidx: jnp.ndarray   # (B, D) int32 global tangent indices per column
+    valid: jnp.ndarray  # (B,) bool
+
+
+def manifold_res_jac(res_fn: Callable, tangent_dim: int):
+    """Wrap ``res_fn(tangent) -> residual`` into (res, jac) at tangent=0.
+
+    ``res_fn`` must already close over the state values and apply the
+    retraction internally.  Returns (res, J) with J = d res/d tangent.
+    """
+    zero = jnp.zeros((tangent_dim,))
+
+    def both(res_fn_):
+        res = res_fn_(zero)
+        jac = jax.jacfwd(res_fn_)(zero)
+        return res, jac
+
+    return both(res_fn)
+
+
+def res_jac_of(res_fn: Callable, tangent_dim: int, dtype=jnp.float64):
+    """Evaluate residual and tangent-Jacobian of ``res_fn`` at zero tangent."""
+    zero = jnp.zeros((tangent_dim,), dtype=dtype)
+    res = res_fn(zero)
+    jac = jax.jacfwd(res_fn)(zero)
+    return res, jac
+
+
+def mask_batch(batch: FactorBatch) -> FactorBatch:
+    """Zero residual/jacobian rows of invalid factors (indices left as-is —
+    they scatter zeros, which is the masked-fixed-capacity idiom)."""
+    m = batch.valid
+    return FactorBatch(
+        res=batch.res * m[:, None],
+        jac=batch.jac * m[:, None, None],
+        gidx=batch.gidx,
+        valid=m,
+    )
+
+
+def concat_indices(*index_arrays: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Stack per-block global index vectors into the factor's column index row."""
+    return jnp.concatenate([jnp.asarray(a, dtype=jnp.int32).reshape(-1)
+                            for a in index_arrays])
+
+
+def block_indices(start, dim):
+    """Global indices [start, start+dim) as int32 (start may be traced)."""
+    return jnp.asarray(start, jnp.int32)[..., None] + jnp.arange(dim, dtype=jnp.int32)

@@ -1,0 +1,180 @@
+"""IMU preintegration factors, batched over window intervals.
+
+Residual semantics follow IntegrationBase::evaluate + IMUFactor
+(rvi/factor/integration_base.cpp:144-174, imu_factor.cpp:5-101): 15-dim
+[P,R,V,BA,BG] residual between consecutive frames, antenna lever arm ``pbg``
+included, whitened by the preintegration sqrt-information.  The 15x(7,9,7,9)
+hand-written Jacobians of the reference are replaced by tangent-space
+forward-mode autodiff.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.state import FRAME_DIM, POSE_DIM, WindowState, layout_of
+from ..ops import lie
+from ..preintegration.midpoint import Preintegrated, imu_residual
+from .base import FactorBatch, block_indices
+
+
+def sqrt_info_of_cov(cov, jitter=1e-12):
+    """Lower-triangular W with Wᵀ W = cov⁻¹ (whitening by L⁻¹ of cov=LLᵀ)."""
+    n = cov.shape[-1]
+    L = jnp.linalg.cholesky(cov + jitter * jnp.eye(n, dtype=cov.dtype))
+    eye = jnp.eye(n, dtype=cov.dtype)
+    return jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+
+
+def _single_imu(pre: Preintegrated, p_i, q_i, v_i, ba_i, bg_i,
+                p_j, q_j, v_j, ba_j, bg_j, pbg, g_world, W):
+    """(res, jac) for one interval; tangent = [pose_i6, sb_i9, pose_j6, sb_j9]."""
+
+    def res_fn(t):
+        dpi, dthi = t[0:3], t[3:6]
+        dsbi = t[6:15]
+        dpj, dthj = t[15:18], t[18:21]
+        dsbj = t[21:30]
+        r = imu_residual(
+            pre, g_world,
+            p_i + dpi, lie.quat_boxplus(q_i, dthi),
+            v_i + dsbi[0:3], ba_i + dsbi[3:6], bg_i + dsbi[6:9],
+            p_j + dpj, lie.quat_boxplus(q_j, dthj),
+            v_j + dsbj[0:3], ba_j + dsbj[3:6], bg_j + dsbj[6:9],
+            pbg)
+        return W @ r
+
+    zero = jnp.zeros((30,), dtype=p_i.dtype)
+    return res_fn(zero), jax.jacfwd(res_fn)(zero)
+
+
+def imu_factor_batch(state: WindowState, pre: Preintegrated, pbg, g_world,
+                     valid) -> FactorBatch:
+    """Evaluate all NF-1 consecutive-frame IMU factors.
+
+    Args:
+      pre: Preintegrated batched with leading dim NF-1 (interval k spans
+        frames k -> k+1).
+      valid: (NF-1,) mask (interval exists and sum_dt < IMUINTEGRATIONTIMEMAX).
+    """
+    lay = layout_of(state)
+    nf = lay.nf
+    W = jax.vmap(sqrt_info_of_cov)(pre.covariance)
+
+    res, jac = jax.vmap(
+        lambda pr, w, i: _single_imu(
+            jax.tree.map(lambda x: x, pr), state.p[i], state.q[i], state.v[i],
+            state.ba[i], state.bg[i], state.p[i + 1], state.q[i + 1],
+            state.v[i + 1], state.ba[i + 1], state.bg[i + 1], pbg, g_world, w),
+        in_axes=(0, 0, 0),
+    )(pre, W, jnp.arange(nf - 1))
+
+    frame_ids = jnp.arange(nf - 1, dtype=jnp.int32)
+    gidx = jnp.concatenate(
+        [
+            block_indices(lay.pose_idx(frame_ids), POSE_DIM),
+            block_indices(lay.sb_idx(frame_ids), 9),
+            block_indices(lay.pose_idx(frame_ids + 1), POSE_DIM),
+            block_indices(lay.sb_idx(frame_ids + 1), 9),
+        ],
+        axis=-1,
+    )
+    m = valid.astype(res.dtype)
+    return FactorBatch(res * m[:, None], jac * m[:, None, None], gidx, valid)
+
+
+def merge_preintegrations(pre_a: Preintegrated, pre_b: Preintegrated,
+                          noise_unused=None) -> Preintegrated:
+    """Compose two consecutive preintegrated intervals a (i->m) and b (m->j).
+
+    Used when the sliding window drops a middle frame and its two IMU
+    intervals must fuse (SlideWindowFrame, rvi/swf/swf.cpp:239-295 — the
+    reference re-propagates raw samples; we compose in closed form, which is
+    the O(1) TPU-friendly equivalent).
+
+    Composition rules (after correcting b's deltas to a's linearization
+    biases via b's bias Jacobian):
+      Δq = Δq_a ⊗ Δq_b
+      Δp = Δp_a + Δv_a T_b + R(Δq_a) Δp_b
+      Δv = Δv_a + R(Δq_a) Δv_b
+    Error/Jacobian/covariance compose via the block chain rule with
+    right-multiplicative (body-frame) rotation errors, the convention of the
+    midpoint propagation (F[3:6,3:6] = I - [w]x dt).
+    """
+    mv = lambda M, x: jnp.einsum("...ij,...j->...i", M, x)
+
+    # 1) re-center b at a's linearization biases
+    dba = pre_a.linearized_ba - pre_b.linearized_ba
+    dbg = pre_a.linearized_bg - pre_b.linearized_bg
+    Jb = pre_b.jacobian
+    pb = (pre_b.delta_p + mv(Jb[..., 0:3, 9:12], dba)
+          + mv(Jb[..., 0:3, 12:15], dbg))
+    vb = (pre_b.delta_v + mv(Jb[..., 6:9, 9:12], dba)
+          + mv(Jb[..., 6:9, 12:15], dbg))
+    qb = lie.quat_normalize(
+        lie.quat_mul(pre_b.delta_q, lie.quat_exp(mv(Jb[..., 3:6, 12:15], dbg))))
+
+    Ra = lie.quat_to_rot(pre_a.delta_q)
+    Tb = pre_b.sum_dt[..., None]
+
+    delta_q = lie.quat_normalize(lie.quat_mul(pre_a.delta_q, qb))
+    delta_p = pre_a.delta_p + pre_a.delta_v * Tb + mv(Ra, pb)
+    delta_v = pre_a.delta_v + mv(Ra, vb)
+
+    dtype = pre_a.delta_p.dtype
+    I3 = jnp.eye(3, dtype=dtype)
+    Z3 = jnp.zeros_like(I3 if Ra.ndim == 2 else Ra)
+    I3b = jnp.broadcast_to(I3, Ra.shape)
+    Z3 = jnp.zeros_like(Ra)
+    Rb_T = jnp.swapaxes(lie.quat_to_rot(qb), -1, -2)
+
+    def bmat(rows):
+        return jnp.concatenate(
+            [jnp.concatenate(r, axis=-1) for r in rows], axis=-2)
+
+    # F: sensitivity of composed errors to interval-a errors.  Right-mult
+    # rotation error: R(q ⊞ δθ) = R (I + [δθ]x), so d(R_a x)/dδθ_a = -R_a [x]x.
+    Tb_s = pre_b.sum_dt[..., None, None]
+    F = bmat([
+        [I3b, -Ra @ lie.skew(pb), I3b * Tb_s, Z3, Z3],
+        [Z3, Rb_T, Z3, Z3, Z3],
+        [Z3, -Ra @ lie.skew(vb), I3b, Z3, Z3],
+        [Z3, Z3, Z3, I3b, Z3],
+        [Z3, Z3, Z3, Z3, I3b],
+    ])
+    # G maps interval-b delta errors into the composed error.  For the
+    # deterministic bias-sensitivity Jacobian the shared bias enters through
+    # F's bias columns only (G bias rows = 0, to not double count); for the
+    # covariance, b's independently-accumulated bias random walk must be
+    # added (G_cov bias rows = I).
+    G_jac = bmat([
+        [Ra, Z3, Z3, Z3, Z3],
+        [Z3, I3b, Z3, Z3, Z3],
+        [Z3, Z3, Ra, Z3, Z3],
+        [Z3, Z3, Z3, Z3, Z3],
+        [Z3, Z3, Z3, Z3, Z3],
+    ])
+    G_cov = bmat([
+        [Ra, Z3, Z3, Z3, Z3],
+        [Z3, I3b, Z3, Z3, Z3],
+        [Z3, Z3, Ra, Z3, Z3],
+        [Z3, Z3, Z3, I3b, Z3],
+        [Z3, Z3, Z3, Z3, I3b],
+    ])
+    jac = F @ pre_a.jacobian + G_jac @ pre_b.jacobian
+    cov = (F @ pre_a.covariance @ jnp.swapaxes(F, -1, -2)
+           + G_cov @ pre_b.covariance @ jnp.swapaxes(G_cov, -1, -2))
+
+    return Preintegrated(
+        delta_p=delta_p,
+        delta_q=delta_q,
+        delta_v=delta_v,
+        jacobian=jac,
+        covariance=cov,
+        sum_dt=pre_a.sum_dt + pre_b.sum_dt,
+        linearized_ba=pre_a.linearized_ba,
+        linearized_bg=pre_a.linearized_bg,
+        gyr_i=pre_a.gyr_i,
+        gyr_j=pre_b.gyr_j,
+    )

@@ -1,0 +1,70 @@
+"""Absolute prior factors and the linearized marginalization prior.
+
+Bootstrap priors mirror InitialPoseFactor / InitialBiasFactor /
+InitialFactor33 / InitialFactor11 (rvi/factor/initial_factor.h:8-58), used by
+InitializeSqrtInfo (rvi/swf/swf_core.cpp:479-563).
+
+The marginalization prior is the linearized Gaussian
+    r(x) = r₀ + J₀ · (x ⊟ x₀)
+over the *full* window tangent (semantics of MarginalizationFactor::Evaluate,
+rvi/factor/marginalization_factor.cpp:401-446).  Because our tangent layout
+is global and dense, the prior is stored as one (R×D) Jacobian + residual +
+linearization state — no per-block bookkeeping.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..core.state import WindowState, window_boxminus
+
+
+class MargPrior(NamedTuple):
+    """Linearized prior over the full window tangent (rows zero-padded)."""
+
+    J: jnp.ndarray      # (R, D)
+    r0: jnp.ndarray     # (R,)
+    x0: WindowState     # linearization point
+    valid_rows: jnp.ndarray  # (R,) bool
+
+    def residual(self, state: WindowState):
+        dx = window_boxminus(state, self.x0)
+        return (self.r0 + self.J @ dx) * self.valid_rows
+
+    def hessian_contrib(self, state: WindowState):
+        """(H, g, cost_half) contribution at the current state."""
+        r = self.residual(state)
+        Jm = self.J * self.valid_rows[:, None]
+        H = Jm.T @ Jm
+        g = Jm.T @ r
+        return H, g, 0.5 * jnp.sum(r * r)
+
+    @staticmethod
+    def empty(dim: int, rows: int, x0: WindowState, dtype=jnp.float64):
+        return MargPrior(
+            J=jnp.zeros((rows, dim), dtype),
+            r0=jnp.zeros((rows,), dtype),
+            x0=x0,
+            valid_rows=jnp.zeros((rows,), dtype=bool),
+        )
+
+
+def initial_prior(lay, x0: WindowState, entries, rows: int,
+                  dtype=jnp.float64) -> MargPrior:
+    """Build a bootstrap prior as a diagonal MargPrior.
+
+    ``entries`` is a list of (global_tangent_index, weight) pairs; the prior
+    pins those tangent directions at the linearization state ``x0`` with
+    residual weight·(x ⊟ x0).  This subsumes InitialPoseFactor /
+    InitialBiasFactor / InitialFactor33 / InitialFactor11: e.g. pinning frame
+    0's pose = 6 entries at pose_idx(0)..+5.
+    """
+    J = jnp.zeros((rows, lay.dim), dtype)
+    r0 = jnp.zeros((rows,), dtype)
+    vr = jnp.zeros((rows,), dtype=bool)
+    for row, (gi, w) in enumerate(entries):
+        J = J.at[row, gi].set(w)
+        vr = vr.at[row].set(True)
+    return MargPrior(J=J, r0=r0, x0=x0, valid_rows=vr)

@@ -1,0 +1,107 @@
+"""Visual reprojection factors, batched over observations.
+
+World-point parameterization (the shipped default, USE_INVERSE_DEPTH=0 at
+rvi/parameter/parameters.h:25): residual semantics of projection_factor
+(rvi/factor/projection_factor.cpp:13-65) — note the antenna lever arm: state
+P is the *antenna* position, so the point in the camera frame is
+  X_cam = R_icᵀ (R_bodyᵀ (X_world - P) + Pbg - t_ic).
+
+Inverse-depth two-frame-one-cam variant (projection_factor.cpp:179-259) is
+provided for parity with USE_INVERSE_DEPTH=1 configs.
+
+Whitening: sqrt_info = (FOCAL_LENGTH / FEATUREWEIGHTINVERSE) · I₂ with
+FOCAL_LENGTH=1000, FEATUREWEIGHTINVERSE=1.5 (parameters.h:13-15) — residuals
+are unit-plane errors, scaled to ~pixels.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.state import POSE_DIM, WindowState, layout_of
+from ..ops import lie
+from .base import FactorBatch, block_indices
+
+FOCAL_LENGTH = 1000.0
+FEATURE_WEIGHT_INV = 1.5
+PROJ_SQRT_INFO = FOCAL_LENGTH / FEATURE_WEIGHT_INV
+
+
+def project_world_point(p_f, q_f, tic, qic, lm, pbg):
+    """Camera-frame coordinates of world point lm seen from frame (p_f,q_f)."""
+    pts_imu = lie.quat_rotate_inv(q_f, lm - p_f)
+    return lie.quat_rotate_inv(qic, pts_imu + pbg - tic)
+
+
+def _single_proj(p_f, q_f, tic, qic, lm, meas_xy, pbg, weight):
+    """tangent = [pose6, ext6, lm3] -> whitened 2-residual."""
+
+    def res_fn(t):
+        dp, dth = t[0:3], t[3:6]
+        dte, dthe = t[6:9], t[9:12]
+        dlm = t[12:15]
+        pc = project_world_point(
+            p_f + dp, lie.quat_boxplus(q_f, dth),
+            tic + dte, lie.quat_boxplus(qic, dthe),
+            lm + dlm, pbg)
+        return weight * (pc[0:2] / pc[2] - meas_xy)
+
+    zero = jnp.zeros((15,), dtype=p_f.dtype)
+    return res_fn(zero), jax.jacfwd(res_fn)(zero)
+
+
+def projection_factor_batch(state: WindowState, frame_ids, cam_ids, lm_ids,
+                            meas_xy, valid, pbg,
+                            weight=PROJ_SQRT_INFO) -> FactorBatch:
+    """Evaluate B world-point reprojection factors.
+
+    Args:
+      frame_ids: (B,) int window frame index of each observation.
+      cam_ids:   (B,) int camera index (0/1).
+      lm_ids:    (B,) int landmark slot.
+      meas_xy:   (B,2) measured unit-plane coordinates.
+      valid:     (B,) bool.
+    """
+    lay = layout_of(state)
+    res, jac = jax.vmap(
+        lambda f, c, l, m: _single_proj(
+            state.p[f], state.q[f], state.tic[c], state.qic[c],
+            state.landmarks[l], m, pbg, weight)
+    )(frame_ids, cam_ids, lm_ids, meas_xy)
+
+    gidx = jnp.concatenate(
+        [
+            block_indices(lay.pose_idx(frame_ids), POSE_DIM),
+            block_indices(lay.ext_idx(cam_ids), POSE_DIM),
+            block_indices(lay.lm_idx(lm_ids), 3),
+        ],
+        axis=-1,
+    )
+    m = valid.astype(res.dtype)
+    return FactorBatch(res * m[:, None], jac * m[:, None, None], gidx, valid)
+
+
+def _single_proj_invdepth(p_i, q_i, p_j, q_j, tic, qic, inv_dep,
+                          pts_i, pts_j_xy, pbg, weight):
+    """Inverse-depth, two frames, one camera; tangent = [pose_i6, pose_j6,
+    ext6, invdepth1]. Semantics of ProjectionTwoFrameOneCamFactor."""
+
+    def res_fn(t):
+        dpi, dthi = t[0:3], t[3:6]
+        dpj, dthj = t[6:9], t[9:12]
+        dte, dthe = t[12:15], t[15:18]
+        did = t[18]
+        qi = lie.quat_boxplus(q_i, dthi)
+        qj = lie.quat_boxplus(q_j, dthj)
+        te, qe = tic + dte, lie.quat_boxplus(qic, dthe)
+        lam = inv_dep + did
+        pts_cam_i = pts_i / lam
+        pts_imu_i = lie.quat_rotate(qe, pts_cam_i) + te - pbg
+        pts_w = lie.quat_rotate(qi, pts_imu_i) + (p_i + dpi)
+        pts_imu_j = lie.quat_rotate_inv(qj, pts_w - (p_j + dpj))
+        pts_cam_j = lie.quat_rotate_inv(qe, pts_imu_j + pbg - te)
+        return weight * (pts_cam_j[0:2] / pts_cam_j[2] - pts_j_xy)
+
+    zero = jnp.zeros((19,), dtype=p_i.dtype)
+    return res_fn(zero), jax.jacfwd(res_fn)(zero)

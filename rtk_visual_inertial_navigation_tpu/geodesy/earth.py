@@ -1,0 +1,177 @@
+"""Geodesy & GNSS geometry as pure, batched jnp functions.
+
+Semantics follow the reference's RTKLIB-derived helpers
+(rvi/gnss/src/common_function.cpp): WGS-84 constants, ECEF<->geodetic,
+ENU rotation, azimuth/elevation, Sagnac-corrected range
+(common_function.cpp:126-134) and Doppler range-rate with the Earth-rotation
+term (common_function.cpp:411-421).  All functions broadcast over leading
+batch dims.
+
+Precision model (TPU-first): satellite positions and ranges are O(2.6e7) m —
+float32 would lose meters.  ``reduced_range`` therefore evaluates the range
+*relative to a host-precomputed f64 reference range* via a catastrophic-
+cancellation-free expansion, so the device only handles O(km) values and
+float32 keeps sub-mm accuracy.  Full-precision ``sagnac_range`` remains for
+f64 (CPU / validation) paths.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+CLIGHT = 299792458.0          # speed of light [m/s]
+OMGE = 7.2921151467e-5        # earth angular velocity (IS-GPS) [rad/s]
+RE_WGS84 = 6378137.0          # WGS84 semimajor axis [m]
+FE_WGS84 = 1.0 / 298.257223563  # WGS84 flattening
+AZELMIN = np.deg2rad(25.0)    # elevation mask (common_function.h:22)
+
+# carrier wavelengths [m], rows = {GPS, BDS, GAL}, cols = 2 frequencies
+# (values as common_function.cpp:4-8; these are physical constants c/f)
+WAVELENGTHS = np.array(
+    [
+        [0.190293672798364871256993069437, 0.244210213424568250983881512184],
+        [0.19203948631027648, 0.24834936958430670],
+        [0.19029367279836487, 0.24834936958430670],
+    ]
+)
+
+SYS_GPS, SYS_BDS, SYS_GAL = 0, 1, 2
+MAXSATNUM = 39 + 37 + 31  # 107 (common_function.h:34-37)
+NFREQ = 2
+MAXOBS = 64
+
+
+def geodetic_to_ecef(lat, lon, h):
+    """(lat, lon [rad], h [m]) -> ECEF xyz."""
+    e2 = FE_WGS84 * (2.0 - FE_WGS84)
+    sinp, cosp = jnp.sin(lat), jnp.cos(lat)
+    sinl, cosl = jnp.sin(lon), jnp.cos(lon)
+    v = RE_WGS84 / jnp.sqrt(1.0 - e2 * sinp * sinp)
+    x = (v + h) * cosp * cosl
+    y = (v + h) * cosp * sinl
+    z = (v * (1.0 - e2) + h) * sinp
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def ecef_to_geodetic(r, iters: int = 8):
+    """ECEF xyz -> (lat, lon, h).
+
+    The reference iterates to 1e-4 convergence (common_function.cpp:111-123);
+    a fixed iteration count is the jit-friendly equivalent (converges in <6).
+    """
+    e2 = FE_WGS84 * (2.0 - FE_WGS84)
+    r2 = r[..., 0] ** 2 + r[..., 1] ** 2
+    z = r[..., 2]
+    zk = r[..., 2]
+    v = jnp.full_like(z, RE_WGS84)
+    for _ in range(iters):
+        zk = z
+        sinp = zk / jnp.sqrt(r2 + zk * zk)
+        v = RE_WGS84 / jnp.sqrt(1.0 - e2 * sinp * sinp)
+        z = r[..., 2] + v * e2 * sinp
+    lat = jnp.where(
+        r2 > 1e-12,
+        jnp.arctan(z / jnp.sqrt(jnp.maximum(r2, 1e-12))),
+        jnp.where(r[..., 2] > 0.0, jnp.pi / 2, -jnp.pi / 2),
+    )
+    lon = jnp.where(r2 > 1e-12, jnp.arctan2(r[..., 1], r[..., 0]), 0.0)
+    h = jnp.sqrt(r2 + z * z) - v
+    return jnp.stack([lat, lon, h], axis=-1)
+
+
+def enu_rotation(lat, lon):
+    """Rotation E s.t. enu = E @ ecef_vector (xyz2enu, common_function.cpp:150-162)."""
+    sinp, cosp = jnp.sin(lat), jnp.cos(lat)
+    sinl, cosl = jnp.sin(lon), jnp.cos(lon)
+    row_e = jnp.stack([-sinl, cosl, jnp.zeros_like(sinl)], axis=-1)
+    row_n = jnp.stack([-sinp * cosl, -sinp * sinl, cosp], axis=-1)
+    row_u = jnp.stack([cosp * cosl, cosp * sinl, sinp], axis=-1)
+    return jnp.stack([row_e, row_n, row_u], axis=-2)
+
+
+def ecef_to_enu(origin_llh, vec):
+    """Rotate an ECEF displacement into ENU at geodetic origin (lat,lon,h)."""
+    E = enu_rotation(origin_llh[..., 0], origin_llh[..., 1])
+    return jnp.einsum("...ij,...j->...i", E, vec)
+
+
+def sat_azel(origin_llh, unit_rs):
+    """Azimuth/elevation of the receiver->satellite unit vector.
+
+    Semantics of satazel (common_function.cpp:86-100).
+    Returns (az [0,2pi), el) stacked (..., 2).
+    """
+    enu = ecef_to_enu(origin_llh, unit_rs)
+    horiz2 = enu[..., 0] ** 2 + enu[..., 1] ** 2
+    az = jnp.where(horiz2 < 1e-12, 0.0, jnp.arctan2(enu[..., 0], enu[..., 1]))
+    az = jnp.where(az < 0, az + 2 * jnp.pi, az)
+    el = jnp.arcsin(jnp.clip(enu[..., 2], -1.0, 1.0))
+    return jnp.stack([az, el], axis=-1)
+
+
+def sagnac_range(rr, rs):
+    """Geometric range + Sagnac correction, and LOS unit vector e (rr->rs is -e).
+
+    distance() semantics (common_function.cpp:126-134): e points receiver-ward
+    (rr - rs normalized), range r = |rr-rs| + OMGE*(xs*yr - ys*xr)/c.
+    Returns (r, e).
+    """
+    d = rr - rs
+    r = jnp.linalg.norm(d, axis=-1)
+    e = d / jnp.maximum(r, 1e-9)[..., None]
+    sag = OMGE * (rs[..., 0] * rr[..., 1] - rs[..., 1] * rr[..., 0]) / CLIGHT
+    return r + sag, e
+
+
+def reduced_range(x_local, d0, r0_unit, r0):
+    """Range |(x_local + anchor) - rs| - r0, cancellation-free.
+
+    Inputs precomputed on host in f64:
+      d0 = anchor - rs  (the large vector), r0 = |d0|, r0_unit = d0/r0.
+    x_local is the receiver position relative to ``anchor`` (O(km)).
+    Identity: |d0 + x|^2 = r0^2 + 2 d0.x + |x|^2, so
+      |d0+x| - r0 = (2 d0.x + |x|^2) / (|d0+x| + r0)
+    evaluated with the numerator's O(km * 1) terms only — exact to O(eps*km),
+    no 2.6e7-scale intermediates.  Also returns LOS unit e = (d0+x)/|d0+x|
+    computed the same way (e is O(1) so f32 is fine).
+    """
+    proj = jnp.sum(r0_unit * x_local, axis=-1)          # O(km)
+    x2 = jnp.sum(x_local * x_local, axis=-1)            # O(km^2)
+    # |d0 + x| = r0 * sqrt(1 + (2 proj + x2/r0)/r0) — compute the delta:
+    t = 2.0 * proj + x2 / r0
+    # delta = t / (1 + sqrt(1 + t/r0)) — denominator ≈ 2, well conditioned
+    delta = t / (1.0 + jnp.sqrt(jnp.maximum(1.0 + t / r0, 1e-12)))
+    # LOS unit vector: (d0 + x)/(r0 + delta) = (r0_unit * r0 + x)/(r0+delta)
+    e = (r0_unit * r0[..., None] + x_local) / (r0 + delta)[..., None]
+    return delta, e
+
+
+def sagnac_term_local(x_local, anchor, rs):
+    """Sagnac correction OMGE*(xs*yr - ys*xr)/c with yr,xr = anchor+x.
+
+    The cross term mixes O(2.6e7)*O(km) products; split so the constant part
+    can be pre-reduced on the host: sag = sag0(anchor, rs) + OMGE*(xs*y - ys*x)/c.
+    This helper returns only the *local* part; callers fold sag0 into the
+    precomputed measurement constant.
+    """
+    return OMGE * (rs[..., 0] * x_local[..., 1] - rs[..., 1] * x_local[..., 0]) / CLIGHT
+
+
+def range_rate(rr, rs, vr, vs):
+    """Doppler range-rate with Earth-rotation term and LOS unit vector.
+
+    velecitydistance semantics (common_function.cpp:411-421): rate =
+    e.(vr - vs) + OMGE/c * (vs_y*x_r + y_s*vr_x - vs_x*y_r - x_s*vr_y),
+    where e = (rr-rs)/|rr-rs|.
+    """
+    d = rr - rs
+    r = jnp.linalg.norm(d, axis=-1)
+    e = d / jnp.maximum(r, 1e-9)[..., None]
+    rel_v = vr - vs
+    rate = jnp.sum(e * rel_v, axis=-1)
+    sag = (OMGE / CLIGHT) * (
+        vs[..., 1] * rr[..., 0] + rs[..., 1] * vr[..., 0]
+        - vs[..., 0] * rr[..., 1] - rs[..., 0] * vr[..., 1]
+    )
+    return rate + sag, e

@@ -1,0 +1,230 @@
+"""Batched quaternion / SO(3) operations.
+
+Quaternions are stored as ``[w, x, y, z]`` (Hamilton convention, matching the
+reference's Eigen usage, e.g. rvi/utility/utility.h:10-49).  All functions are
+pure jnp, broadcast over leading batch dimensions, and are safe under
+``jax.jit`` / ``vmap`` / autodiff (including at the identity, where naive
+``exp``/``log`` formulas have 0/0 singularities — handled with Taylor
+branches via ``jnp.where`` on both operand and result to keep gradients
+finite).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_EPS = 1e-8
+
+
+def quat_identity(batch_shape=(), dtype=jnp.float64):
+    q = jnp.zeros(batch_shape + (4,), dtype=dtype)
+    return q.at[..., 0].set(1.0)
+
+
+def quat_mul(q, p):
+    """Hamilton product q ⊗ p, wxyz layout."""
+    qw, qx, qy, qz = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    pw, px, py, pz = p[..., 0], p[..., 1], p[..., 2], p[..., 3]
+    return jnp.stack(
+        [
+            qw * pw - qx * px - qy * py - qz * pz,
+            qw * px + qx * pw + qy * pz - qz * py,
+            qw * py - qx * pz + qy * pw + qz * px,
+            qw * pz + qx * py - qy * px + qz * pw,
+        ],
+        axis=-1,
+    )
+
+
+def quat_conj(q):
+    return q * jnp.asarray([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
+
+
+def quat_normalize(q):
+    n = jnp.linalg.norm(q, axis=-1, keepdims=True)
+    return q / jnp.maximum(n, _EPS)
+
+
+def quat_rotate(q, v):
+    """Rotate vector(s) v by quaternion(s) q: R(q) @ v."""
+    w = q[..., 0:1]
+    u = q[..., 1:4]
+    uv = jnp.cross(u, v)
+    return v + 2.0 * (w * uv + jnp.cross(u, uv))
+
+
+def quat_rotate_inv(q, v):
+    return quat_rotate(quat_conj(q), v)
+
+
+def quat_to_rot(q):
+    """Rotation matrix from quaternion, (..., 3, 3)."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r = jnp.stack(
+        [
+            1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+            2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+            2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+        ],
+        axis=-1,
+    )
+    return r.reshape(q.shape[:-1] + (3, 3))
+
+
+def rot_to_quat(R):
+    """Quaternion (wxyz) from rotation matrix. Shepperd's method, branchless."""
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    tr = m00 + m11 + m22
+
+    def safe_sqrt(x):
+        return jnp.sqrt(jnp.maximum(x, 0.0))
+
+    qw0 = safe_sqrt(1.0 + tr) / 2.0
+    # four candidate constructions, pick the numerically largest pivot
+    q0 = jnp.stack([qw0, (m21 - m12), (m02 - m20), (m10 - m01)], axis=-1)
+    q0 = q0.at[..., 1:].mul(1.0 / jnp.maximum(4.0 * qw0, _EPS)[..., None])
+
+    qx1 = safe_sqrt(1.0 + m00 - m11 - m22) / 2.0
+    q1 = jnp.stack([(m21 - m12), qx1, (m01 + m10), (m02 + m20)], axis=-1)
+    q1 = q1.at[..., jnp.array([0, 2, 3])].mul(
+        1.0 / jnp.maximum(4.0 * qx1, _EPS)[..., None])
+
+    qy2 = safe_sqrt(1.0 - m00 + m11 - m22) / 2.0
+    q2 = jnp.stack([(m02 - m20), (m01 + m10), qy2, (m12 + m21)], axis=-1)
+    q2 = q2.at[..., jnp.array([0, 1, 3])].mul(
+        1.0 / jnp.maximum(4.0 * qy2, _EPS)[..., None])
+
+    qz3 = safe_sqrt(1.0 - m00 - m11 + m22) / 2.0
+    q3 = jnp.stack([(m10 - m01), (m02 + m20), (m12 + m21), qz3], axis=-1)
+    q3 = q3.at[..., jnp.array([0, 1, 2])].mul(
+        1.0 / jnp.maximum(4.0 * qz3, _EPS)[..., None])
+
+    # pivot selection
+    c0 = tr
+    c1 = m00 - m11 - m22
+    c2 = m11 - m00 - m22
+    c3 = m22 - m00 - m11
+    cs = jnp.stack([c0, c1, c2, c3], axis=-1)
+    idx = jnp.argmax(cs, axis=-1)
+    qs = jnp.stack([q0, q1, q2, q3], axis=-2)
+    q = jnp.take_along_axis(qs, idx[..., None, None].repeat(4, -1), axis=-2)
+    q = q[..., 0, :]
+    # canonical sign: w >= 0
+    q = jnp.where(q[..., 0:1] < 0, -q, q)
+    return quat_normalize(q)
+
+
+def skew(v):
+    """Skew-symmetric matrix [v]_x, (..., 3, 3)."""
+    z = jnp.zeros_like(v[..., 0])
+    r = jnp.stack(
+        [z, -v[..., 2], v[..., 1],
+         v[..., 2], z, -v[..., 0],
+         -v[..., 1], v[..., 0], z],
+        axis=-1,
+    )
+    return r.reshape(v.shape[:-1] + (3, 3))
+
+
+def quat_exp(theta):
+    """Exact SO(3) exponential map to quaternion: theta (...,3) rotation vector."""
+    n2 = jnp.sum(theta * theta, axis=-1, keepdims=True)
+    n = jnp.sqrt(jnp.maximum(n2, _EPS * _EPS))
+    half = 0.5 * n
+    small = n2 < _EPS
+    # sin(x/2)/x with Taylor fallback
+    k = jnp.where(small, 0.5 - n2 / 48.0, jnp.sin(half) / jnp.where(small, 1.0, n))
+    w = jnp.where(small, 1.0 - n2 / 8.0, jnp.cos(half))
+    return jnp.concatenate([w, k * theta], axis=-1)
+
+
+def quat_log(q):
+    """SO(3) log map: rotation vector (...,3) from unit quaternion."""
+    q = jnp.where(q[..., 0:1] < 0, -q, q)  # take the short path
+    w = jnp.clip(q[..., 0:1], -1.0, 1.0)
+    vn2 = jnp.sum(q[..., 1:4] ** 2, axis=-1, keepdims=True)
+    vn = jnp.sqrt(jnp.maximum(vn2, _EPS * _EPS))
+    angle = 2.0 * jnp.arctan2(vn, w)
+    small = vn2 < _EPS
+    k = jnp.where(small, 2.0 / jnp.maximum(w, _EPS), angle / jnp.where(small, 1.0, vn))
+    return k * q[..., 1:4]
+
+
+def delta_q_first_order(theta):
+    """First-order quaternion increment [1, theta/2] (UNNORMALIZED).
+
+    This mirrors the reference's Utility::deltaQ (utility.h:11-22) used inside
+    IMU midpoint preintegration; the caller normalizes after composing.
+    """
+    one = jnp.ones_like(theta[..., 0:1])
+    return jnp.concatenate([one, 0.5 * theta], axis=-1)
+
+
+def quat_boxplus(q, dtheta):
+    """Right-multiplicative retraction: q ⊞ dθ = q ⊗ exp(dθ).
+
+    Matches the reference PoseLocalParameterization::Plus
+    (pose_local_parameterization.cpp:5-27) up to the exact-vs-first-order
+    exponential (we use the exact map; identical first derivative at 0).
+    """
+    return quat_normalize(quat_mul(q, quat_exp(dtheta)))
+
+
+def quat_boxminus(q1, q0):
+    """Tangent s.t. q0 ⊞ t = q1, i.e. log(q0^{-1} ⊗ q1)."""
+    return quat_log(quat_mul(quat_conj(q0), q1))
+
+
+def qleft(q):
+    """Left-multiplication matrix: qleft(q) @ p_vec == vec(q ⊗ p). (...,4,4)."""
+    w = q[..., 0]
+    v = q[..., 1:4]
+    out = jnp.zeros(q.shape[:-1] + (4, 4), dtype=q.dtype)
+    out = out.at[..., 0, 0].set(w)
+    out = out.at[..., 0, 1:].set(-v)
+    out = out.at[..., 1:, 0].set(v)
+    eye = jnp.eye(3, dtype=q.dtype)
+    out = out.at[..., 1:, 1:].set(w[..., None, None] * eye + skew(v))
+    return out
+
+
+def qright(p):
+    """Right-multiplication matrix: qright(p) @ q_vec == vec(q ⊗ p). (...,4,4)."""
+    w = p[..., 0]
+    v = p[..., 1:4]
+    out = jnp.zeros(p.shape[:-1] + (4, 4), dtype=p.dtype)
+    out = out.at[..., 0, 0].set(w)
+    out = out.at[..., 0, 1:].set(-v)
+    out = out.at[..., 1:, 0].set(v)
+    eye = jnp.eye(3, dtype=p.dtype)
+    out = out.at[..., 1:, 1:].set(w[..., None, None] * eye - skew(v))
+    return out
+
+
+def ypr_to_rot(ypr_deg):
+    """Z-Y-X Euler (yaw,pitch,roll in degrees) to rotation matrix.
+
+    Semantics of Utility::ypr2R (utility.h:67-91).
+    """
+    y, p, r = (jnp.deg2rad(ypr_deg[..., i]) for i in range(3))
+    cy, sy = jnp.cos(y), jnp.sin(y)
+    cp, sp = jnp.cos(p), jnp.sin(p)
+    cr, sr = jnp.cos(r), jnp.sin(r)
+    row0 = jnp.stack([cy * cp, cy * sp * sr - sy * cr, cy * sp * cr + sy * sr], -1)
+    row1 = jnp.stack([sy * cp, sy * sp * sr + cy * cr, sy * sp * cr - cy * sr], -1)
+    row2 = jnp.stack([-sp, cp * sr, cp * cr], -1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def rot_to_ypr(R):
+    """Rotation matrix to yaw-pitch-roll degrees (Utility::R2ypr semantics)."""
+    n, o, a = R[..., :, 0], R[..., :, 1], R[..., :, 2]
+    y = jnp.arctan2(n[..., 1], n[..., 0])
+    p = jnp.arctan2(-n[..., 2], n[..., 0] * jnp.cos(y) + n[..., 1] * jnp.sin(y))
+    r = jnp.arctan2(
+        a[..., 0] * jnp.sin(y) - a[..., 1] * jnp.cos(y),
+        -o[..., 0] * jnp.sin(y) + o[..., 1] * jnp.cos(y),
+    )
+    return jnp.rad2deg(jnp.stack([y, p, r], axis=-1))

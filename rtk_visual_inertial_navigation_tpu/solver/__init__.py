@@ -1,0 +1,6 @@
+from .gauss_newton import (  # noqa: F401
+    assemble,
+    dogleg_solve,
+    DoglegConfig,
+)
+from .marginalization import marginalize_dense, prior_from_hessian  # noqa: F401

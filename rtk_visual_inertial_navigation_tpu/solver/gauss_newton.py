@@ -1,0 +1,154 @@
+"""Batched dense Gauss-Newton / dogleg over the ordered tangent space.
+
+This single engine replaces the reference's modified-Ceres stack
+(ceres::Solve with DENSE_SCHUR + DOGLEG + predefined ParameterBlockOrdering,
+SURVEY.md §2.9): factor batches scatter-add their JᵀJ outer products into one
+dense Hessian whose index order IS the elimination ordering; the solve is a
+dense Cholesky; trust-region control is Powell dogleg with the reference's
+iteration budget (≤8, MAX_TRUST_REGION_RADIUS=1e15,
+yaml/rtk_visual_inertial_config.yaml:45-46).
+
+Everything is shape-static and jit/vmap-safe: masked factors scatter zeros,
+masked parameters get unit diagonal and zero gradient so their step is zero.
+Relinearization happens every iteration (the TPU answer to the reference's
+lazy first-order IMUGNSS updates — recompute is cheaper than bookkeeping).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..factors.base import FactorBatch
+
+
+def assemble(batches: Sequence[FactorBatch], dim: int, dtype=jnp.float64):
+    """Scatter-add factor batches into (H, g, cost).
+
+    H = Σ JᵀJ, g = Σ Jᵀr, cost = ½ Σ|r|² over valid factors (already masked
+    into the batch rows).
+    """
+    H = jnp.zeros((dim, dim), dtype)
+    g = jnp.zeros((dim,), dtype)
+    cost = jnp.zeros((), dtype)
+    for b in batches:
+        Hf = jnp.einsum("brd,bre->bde", b.jac, b.jac)
+        gf = jnp.einsum("brd,br->bd", b.jac, b.res)
+        H = H.at[b.gidx[:, :, None], b.gidx[:, None, :]].add(Hf)
+        g = g.at[b.gidx].add(gf)
+        cost = cost + 0.5 * jnp.sum(b.res * b.res)
+    return H, g, cost
+
+
+def apply_free_mask(H, g, free_mask):
+    """Fix parameters: unit diagonal + zero gradient for non-free slots.
+
+    Also regularizes structurally-empty slots (zero diagonal) the same way,
+    so the dense Cholesky never sees a singular pivot.
+    """
+    free = free_mask & (jnp.diag(H) > 0)
+    m = free.astype(H.dtype)
+    H = H * m[:, None] * m[None, :]
+    H = H + jnp.diag(1.0 - m)
+    g = g * m
+    return H, g, free
+
+
+class DoglegConfig(NamedTuple):
+    max_iters: int = 8
+    initial_radius: float = 1e4
+    max_radius: float = 1e15
+    min_radius: float = 1e-12
+    min_rel_decrease: float = 1e-3  # ceres dogleg accept threshold on rho
+
+
+class SolveResult(NamedTuple):
+    state: object
+    H: jnp.ndarray
+    g: jnp.ndarray
+    cost: jnp.ndarray
+    radius: jnp.ndarray
+    n_accepted: jnp.ndarray
+
+
+def _dogleg_step(H, g, radius):
+    """Powell dogleg step for min ½ pᵀHp + gᵀp s.t. |p| ≤ radius."""
+    # Gauss-Newton step (H is regularized SPD by apply_free_mask)
+    L = jnp.linalg.cholesky(H)
+    p_gn = -jax.scipy.linalg.cho_solve((L, True), g)
+    gn_norm = jnp.linalg.norm(p_gn)
+
+    gHg = g @ (H @ g)
+    g2 = g @ g
+    alpha = g2 / jnp.maximum(gHg, 1e-300)
+    p_sd = -alpha * g
+    sd_norm = jnp.linalg.norm(p_sd)
+
+    def interp():
+        # p = p_sd + tau (p_gn - p_sd), |p| = radius
+        d = p_gn - p_sd
+        a = d @ d
+        b = 2.0 * (p_sd @ d)
+        c = sd_norm**2 - radius**2
+        disc = jnp.sqrt(jnp.maximum(b * b - 4 * a * c, 0.0))
+        tau = (-b + disc) / jnp.maximum(2 * a, 1e-300)
+        return p_sd + jnp.clip(tau, 0.0, 1.0) * d
+
+    p = jnp.where(
+        gn_norm <= radius,
+        p_gn,
+        jnp.where(sd_norm >= radius,
+                  p_sd * (radius / jnp.maximum(sd_norm, 1e-300)),
+                  interp()),
+    )
+    return p
+
+
+def dogleg_solve(eval_fn: Callable, retract_fn: Callable, state0,
+                 free_mask, cfg: DoglegConfig = DoglegConfig()):
+    """Minimize ½|r(x)|² with dogleg trust region.
+
+    Args:
+      eval_fn: state -> (H, g, cost) — full relinearization.
+      retract_fn: (state, dx) -> state.
+      state0: initial state pytree.
+      free_mask: (D,) bool — which tangent entries may move.
+
+    Returns SolveResult with the final (H, g) evaluated at the final state
+    (useful for covariance extraction / marginalization without re-eval).
+    """
+    H0, g0, cost0 = eval_fn(state0)
+
+    def body(_, carry: SolveResult):
+        state, H, g, cost, radius, n_acc = carry
+        Hm, gm, _ = apply_free_mask(H, g, free_mask)
+        p = _dogleg_step(Hm, gm, radius)
+        pred = -(gm @ p + 0.5 * p @ (Hm @ p))
+        cand = retract_fn(state, p)
+        Hc, gc, costc = eval_fn(cand)
+        actual = cost - costc
+        rho = actual / jnp.maximum(pred, 1e-300)
+        accept = (actual > 0) & (pred > 0)
+
+        sel = lambda a, b: jax.tree.map(
+            lambda x, y: jnp.where(accept, x, y), a, b)
+        state = sel(cand, state)
+        H = jnp.where(accept, Hc, H)
+        g = jnp.where(accept, gc, g)
+        cost = jnp.where(accept, costc, cost)
+        step_norm = jnp.linalg.norm(p)
+        radius = jnp.where(
+            accept & (rho > 0.75) & (step_norm > 0.9 * radius),
+            jnp.minimum(2.0 * radius, cfg.max_radius),
+            jnp.where(rho < 0.25,
+                      jnp.maximum(0.5 * step_norm, cfg.min_radius), radius))
+        return SolveResult(state, H, g, cost, radius,
+                           n_acc + accept.astype(jnp.int32))
+
+    init = SolveResult(state0, H0, g0, cost0,
+                       jnp.asarray(cfg.initial_radius, cost0.dtype),
+                       jnp.zeros((), jnp.int32))
+    out = jax.lax.fori_loop(0, cfg.max_iters, body, init)
+    return out

@@ -1,0 +1,67 @@
+"""Dense Schur marginalization with masked (fixed-shape) drop sets.
+
+One engine replaces the reference's three implementations of the same math
+(MarginalizationInfo dense Schur + eigendecomposition,
+rvi/factor/marginalization_factor.cpp:260-361; marginalize_exclude's
+3-level sparse→drop→keep elimination, cpp:153-228; and IMUGNSSBase's rolling
+block elimination, gnss_imu_factor.cpp:403-489).
+
+Inputs are the assembled (H, g) at the linearization point and a boolean
+``marg_mask`` over the global tangent.  Output is a square-root prior
+(J₀, r₀) over the full tangent with zero columns at marginalized slots:
+
+    H* = Hkk − Hkm Hmm⁻¹ Hmk,  g* = gk − Hkm Hmm⁻¹ gm
+    eigh(H*) = V S Vᵀ;  J₀ = √S Vᵀ,  r₀ = √S⁻¹ Vᵀ g*
+
+Eigenvalues below a threshold are truncated (rank-revealing pseudo-inverse,
+matching marginalization_factor.cpp:335-349's eps=1e-8 treatment).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _masked_schur(H, g, marg_mask, jitter=1e-9):
+    """Schur-complement away the masked slots without physical reordering.
+
+    Hmm is made unit-diagonal on non-marginalized slots so one dense solve
+    against the full matrix implements the m-block inverse.
+    """
+    m = marg_mask.astype(H.dtype)
+    k = 1.0 - m
+    # Hmm padded to full size: marg block where masked, identity elsewhere
+    Hmm_full = H * m[:, None] * m[None, :] + jnp.diag(k)
+    # regularize the marg block pivot
+    Hmm_full = Hmm_full + jitter * jnp.diag(m)
+    rhs = jnp.concatenate([H * m[:, None] * k[None, :],  # Hmk (cols kept)
+                          (g * m)[:, None]], axis=1)
+    sol = jnp.linalg.solve(Hmm_full, rhs)               # Hmm⁻¹ [Hmk, gm]
+    Hmk_sol, gm_sol = sol[:, :-1], sol[:, -1]
+    Hkm = H * k[:, None] * m[None, :]
+    H_star = H * k[:, None] * k[None, :] - Hkm @ Hmk_sol
+    g_star = g * k - Hkm @ gm_sol
+    # exact symmetry (solve introduces asymmetry at roundoff)
+    H_star = 0.5 * (H_star + H_star.T)
+    return H_star, g_star
+
+
+def prior_from_hessian(H_star, g_star, eig_eps=1e-8):
+    """Square-root factorization (J₀, r₀) of a PSD information pair."""
+    S, V = jnp.linalg.eigh(H_star)
+    ok = S > eig_eps
+    sqrt_S = jnp.sqrt(jnp.where(ok, S, 1.0)) * ok
+    inv_sqrt_S = jnp.where(ok, 1.0 / jnp.where(ok, jnp.sqrt(jnp.where(ok, S, 1.0)), 1.0), 0.0)
+    J0 = sqrt_S[:, None] * V.T
+    r0 = inv_sqrt_S * (V.T @ g_star)
+    return J0, r0
+
+
+def marginalize_dense(H, g, marg_mask, eig_eps=1e-8):
+    """Full pipeline: Schur + square root. Returns (J₀, r₀) over full tangent.
+
+    J₀ has zero columns at marginalized slots (they no longer exist); rows
+    beyond the numerical rank are zero.
+    """
+    H_star, g_star = _masked_schur(H, g, marg_mask)
+    return prior_from_hessian(H_star, g_star, eig_eps)

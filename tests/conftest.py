@@ -1,0 +1,32 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh in f64.
+
+The driver benches on real TPU; tests validate math and multi-chip sharding
+logic on host CPU (SURVEY.md §4 implication).
+
+Note: this image boots an `axon` TPU PJRT plugin from sitecustomize and
+programmatically sets jax_platforms="axon,cpu" (overriding the env var), so
+we must update the config object itself and drop any initialized backends.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+from jax._src import xla_bridge as _xb  # noqa: E402
+
+if _xb.backends_are_initialized():  # pragma: no cover
+    from jax.extend.backend import clear_backends
+
+    clear_backends()
+
+assert jax.default_backend() == "cpu", jax.default_backend()

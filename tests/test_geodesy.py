@@ -1,0 +1,116 @@
+import jax.numpy as jnp
+import numpy as np
+
+from rtk_visual_inertial_navigation_tpu import geodesy
+
+
+def test_geodetic_roundtrip():
+    rng = np.random.default_rng(1)
+    lat = rng.uniform(-1.4, 1.4, size=10)
+    lon = rng.uniform(-np.pi, np.pi, size=10)
+    h = rng.uniform(-100, 9000, size=10)
+    xyz = geodesy.geodetic_to_ecef(jnp.asarray(lat), jnp.asarray(lon),
+                                   jnp.asarray(h))
+    llh = geodesy.ecef_to_geodetic(xyz)
+    np.testing.assert_allclose(llh[:, 0], lat, atol=1e-11)
+    np.testing.assert_allclose(llh[:, 1], lon, atol=1e-11)
+    np.testing.assert_allclose(llh[:, 2], h, atol=1e-4)
+
+
+def test_enu_rotation_orthonormal():
+    E = geodesy.enu_rotation(jnp.asarray(0.4), jnp.asarray(1.9))
+    np.testing.assert_allclose(E @ E.T, np.eye(3), atol=1e-12)
+    # up vector at equator/prime meridian is +x
+    E0 = geodesy.enu_rotation(jnp.asarray(0.0), jnp.asarray(0.0))
+    np.testing.assert_allclose(E0[2], [1, 0, 0], atol=1e-12)
+
+
+def test_sagnac_range_basic():
+    rr = jnp.asarray([geodesy.RE_WGS84, 0.0, 0.0])
+    rs = jnp.asarray([26.6e6, 0.0, 0.0])
+    r, e = geodesy.sagnac_range(rr, rs)
+    np.testing.assert_allclose(r, 26.6e6 - geodesy.RE_WGS84, atol=1e-6)
+    np.testing.assert_allclose(e, [-1, 0, 0], atol=1e-12)
+    # Sagnac term magnitude sanity: for a satellite offset in y it is ~ tens of m
+    rs2 = jnp.asarray([20e6, 17e6, 0.0])
+    r2, _ = geodesy.sagnac_range(rr, rs2)
+    plain = np.linalg.norm(np.asarray(rr) - np.asarray(rs2))
+    sag = float(r2) - plain
+    expected = geodesy.OMGE * (17e6 * 0.0 - 0.0) / geodesy.CLIGHT  # zero here
+    # rr_y = 0 so the term is OMGE*(xs*yr - ys*xr)/c = -OMGE*ys*xr/c
+    expected = -geodesy.OMGE * 17e6 * geodesy.RE_WGS84 / geodesy.CLIGHT
+    np.testing.assert_allclose(sag, expected, atol=1e-6)
+
+
+def test_reduced_range_matches_full_f64():
+    rng = np.random.default_rng(2)
+    anchor = np.array([-2.4e6, 5.4e6, 2.4e6])
+    for _ in range(20):
+        sat = rng.normal(size=3)
+        sat = sat / np.linalg.norm(sat) * 26.6e6
+        x = rng.uniform(-5e3, 5e3, size=3)
+        d0 = anchor - sat
+        r0 = np.linalg.norm(d0)
+        delta, e = geodesy.reduced_range(
+            jnp.asarray(x), jnp.asarray(d0), jnp.asarray(d0 / r0),
+            jnp.asarray(r0))
+        full = np.linalg.norm(anchor + x - sat)
+        np.testing.assert_allclose(float(delta), full - r0, atol=1e-8)
+        np.testing.assert_allclose(
+            np.asarray(e), (anchor + x - sat) / full, atol=1e-12)
+
+
+def test_reduced_range_f32_accuracy():
+    """The whole point: f32 evaluation keeps sub-mm range accuracy."""
+    rng = np.random.default_rng(3)
+    anchor = np.array([-2.4e6, 5.4e6, 2.4e6])
+    worst = 0.0
+    for _ in range(50):
+        sat = rng.normal(size=3)
+        sat = sat / np.linalg.norm(sat) * 26.6e6
+        x = rng.uniform(-2e3, 2e3, size=3)
+        d0 = anchor - sat
+        r0 = np.linalg.norm(d0)
+        delta, _ = geodesy.reduced_range(
+            jnp.asarray(x, dtype=jnp.float32),
+            jnp.asarray(d0, dtype=jnp.float32),
+            jnp.asarray(d0 / r0, dtype=jnp.float32),
+            jnp.asarray(r0, dtype=jnp.float32))
+        full = np.linalg.norm(anchor + x - sat)
+        worst = max(worst, abs(float(delta) - (full - r0)))
+    assert worst < 5e-4, worst  # < 0.5 mm
+
+
+def test_range_rate_matches_numeric_derivative():
+    rr = np.array([-2.4e6, 5.4e6, 2.4e6])
+    rs = np.array([15e6, 18e6, 12e6])
+    vr = np.array([3.0, -2.0, 1.0])
+    vs = np.array([2000.0, -1000.0, 2500.0])
+    rate, e = geodesy.range_rate(jnp.asarray(rr), jnp.asarray(rs),
+                                 jnp.asarray(vr), jnp.asarray(vs))
+    # geometric part: numeric d/dt |rr+vr t - (rs+vs t)|
+    def f(t):
+        a, b = rr + vr * t, rs + vs * t
+        return np.linalg.norm(a - b)
+    h = 1e-3
+    num = (f(h) - f(-h)) / (2 * h)
+    # Sagnac/Earth-rotation part per RTKLIB convention
+    # (common_function.cpp:420: OMGE/c*(vs_y*x_r + y_s*vr_x - vs_x*y_r - x_s*vr_y))
+    sag = geodesy.OMGE / geodesy.CLIGHT * (
+        vs[1] * rr[0] + rs[1] * vr[0] - vs[0] * rr[1] - rs[0] * vr[1])
+    np.testing.assert_allclose(float(rate), num + sag, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(e), (rr - rs) / np.linalg.norm(rr - rs),
+                               atol=1e-12)
+
+
+def test_sat_azel():
+    # receiver at equator, satellite straight up -> el = pi/2
+    llh = jnp.asarray([0.0, 0.0, 0.0])
+    azel = geodesy.sat_azel(llh, jnp.asarray([1.0, 0.0, 0.0]))
+    np.testing.assert_allclose(azel[1], np.pi / 2, atol=1e-9)
+    # satellite due north on horizon -> az = 0, el = 0
+    azel = geodesy.sat_azel(llh, jnp.asarray([0.0, 0.0, 1.0]))
+    np.testing.assert_allclose(azel, [0.0, 0.0], atol=1e-9)
+    # due east -> az = pi/2
+    azel = geodesy.sat_azel(llh, jnp.asarray([0.0, 1.0, 0.0]))
+    np.testing.assert_allclose(azel[0], np.pi / 2, atol=1e-9)

@@ -1,0 +1,94 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtk_visual_inertial_navigation_tpu.ops import lie
+
+
+def rand_quat(rng, n=()):
+    q = rng.normal(size=n + (4,))
+    return q / np.linalg.norm(q, axis=-1, keepdims=True)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def test_quat_mul_vs_rot(rng):
+    q1, q2 = rand_quat(rng, (5,)), rand_quat(rng, (5,))
+    R1 = lie.quat_to_rot(jnp.asarray(q1))
+    R2 = lie.quat_to_rot(jnp.asarray(q2))
+    R12 = lie.quat_to_rot(lie.quat_mul(jnp.asarray(q1), jnp.asarray(q2)))
+    np.testing.assert_allclose(R12, jnp.einsum("nij,njk->nik", R1, R2),
+                               atol=1e-12)
+
+
+def test_quat_rotate_matches_matrix(rng):
+    q = rand_quat(rng, (7,))
+    v = rng.normal(size=(7, 3))
+    out = lie.quat_rotate(jnp.asarray(q), jnp.asarray(v))
+    ref = jnp.einsum("nij,nj->ni", lie.quat_to_rot(jnp.asarray(q)), v)
+    np.testing.assert_allclose(out, ref, atol=1e-12)
+
+
+def test_rot_to_quat_roundtrip(rng):
+    q = rand_quat(rng, (50,))
+    q = np.where(q[..., :1] < 0, -q, q)
+    q2 = lie.rot_to_quat(lie.quat_to_rot(jnp.asarray(q)))
+    np.testing.assert_allclose(q2, q, atol=1e-9)
+
+
+def test_rot_to_quat_special_axes():
+    # 180-degree rotations hit every Shepperd branch
+    for axis in range(3):
+        theta = np.zeros(3)
+        theta[axis] = np.pi
+        q = np.asarray(lie.quat_exp(jnp.asarray(theta)))
+        R = lie.quat_to_rot(jnp.asarray(q))
+        q2 = np.asarray(lie.rot_to_quat(R))
+        assert min(np.linalg.norm(q2 - q), np.linalg.norm(q2 + q)) < 1e-9
+
+
+def test_exp_log_roundtrip(rng):
+    theta = rng.normal(size=(20, 3))
+    out = lie.quat_log(lie.quat_exp(jnp.asarray(theta)))
+    np.testing.assert_allclose(out, theta, atol=1e-9)
+    # tiny angles
+    tiny = rng.normal(size=(5, 3)) * 1e-10
+    out = lie.quat_log(lie.quat_exp(jnp.asarray(tiny)))
+    np.testing.assert_allclose(out, tiny, atol=1e-15)
+
+
+def test_exp_log_grads_finite_at_zero():
+    g = jax.jacfwd(lie.quat_exp)(jnp.zeros(3))
+    assert np.all(np.isfinite(g))
+    g2 = jax.jacrev(lambda t: lie.quat_log(lie.quat_exp(t)))(jnp.zeros(3))
+    np.testing.assert_allclose(g2, np.eye(3), atol=1e-6)
+
+
+def test_boxplus_boxminus(rng):
+    q = jnp.asarray(rand_quat(rng, (10,)))
+    d = jnp.asarray(rng.normal(size=(10, 3)) * 0.5)
+    q2 = lie.quat_boxplus(q, d)
+    np.testing.assert_allclose(lie.quat_boxminus(q2, q), d, atol=1e-9)
+
+
+def test_qleft_qright(rng):
+    q, p = jnp.asarray(rand_quat(rng)), jnp.asarray(rand_quat(rng))
+    qp = lie.quat_mul(q, p)
+    np.testing.assert_allclose(lie.qleft(q) @ p, qp, atol=1e-12)
+    np.testing.assert_allclose(lie.qright(p) @ q, qp, atol=1e-12)
+
+
+def test_ypr_roundtrip(rng):
+    ypr = rng.uniform(-80, 80, size=(10, 3))
+    R = lie.ypr_to_rot(jnp.asarray(ypr))
+    np.testing.assert_allclose(lie.rot_to_ypr(R), ypr, atol=1e-9)
+
+
+def test_skew(rng):
+    a, b = rng.normal(size=3), rng.normal(size=3)
+    np.testing.assert_allclose(
+        lie.skew(jnp.asarray(a)) @ b, np.cross(a, b), atol=1e-12)

@@ -1,0 +1,181 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtk_visual_inertial_navigation_tpu.ops import lie
+from rtk_visual_inertial_navigation_tpu.preintegration import (
+    ImuNoise, preintegrate, imu_residual)
+
+NOISE = ImuNoise(acc_n=0.05, gyr_n=0.005, acc_w=5e-4, gyr_w=5e-5)
+
+
+def make_samples(S=41, dt=0.0025, acc=(0.1, 0.2, 9.8), gyr=(0.01, -0.02, 0.3)):
+    dts = jnp.full((S,), dt, dtype=jnp.float64)
+    accs = jnp.tile(jnp.asarray(acc, dtype=jnp.float64), (S, 1))
+    gyrs = jnp.tile(jnp.asarray(gyr, dtype=jnp.float64), (S, 1))
+    valid = jnp.ones((S,), dtype=bool)
+    return dts, accs, gyrs, valid
+
+
+def test_constant_gyro_rotation():
+    """With constant gyro and zero bias, delta_q must equal exp(w*T)."""
+    w = np.array([0.1, -0.2, 0.5])
+    S, dt = 81, 0.0025
+    dts, accs, gyrs, valid = make_samples(S, dt, (0, 0, 0), tuple(w))
+    pre = preintegrate(dts, accs, gyrs, valid, jnp.zeros(3), jnp.zeros(3),
+                       NOISE)
+    T = (S - 1) * dt
+    q_true = lie.quat_exp(jnp.asarray(w * T))
+    np.testing.assert_allclose(pre.delta_q, q_true, atol=1e-6)
+    np.testing.assert_allclose(pre.sum_dt, T, atol=1e-12)
+
+
+def test_constant_acc_no_rotation():
+    a = np.array([1.0, -2.0, 3.0])
+    S, dt = 41, 0.005
+    dts, accs, gyrs, valid = make_samples(S, dt, tuple(a), (0, 0, 0))
+    pre = preintegrate(dts, accs, gyrs, valid, jnp.zeros(3), jnp.zeros(3),
+                       NOISE)
+    T = (S - 1) * dt
+    np.testing.assert_allclose(pre.delta_v, a * T, atol=1e-10)
+    np.testing.assert_allclose(pre.delta_p, 0.5 * a * T * T, atol=1e-10)
+
+
+def test_masked_suffix_equals_short_sequence():
+    rng = np.random.default_rng(0)
+    S = 30
+    dts = jnp.asarray(rng.uniform(0.002, 0.003, S))
+    accs = jnp.asarray(rng.normal(0, 1, (S, 3)) + np.array([0, 0, 9.8]))
+    gyrs = jnp.asarray(rng.normal(0, 0.3, (S, 3)))
+    valid_full = jnp.ones(S, dtype=bool)
+    k = 18
+    valid_masked = valid_full.at[k:].set(False)
+    ba, bg = jnp.asarray([0.01, 0.0, -0.02]), jnp.asarray([0.001, 0.002, 0.0])
+    pre_m = preintegrate(dts, accs, gyrs, valid_masked, ba, bg, NOISE)
+    pre_s = preintegrate(dts[:k], accs[:k], gyrs[:k],
+                         jnp.ones(k, dtype=bool), ba, bg, NOISE)
+    np.testing.assert_allclose(pre_m.delta_p, pre_s.delta_p, atol=1e-12)
+    np.testing.assert_allclose(pre_m.delta_q, pre_s.delta_q, atol=1e-12)
+    np.testing.assert_allclose(pre_m.covariance, pre_s.covariance, atol=1e-15)
+    np.testing.assert_allclose(pre_m.sum_dt, pre_s.sum_dt, atol=1e-15)
+    np.testing.assert_allclose(pre_m.gyr_j, pre_s.gyr_j, atol=1e-15)
+
+
+def test_bias_jacobian_vs_autodiff():
+    """The propagated 15x15 bias Jacobian columns must match autodiff of the
+    preintegrated quantities w.r.t. the linearization biases."""
+    rng = np.random.default_rng(1)
+    S = 20
+    dts = jnp.asarray(rng.uniform(0.002, 0.003, S))
+    accs = jnp.asarray(rng.normal(0, 1, (S, 3)) + np.array([0, 0, 9.8]))
+    gyrs = jnp.asarray(rng.normal(0, 0.3, (S, 3)))
+    valid = jnp.ones(S, dtype=bool)
+    ba0 = jnp.asarray([0.02, -0.01, 0.005])
+    bg0 = jnp.asarray([0.001, 0.003, -0.002])
+
+    def deltas(ba, bg):
+        pre = preintegrate(dts, accs, gyrs, valid, ba, bg, NOISE)
+        return pre.delta_p, pre.delta_q, pre.delta_v
+
+    p0, q0, v0 = deltas(ba0, bg0)
+    pre0 = preintegrate(dts, accs, gyrs, valid, ba0, bg0, NOISE)
+    J = np.asarray(pre0.jacobian)
+
+    # finite differences (the propagated Jacobian is itself first-order, so
+    # compare against central differences with loose-ish tolerance)
+    eps = 1e-6
+    for k in range(3):
+        for which, col0 in (("ba", 9), ("bg", 12)):
+            d = np.zeros(3)
+            d[k] = eps
+            if which == "ba":
+                pp, qp, vp = deltas(ba0 + d, bg0)
+                pm, qm, vm = deltas(ba0 - d, bg0)
+            else:
+                pp, qp, vp = deltas(ba0, bg0 + d)
+                pm, qm, vm = deltas(ba0, bg0 - d)
+            dp = (np.asarray(pp) - np.asarray(pm)) / (2 * eps)
+            dv = (np.asarray(vp) - np.asarray(vm)) / (2 * eps)
+            dth = np.asarray(
+                lie.quat_boxminus(qp, qm)) / (2 * eps)
+            col = col0 + k
+            # The correction formula is delta(b) ≈ delta(b_lin) + J@(b - b_lin)
+            # where J = d delta / d (bias subtracted from the samples), i.e.
+            # exactly the derivative of re-preintegrating with a shifted
+            # linearization bias.
+            np.testing.assert_allclose(dp, J[0:3, col], atol=2e-4,
+                                       err_msg=f"dp/d{which}{k}")
+            np.testing.assert_allclose(dv, J[6:9, col], atol=2e-4,
+                                       err_msg=f"dv/d{which}{k}")
+            if which == "bg":
+                np.testing.assert_allclose(dth, J[3:6, col], atol=2e-4,
+                                           err_msg=f"dq/dbg{k}")
+
+
+def test_residual_zero_at_truth():
+    """Integrating exact IMU from a known trajectory gives ~zero residual."""
+    # analytic trajectory: constant body angular rate + gravity
+    g = jnp.asarray([0.0, 0.0, -9.81])
+    w_body = np.array([0.0, 0.0, 0.4])
+    a_world = np.array([0.3, -0.1, 0.0])
+    S, dt = 101, 0.0025
+    T = (S - 1) * dt
+    ts = np.arange(S) * dt
+
+    qs = np.stack([np.asarray(lie.quat_exp(jnp.asarray(w_body * t)))
+                   for t in ts])
+    p0, v0 = np.zeros(3), np.array([1.0, 0.0, 0.0])
+    ps = p0 + v0 * ts[:, None] + 0.5 * (a_world + np.asarray(g)) * ts[:, None] ** 2
+    vs = v0 + (a_world + np.asarray(g)) * ts[:, None]
+
+    # IMU measures specific force: a_body = R^T (a_inertial - g) = R^T a_world
+    accs = []
+    for t, q in zip(ts, qs):
+        R = np.asarray(lie.quat_to_rot(jnp.asarray(q)))
+        accs.append(R.T @ a_world)
+    accs = np.stack(accs)
+    gyrs = np.tile(w_body, (S, 1))
+
+    pre = preintegrate(jnp.full(S, dt), jnp.asarray(accs), jnp.asarray(gyrs),
+                       jnp.ones(S, dtype=bool), jnp.zeros(3), jnp.zeros(3),
+                       NOISE)
+    res = imu_residual(
+        pre, -g,  # reference residual uses +G down convention: newG s.t.
+        # r_v = Qi^-1(newG*T + Vj - Vi) - dv; with our vs including g,
+        # newG must cancel it: newG = -g_world... here g=-9.81 z so newG=+9.81z
+        jnp.asarray(ps[0]), jnp.asarray(qs[0]), jnp.asarray(vs[0]),
+        jnp.zeros(3), jnp.zeros(3),
+        jnp.asarray(ps[-1]), jnp.asarray(qs[-1]), jnp.asarray(vs[-1]),
+        jnp.zeros(3), jnp.zeros(3), jnp.zeros(3))
+    np.testing.assert_allclose(np.asarray(res), 0.0, atol=1e-4)
+
+
+def test_covariance_psd_and_scales():
+    S = 41
+    dts, accs, gyrs, valid = make_samples(S)
+    pre = preintegrate(dts, accs, gyrs, valid, jnp.zeros(3), jnp.zeros(3),
+                       NOISE)
+    C = np.asarray(pre.covariance)
+    np.testing.assert_allclose(C, C.T, atol=1e-18)
+    ev = np.linalg.eigvalsh(C)
+    assert ev.min() >= -1e-18
+    # doubling noise quadruples covariance
+    noisy = ImuNoise(0.1, 0.01, 1e-3, 1e-4)
+    pre2 = preintegrate(dts, accs, gyrs, valid, jnp.zeros(3), jnp.zeros(3),
+                        noisy)
+    np.testing.assert_allclose(np.asarray(pre2.covariance), 4 * C, rtol=1e-9)
+
+
+def test_vmap_and_jit():
+    S = 16
+    dts, accs, gyrs, valid = make_samples(S)
+    batch = 4
+    f = jax.jit(jax.vmap(
+        lambda d, a, g, v: preintegrate(d, a, g, v, jnp.zeros(3),
+                                        jnp.zeros(3), NOISE)))
+    out = f(jnp.tile(dts, (batch, 1)), jnp.tile(accs, (batch, 1, 1)),
+            jnp.tile(gyrs, (batch, 1, 1)), jnp.tile(valid, (batch, 1)))
+    assert out.delta_p.shape == (batch, 3)
+    single = preintegrate(dts, accs, gyrs, valid, jnp.zeros(3), jnp.zeros(3),
+                          NOISE)
+    np.testing.assert_allclose(out.delta_p[0], single.delta_p, atol=1e-12)
