@@ -1,0 +1,68 @@
+"""Typed configuration.
+
+Collapses the reference's two config tiers — compile-time #defines
+(rvi/parameter/parameters.h:13-29) and runtime YAML via cv::FileStorage
+(parameters.cpp:80-230) — into one dataclass.  The five navigation modes
+(README.md:60-66) are expressed as factor-enable flags so a single jitted
+program covers all of them (mode matrix in SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .preintegration import ImuNoise
+
+
+@dataclass
+class EstimatorConfig:
+    # window capacities (FEATURE_WINDOW_SIZE=10, GNSS_WINDOW_SIZE=500,
+    # parameters.h:17-19; we fold GNSS frames into the same frame axis)
+    nf: int = 11                 # frame capacity (visual window + 1)
+    nl: int = 96                 # landmark slots (MAX_CNT=350 analog)
+    nb: int = 64                 # phase-bias slots
+    max_obs: int = 640           # projection-factor capacity
+    imu_capacity: int = 128      # IMU samples per interval
+    max_sats: int = 32           # satellites per epoch capacity (MAXOBS=64)
+
+    # mode flags (yaml matrix, SURVEY.md §2.10)
+    use_imu: bool = True
+    use_gnss: bool = False
+    use_rtk: bool = False        # RB-SD carrier phase
+    use_rtd: bool = False        # RB-SD pseudorange
+    use_spp_phase: bool = False
+    use_spp_correction: bool = False
+    use_doppler: bool = False
+    use_n_resolve: bool = False  # integer ambiguity fixing
+    use_mag: bool = False
+
+    # IMU (BMI088 defaults, yaml:49-52)
+    imu_noise: ImuNoise = field(
+        default_factory=lambda: ImuNoise(0.05, 0.005, 5e-4, 5e-5))
+    g: float = 9.81
+    pbg: np.ndarray = field(default_factory=lambda: np.zeros(3))
+
+    # camera extrinsics (body->cam), fixed unless estimate_extrinsic
+    tic: np.ndarray = field(default_factory=lambda: np.zeros((2, 3)))
+    qic: np.ndarray = field(
+        default_factory=lambda: np.tile(np.array([1.0, 0, 0, 0]), (2, 1)))
+    estimate_extrinsic: bool = False
+
+    # solver (yaml:45-46, swf.cpp:25-29)
+    max_iters: int = 8
+    init_trust_radius: float = 1e4
+
+    # frontend
+    min_triangulation_parallax: float = 0.02   # unit-plane
+    reproj_outlier_thresh: float = 3.0 / 460.0
+    init_depth: float = 5.0                    # INIT_DEPTH (parameters.h:27)
+
+    # initialization
+    average_imu: int = 60        # samples for attitude init (AVERAGE_IMU=400)
+
+    # GNSS gating (swf.cpp:732-742: ≥8 healthy sats or drop epoch)
+    min_sats_per_epoch: int = 8
+
+    dtype: str = "float64"

@@ -34,6 +34,12 @@ def project_world_point(p_f, q_f, tic, qic, lm, pbg):
     return lie.quat_rotate_inv(qic, pts_imu + pbg - tic)
 
 
+def _safe_z(z, eps=1e-3):
+    """Clamp |z| away from 0 so masked/degenerate observations cannot inject
+    NaN into the batch (NaN * 0 mask = NaN would poison the whole Hessian)."""
+    return jnp.where(jnp.abs(z) < eps, jnp.where(z < 0, -eps, eps), z)
+
+
 def _single_proj(p_f, q_f, tic, qic, lm, meas_xy, pbg, weight):
     """tangent = [pose6, ext6, lm3] -> whitened 2-residual."""
 
@@ -45,7 +51,7 @@ def _single_proj(p_f, q_f, tic, qic, lm, meas_xy, pbg, weight):
             p_f + dp, lie.quat_boxplus(q_f, dth),
             tic + dte, lie.quat_boxplus(qic, dthe),
             lm + dlm, pbg)
-        return weight * (pc[0:2] / pc[2] - meas_xy)
+        return weight * (pc[0:2] / _safe_z(pc[2]) - meas_xy)
 
     zero = jnp.zeros((15,), dtype=p_f.dtype)
     return res_fn(zero), jax.jacfwd(res_fn)(zero)
@@ -101,7 +107,7 @@ def _single_proj_invdepth(p_i, q_i, p_j, q_j, tic, qic, inv_dep,
         pts_w = lie.quat_rotate(qi, pts_imu_i) + (p_i + dpi)
         pts_imu_j = lie.quat_rotate_inv(qj, pts_w - (p_j + dpj))
         pts_cam_j = lie.quat_rotate_inv(qe, pts_imu_j + pbg - te)
-        return weight * (pts_cam_j[0:2] / pts_cam_j[2] - pts_j_xy)
+        return weight * (pts_cam_j[0:2] / _safe_z(pts_cam_j[2]) - pts_j_xy)
 
     zero = jnp.zeros((19,), dtype=p_i.dtype)
     return res_fn(zero), jax.jacfwd(res_fn)(zero)

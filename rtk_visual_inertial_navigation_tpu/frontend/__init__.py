@@ -1,0 +1,2 @@
+from .triangulation import triangulate_dlt, triangulate_landmarks  # noqa: F401
+from .features import FeatureTable  # noqa: F401

@@ -1,0 +1,121 @@
+"""Host-side landmark bookkeeping with fixed-capacity device views.
+
+The TPU-native counterpart of FeatureManager's ``list<FeaturePerId>``
+(rvi/feature/feature_manager.h:44-64): a slot table of NL landmarks whose
+per-window observations live in dense masked arrays ``obs_xy (NL,NF,2)`` /
+``obs_mask (NL,NF)``.  Slot allocation, track-length counting, the keyframe
+parallax decision (addFeatureCheckParallax, feature_manager.cpp:40-101) and
+window-shift compaction (removeBack/removeFront, cpp:362-416) are cheap
+host-side numpy; everything consumed by jitted code is a fixed-shape array.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# keyframe thresholds (parameters.h:22 FEATURE_CONTINUE=2;
+# parameters.cpp MIN_PARALLAX ~10px/f on the unit plane)
+MIN_PARALLAX = 10.0 / 460.0
+FEATURE_CONTINUE = 2
+
+
+class FeatureTable:
+    def __init__(self, capacity: int, num_frames: int):
+        self.nl = capacity
+        self.nf = num_frames
+        self.obs_xy = np.zeros((capacity, num_frames, 2))
+        self.obs_mask = np.zeros((capacity, num_frames), dtype=bool)
+        self.active = np.zeros(capacity, dtype=bool)      # slot in use
+        self.solved = np.zeros(capacity, dtype=bool)      # has a valid 3-D point
+        self.point = np.zeros((capacity, 3))
+        self.feature_id = np.full(capacity, -1, dtype=np.int64)
+        self._id_to_slot: dict[int, int] = {}
+
+    # ------------------------------------------------------------------
+    def add_frame(self, frame_idx: int, ids: np.ndarray, xys: np.ndarray
+                  ) -> int:
+        """Insert one frame's observations. Returns #tracked (pre-existing)."""
+        tracked = 0
+        for fid, xy in zip(ids, xys):
+            slot = self._id_to_slot.get(int(fid))
+            if slot is None:
+                free = np.flatnonzero(~self.active)
+                if len(free) == 0:
+                    continue  # table full: drop new feature (MAX_CNT analog)
+                slot = int(free[0])
+                self.active[slot] = True
+                self.solved[slot] = False
+                self.feature_id[slot] = int(fid)
+                self.obs_mask[slot] = False
+                self._id_to_slot[int(fid)] = slot
+            else:
+                tracked += 1
+            self.obs_xy[slot, frame_idx] = xy[:2]
+            self.obs_mask[slot, frame_idx] = True
+        return tracked
+
+    # ------------------------------------------------------------------
+    def keyframe_decision(self, frame_idx: int) -> bool:
+        """True -> marginalize-oldest; False -> drop-second-newest.
+
+        Mirrors addFeatureCheckParallax: a frame is a keyframe when few
+        features are tracked long, or when the parallax between the two
+        previous frames is large.
+        """
+        if frame_idx < 2:
+            return True
+        f1, f2 = frame_idx - 2, frame_idx - 1
+        both = self.obs_mask[:, f1] & self.obs_mask[:, f2] & self.active
+        long_track = both & (self.obs_mask[:, :f1].sum(axis=1) >= FEATURE_CONTINUE)
+        tracked_now = (self.obs_mask[:, frame_idx] & self.active).sum()
+        if tracked_now < 20 or long_track.sum() < 20:
+            return True
+        if not np.any(both):
+            return True
+        par = np.linalg.norm(
+            self.obs_xy[both, f2] - self.obs_xy[both, f1], axis=1)
+        return float(np.mean(par)) >= MIN_PARALLAX
+
+    # ------------------------------------------------------------------
+    def remove_frame(self, frame_idx: int, last: int):
+        """Delete observations of one frame and compact the window left of
+        ``last`` (inclusive shift, removeBack/removeFront semantics)."""
+        self.obs_xy[:, frame_idx:last] = self.obs_xy[:, frame_idx + 1:last + 1]
+        self.obs_mask[:, frame_idx:last] = self.obs_mask[:, frame_idx + 1:last + 1]
+        self.obs_mask[:, last] = False
+        self._prune()
+
+    def _prune(self):
+        """Free slots whose tracks died (no observations left)."""
+        dead = self.active & (self.obs_mask.sum(axis=1) == 0)
+        for slot in np.flatnonzero(dead):
+            self._id_to_slot.pop(int(self.feature_id[slot]), None)
+        self.active[dead] = False
+        self.solved[dead] = False
+        self.feature_id[dead] = -1
+
+    def drop_slots(self, slots: np.ndarray):
+        for slot in np.atleast_1d(slots):
+            if self.active[slot]:
+                self._id_to_slot.pop(int(self.feature_id[slot]), None)
+        self.active[slots] = False
+        self.solved[slots] = False
+        self.obs_mask[slots] = False
+        self.feature_id[slots] = -1
+
+    # ------------------------------------------------------------------
+    def observation_batch(self, max_obs: int):
+        """Flatten (slot, frame) observations of solved landmarks into fixed-
+        capacity factor arrays (frame_ids, lm_ids, xy, valid)."""
+        lm, fr = np.nonzero(self.obs_mask & self.active[:, None]
+                            & self.solved[:, None])
+        n = min(len(lm), max_obs)
+        frame_ids = np.zeros(max_obs, dtype=np.int32)
+        lm_ids = np.zeros(max_obs, dtype=np.int32)
+        xy = np.zeros((max_obs, 2))
+        valid = np.zeros(max_obs, dtype=bool)
+        frame_ids[:n] = fr[:n]
+        lm_ids[:n] = lm[:n]
+        xy[:n] = self.obs_xy[lm[:n], fr[:n]]
+        valid[:n] = True
+        return frame_ids, lm_ids, xy, valid

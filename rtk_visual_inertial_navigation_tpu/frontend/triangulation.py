@@ -1,0 +1,62 @@
+"""Batched multi-view triangulation.
+
+Replaces FeatureManager's per-feature SVD triangulation loops
+(rvi/feature/feature_manager.cpp:245-359) with one masked batched
+linear solve: for landmark l with observations (frame f, unit-plane (x,y)),
+each observation contributes two DLT rows
+
+    [x·P₃ᵀ - P₁ᵀ ;  y·P₃ᵀ - P₂ᵀ] · [X; 1] = 0
+
+where P = [R_cw | t_cw] maps world→camera.  We accumulate the normal
+equations AᵀA (4x4) per landmark over a fixed observation capacity with
+validity weights, then solve the homogeneous system via eigh — batched over
+all landmarks at once (MXU-friendly, no per-feature control flow).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import lie
+
+
+def _dlt_rows(p_wc, q_wc, tic, qic, xy, pbg):
+    """Two DLT rows (2,4) for one observation.
+
+    Camera pose: world->cam from body pose (p,q) and extrinsic (tic,qic);
+    antenna lever arm pbg as in projection factors (X_cam =
+    R_icᵀ(R_bᵀ(X_w - P) + pbg - tic)).
+    """
+    R_b = lie.quat_to_rot(q_wc)
+    R_ic = lie.quat_to_rot(qic)
+    R_cw = R_ic.T @ R_b.T
+    t_cw = R_ic.T @ (-R_b.T @ p_wc + pbg - tic)
+    P = jnp.concatenate([R_cw, t_cw[:, None]], axis=1)  # (3,4)
+    row1 = xy[0] * P[2] - P[0]
+    row2 = xy[1] * P[2] - P[1]
+    return jnp.stack([row1, row2])
+
+
+def triangulate_dlt(p_frames, q_frames, tic, qic, obs_xy, obs_valid, pbg):
+    """Triangulate one landmark from up to K observations.
+
+    Args:
+      p_frames, q_frames: (K,3),(K,4) body poses of the observing frames.
+      obs_xy: (K,2) unit-plane measurements; obs_valid: (K,) bool.
+    Returns (point (3,), ok flag).
+    """
+    rows = jax.vmap(lambda p, q, xy: _dlt_rows(p, q, tic, qic, xy, pbg))(
+        p_frames, q_frames, obs_xy)           # (K,2,4)
+    w = obs_valid.astype(rows.dtype)[:, None, None]
+    A = (rows * w).reshape(-1, 4)
+    N = A.T @ A
+    S, V = jnp.linalg.eigh(N)
+    h = V[:, 0]
+    ok = (jnp.sum(obs_valid) >= 2) & (jnp.abs(h[3]) > 1e-10)
+    pt = h[0:3] / jnp.where(jnp.abs(h[3]) > 1e-10, h[3], 1.0)
+    return pt, ok
+
+
+triangulate_landmarks = jax.vmap(
+    triangulate_dlt, in_axes=(None, None, None, None, 0, 0, None))

@@ -1,0 +1,1 @@
+from .cameras import PinholeCamera, EquidistantCamera, make_camera  # noqa: F401

@@ -1,0 +1,136 @@
+"""Camera models as vectorized JAX ops.
+
+Replaces the camodocal suite (cam/, ~9.3k LoC C++; SURVEY.md §2.8) for the
+models the estimator actually uses: the pinhole model with radial-tangential
+distortion (`PinholeCamera::liftProjective/spaceToPlane`,
+cam/src/camera_models/PinholeCamera.cc) and the equidistant fisheye model
+(`EquidistantCamera`).  Both are pure functions over (...,2)/(...,3) arrays;
+``lift`` inverts distortion with a fixed-iteration solve (jit-friendly
+replacement for camodocal's recursive/iterative undistortion).
+
+The calibration tools (Chessboard/CostFunctionFactory) are intentionally out
+of scope: they produce the YAML intrinsics this module consumes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class PinholeCamera(NamedTuple):
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+
+    def distort(self, xy):
+        """Apply radial-tangential distortion on unit-plane points (...,2)."""
+        x, y = xy[..., 0], xy[..., 1]
+        r2 = x * x + y * y
+        radial = self.k1 * r2 + self.k2 * r2 * r2
+        dx = x * radial + 2 * self.p1 * x * y + self.p2 * (r2 + 2 * x * x)
+        dy = y * radial + self.p1 * (r2 + 2 * y * y) + 2 * self.p2 * x * y
+        return jnp.stack([x + dx, y + dy], axis=-1)
+
+    def space_to_plane(self, pts3):
+        """3-D camera-frame point -> pixel (spaceToPlane semantics)."""
+        xy = pts3[..., 0:2] / pts3[..., 2:3]
+        d = self.distort(xy)
+        u = self.fx * d[..., 0] + self.cx
+        v = self.fy * d[..., 1] + self.cy
+        return jnp.stack([u, v], axis=-1)
+
+    def _distort_jacobian(self, xy):
+        """Analytic 2x2 Jacobian of the distortion map, (...,2,2)."""
+        x, y = xy[..., 0], xy[..., 1]
+        r2 = x * x + y * y
+        r4 = r2 * r2
+        k1, k2, p1, p2 = self.k1, self.k2, self.p1, self.p2
+        j00 = 1 + k1 * (r2 + 2 * x * x) + k2 * (r4 + 4 * x * x * r2) \
+            + 2 * p1 * y + 6 * p2 * x
+        j01 = 2 * y * (k1 * x + 2 * k2 * x * r2 + p2) + 2 * p1 * x
+        j10 = 2 * x * (k1 * y + 2 * k2 * y * r2 + p1) + 2 * p2 * y
+        j11 = 1 + k1 * (r2 + 2 * y * y) + k2 * (r4 + 4 * y * y * r2) \
+            + 6 * p1 * y + 2 * p2 * x
+        J = jnp.stack([j00, j01, j10, j11], axis=-1)
+        return J.reshape(xy.shape[:-1] + (2, 2))
+
+    def lift_projective(self, uv, iters: int = 8):
+        """Pixel -> unit-plane undistorted ray (liftProjective semantics).
+
+        Newton inversion of the distortion map (converges where camodocal's
+        8 recursive iterations do, and also for strong distortion).
+        Returns (...,3) homogeneous [x, y, 1].
+        """
+        mx = (uv[..., 0] - self.cx) / self.fx
+        my = (uv[..., 1] - self.cy) / self.fy
+        xy_d = jnp.stack([mx, my], axis=-1)
+        xy = xy_d
+        for _ in range(iters):
+            F = self.distort(xy) - xy_d
+            J = self._distort_jacobian(xy)
+            det = J[..., 0, 0] * J[..., 1, 1] - J[..., 0, 1] * J[..., 1, 0]
+            det = jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+            dx = (J[..., 1, 1] * F[..., 0] - J[..., 0, 1] * F[..., 1]) / det
+            dy = (-J[..., 1, 0] * F[..., 0] + J[..., 0, 0] * F[..., 1]) / det
+            xy = xy - jnp.stack([dx, dy], axis=-1)
+        return jnp.concatenate([xy, jnp.ones_like(xy[..., :1])], axis=-1)
+
+
+class EquidistantCamera(NamedTuple):
+    """Kannala-Brandt equidistant fisheye (EquidistantCamera semantics)."""
+
+    mu: float
+    mv: float
+    u0: float
+    v0: float
+    k2: float = 0.0
+    k3: float = 0.0
+    k4: float = 0.0
+    k5: float = 0.0
+
+    def _theta_poly(self, theta):
+        t2 = theta * theta
+        return theta * (1 + t2 * (self.k2 + t2 * (self.k3 + t2 * (self.k4 + t2 * self.k5))))
+
+    def space_to_plane(self, pts3):
+        x, y, z = pts3[..., 0], pts3[..., 1], pts3[..., 2]
+        r = jnp.sqrt(x * x + y * y)
+        theta = jnp.arctan2(r, z)
+        d = self._theta_poly(theta)
+        scale = jnp.where(r > 1e-12, d / jnp.maximum(r, 1e-12), 1.0)
+        u = self.mu * scale * x + self.u0
+        v = self.mv * scale * y + self.v0
+        return jnp.stack([u, v], axis=-1)
+
+    def lift_projective(self, uv, iters: int = 12):
+        mx = (uv[..., 0] - self.u0) / self.mu
+        my = (uv[..., 1] - self.v0) / self.mv
+        d = jnp.sqrt(mx * mx + my * my)
+        # invert theta-polynomial by Newton iterations
+        theta = d
+        for _ in range(iters):
+            f = self._theta_poly(theta) - d
+            t2 = theta * theta
+            df = 1 + t2 * (3 * self.k2 + t2 * (5 * self.k3 + t2 * (7 * self.k4 + 9 * t2 * self.k5)))
+            theta = theta - f / jnp.maximum(df, 1e-9)
+        scale = jnp.where(d > 1e-12, jnp.tan(theta) / jnp.maximum(d, 1e-12), 1.0)
+        return jnp.concatenate(
+            [mx[..., None] * scale[..., None], my[..., None] * scale[..., None],
+             jnp.ones_like(mx[..., None])], axis=-1)
+
+
+def make_camera(model: str, **kw):
+    """Factory mirroring camodocal::CameraFactory name dispatch."""
+    model = model.lower()
+    if model in ("pinhole",):
+        return PinholeCamera(**kw)
+    if model in ("kannala_brandt", "equidistant", "fisheye"):
+        return EquidistantCamera(**kw)
+    raise ValueError(f"unknown camera model {model!r}")

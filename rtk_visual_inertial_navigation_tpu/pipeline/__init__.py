@@ -1,0 +1,1 @@
+from .estimator import Estimator  # noqa: F401

@@ -1,0 +1,540 @@
+"""Sliding-window estimator driver — the MeasurementProcess state machine.
+
+Host-side orchestration (numpy bookkeeping) around jitted device stages,
+mirroring the reference's per-frame loop (SWFOptimization::MeasurementProcess,
+rvi/swf/swf.cpp:745-892):
+
+    buffer IMU -> preintegrate interval -> predict new frame ->
+    frontend update (features / triangulation) -> optimize (dogleg GN) ->
+    outlier rejection -> keyframe decision -> marginalize -> slide.
+
+Differences from the reference by design (TPU-first):
+  - no incremental ceres::Problem: every solve re-evaluates all factors from
+    fixed-shape masked batches (relinearize-always);
+  - marginalization & prior are dense over the global tangent layout; window
+    shifts are index permutations of the prior columns;
+  - all device stages are jitted once per capacity configuration.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EstimatorConfig
+from ..core.state import (FRAME_DIM, NCLOCK, POSE_DIM, TangentLayout,
+                          WindowState, layout_of, retract_window)
+from ..factors.inertial import imu_factor_batch, merge_preintegrations
+from ..factors.priors import MargPrior
+from ..factors.visual import projection_factor_batch, project_world_point
+from ..frontend.features import FeatureTable
+from ..frontend.triangulation import triangulate_landmarks
+from ..ops import lie
+from ..preintegration import ImuNoise, Preintegrated, preintegrate
+from ..solver import DoglegConfig, assemble, dogleg_solve, marginalize_dense
+
+
+def _stack_pre(pre_list):
+    return jax.tree.map(lambda *x: jnp.stack(x), *pre_list)
+
+
+def _all_pair_cam_points(p, q, tic, qic, landmarks, pbg):
+    """Camera-frame coords of every landmark in every frame: (NL, NF, 3)."""
+    return jax.vmap(lambda lm: jax.vmap(
+        lambda pf, qf: project_world_point(pf, qf, tic, qic, lm, pbg)
+    )(p, q))(landmarks)
+
+
+def _all_pair_depths(p, q, tic, qic, landmarks, pbg):
+    return _all_pair_cam_points(p, q, tic, qic, landmarks, pbg)[..., 2]
+
+
+class Estimator:
+    """VI / GNSS-VI sliding-window estimator (VI path in this milestone)."""
+
+    def __init__(self, cfg: EstimatorConfig):
+        self.cfg = cfg
+        self.lay = TangentLayout(nf=cfg.nf, nl=cfg.nl, nb=cfg.nb, nc=2)
+        self.x = WindowState.zeros(cfg.nf, cfg.nl, cfg.nb)
+        self.x = self.x._replace(tic=jnp.asarray(cfg.tic),
+                                 qic=jnp.asarray(cfg.qic))
+        self.features = FeatureTable(cfg.nl, cfg.nf)
+        self.frame_count = 0
+        self.frame_times: list[float] = []
+        self.initialized = False
+
+        # per-interval preintegrations (python list of device pytrees)
+        self.pre: list[Optional[Preintegrated]] = [None] * (cfg.nf - 1)
+
+        # IMU buffering
+        self._imu_t: list[float] = []
+        self._imu_acc: list[np.ndarray] = []
+        self._imu_gyr: list[np.ndarray] = []
+        self._init_acc: list[np.ndarray] = []
+        self._init_gyr: list[np.ndarray] = []
+
+        self.prior = MargPrior.empty(self.lay.dim, self.lay.dim, self.x)
+        self.g_world = jnp.asarray([0.0, 0.0, cfg.g])
+        self._pbg = jnp.asarray(cfg.pbg)
+
+        self._jit_cache: dict = {}
+        self.trajectory: list[tuple[float, np.ndarray, np.ndarray, np.ndarray]] = []
+
+    # ------------------------------------------------------------------
+    # inputs
+    # ------------------------------------------------------------------
+    def process_imu(self, t, acc, gyr):
+        self._imu_t.append(float(t))
+        self._imu_acc.append(np.asarray(acc, dtype=float))
+        self._imu_gyr.append(np.asarray(gyr, dtype=float))
+        if not self.initialized:
+            self._init_acc.append(np.asarray(acc, dtype=float))
+            self._init_gyr.append(np.asarray(gyr, dtype=float))
+
+    def process_image(self, t, ids, xys):
+        """One camera frame with tracked features (id, unit-plane xy)."""
+        if not self.initialized:
+            if len(self._init_acc) < self.cfg.average_imu:
+                return
+            self._initialize(t)
+        else:
+            self._add_frame(t)
+        fidx = self.frame_count - 1
+        self.features.add_frame(fidx, np.asarray(ids), np.asarray(xys))
+        self._triangulate_new()
+        if self.frame_count >= 3:
+            self._optimize()
+            self._reject_outliers()
+            self._sync_prior_with_features()
+        self._record(t)
+        if self.frame_count == self.cfg.nf:
+            keyframe = self.features.keyframe_decision(fidx)
+            if keyframe:
+                self._marginalize_oldest()
+            else:
+                self._drop_second_newest()
+            self._sync_prior_with_features()
+
+    # ------------------------------------------------------------------
+    # initialization (InitializePos semantics, rvi/swf/swf_imu.cpp:5-37:
+    # roll/pitch from mean specific force; yaw = 0 without mag)
+    # ------------------------------------------------------------------
+    def _initialize(self, t):
+        mean_acc = np.mean(self._init_acc, axis=0)
+        mean_gyr = np.mean(self._init_gyr, axis=0)
+        z_b = mean_acc / np.linalg.norm(mean_acc)   # body z measured in body
+        # rotation taking body z to world z (gravity-aligned), yaw-free
+        w_z = np.array([0.0, 0.0, 1.0])
+        v = np.cross(z_b, w_z)
+        c = float(z_b @ w_z)
+        if np.linalg.norm(v) < 1e-12:
+            q0 = np.array([1.0, 0, 0, 0])
+        else:
+            axis = v / np.linalg.norm(v)
+            ang = np.arctan2(np.linalg.norm(v), c)
+            q0 = np.asarray(lie.quat_exp(jnp.asarray(axis * ang)))
+        self.x = self.x._replace(
+            q=self.x.q.at[0].set(jnp.asarray(q0)),
+            bg=self.x.bg.at[0].set(jnp.asarray(mean_gyr)),
+        )
+        self.frame_count = 1
+        self.frame_times = [float(t)]
+        self._reset_imu_buffer()
+        self.initialized = True
+        self._build_initial_prior()
+
+    def _reset_imu_buffer(self):
+        """Keep the boundary sample so the next interval integrates from the
+        frame time (acc_0/gyr_0 seeding, as IntegrationBase's acc_0 carry —
+        integration_base.cpp:115-141; dropping it loses one dt of motion)."""
+        if self._imu_t:
+            self._imu_t = [self._imu_t[-1]]
+            self._imu_acc = [self._imu_acc[-1]]
+            self._imu_gyr = [self._imu_gyr[-1]]
+
+    def _build_initial_prior(self):
+        """Pin frame-0 pose/velocity/bias with the reference's bootstrap
+        weights (InitializeSqrtInfo, rvi/swf/swf_core.cpp:500-513, VI branch:
+        pos 2e2, att 2e2, vel 1e1, ba 1e1, bg 1e2)."""
+        lay = self.lay
+        J = np.zeros((lay.dim, lay.dim))
+        d = np.zeros(lay.dim)
+        i0 = lay.pose_idx(0)
+        d[i0:i0 + 3] = 2e2          # position
+        d[i0 + 3:i0 + 6] = 2e2      # attitude
+        s0 = lay.sb_idx(0)
+        d[s0:s0 + 3] = 1e1          # velocity
+        d[s0 + 3:s0 + 6] = 1e1      # ba
+        d[s0 + 6:s0 + 9] = 1e2      # bg
+        np.fill_diagonal(J, d)
+        self.prior = MargPrior(
+            J=jnp.asarray(J), r0=jnp.zeros(lay.dim),
+            x0=self.x, valid_rows=jnp.asarray(d > 0))
+
+    # ------------------------------------------------------------------
+    # frame insertion + IMU propagation
+    # ------------------------------------------------------------------
+    def _interval_arrays(self):
+        """Fixed-capacity (dts, accs, gyrs, valid) from the IMU buffer."""
+        cap = self.cfg.imu_capacity
+        n = min(len(self._imu_t), cap)
+        dts = np.zeros(cap)
+        accs = np.zeros((cap, 3))
+        gyrs = np.zeros((cap, 3))
+        valid = np.zeros(cap, dtype=bool)
+        ts = np.asarray(self._imu_t[:n])
+        dts[1:n] = np.diff(ts)
+        accs[:n] = np.asarray(self._imu_acc[:n])
+        gyrs[:n] = np.asarray(self._imu_gyr[:n])
+        valid[:n] = True
+        return (jnp.asarray(dts), jnp.asarray(accs), jnp.asarray(gyrs),
+                jnp.asarray(valid))
+
+    def _add_frame(self, t):
+        k = self.frame_count - 1       # interval index: frame k -> k+1
+        dts, accs, gyrs, valid = self._interval_arrays()
+        pre = self._jit(preintegrate, "preint")(
+            dts, accs, gyrs, valid, self.x.ba[k], self.x.bg[k],
+            self.cfg.imu_noise)
+        self.pre[k] = pre
+        # dead-reckoning prediction (IMUProcess propagation semantics)
+        p, q, v = self._predict(pre, k)
+        self.x = self.x._replace(
+            p=self.x.p.at[k + 1].set(p),
+            q=self.x.q.at[k + 1].set(q),
+            v=self.x.v.at[k + 1].set(v),
+            ba=self.x.ba.at[k + 1].set(self.x.ba[k]),
+            bg=self.x.bg.at[k + 1].set(self.x.bg[k]),
+        )
+        self.frame_count += 1
+        self.frame_times.append(float(t))
+        self._reset_imu_buffer()
+
+    def _predict(self, pre: Preintegrated, k):
+        dt = pre.sum_dt
+        q_i = self.x.q[k]
+        g = -self.g_world  # world gravity vector (z-down acceleration)
+        p = (self.x.p[k] + self.x.v[k] * dt
+             + 0.5 * g * dt * dt + lie.quat_rotate(q_i, pre.delta_p))
+        v = self.x.v[k] + g * dt + lie.quat_rotate(q_i, pre.delta_v)
+        q = lie.quat_normalize(lie.quat_mul(q_i, pre.delta_q))
+        return p, q, v
+
+    # ------------------------------------------------------------------
+    # frontend
+    # ------------------------------------------------------------------
+    def _triangulate_new(self):
+        ft = self.features
+        cand = ft.active & ~ft.solved & (ft.obs_mask.sum(axis=1) >= 2)
+        if not np.any(cand):
+            return
+        # parallax gate: max spread of observations
+        for slot in np.flatnonzero(cand):
+            frames = np.flatnonzero(ft.obs_mask[slot])
+            xy = ft.obs_xy[slot, frames]
+            if np.linalg.norm(xy.max(0) - xy.min(0)) < \
+               self.cfg.min_triangulation_parallax:
+                cand[slot] = False
+        if not np.any(cand):
+            return
+        # fixed shape: always triangulate ALL slots, mask selects real work
+        in_window = (np.arange(self.cfg.nf) < self.frame_count)[None, :]
+        obs_mask = ft.obs_mask & in_window & cand[:, None]
+        pts, ok = self._jit(triangulate_landmarks, "tri")(
+            self.x.p, self.x.q, self.x.tic[0], self.x.qic[0],
+            jnp.asarray(ft.obs_xy), jnp.asarray(obs_mask), self._pbg)
+        pts = np.asarray(pts)
+        ok = np.asarray(ok) & cand
+        if not np.any(ok):
+            return
+        # depth sanity: positive depth in every observing frame (batched)
+        depths = np.asarray(self._jit(_all_pair_depths, "depths")(
+            self.x.p, self.x.q, self.x.tic[0], self.x.qic[0],
+            jnp.asarray(pts), self._pbg))           # (NL, NF)
+        bad_depth = np.any((depths < 0.3) & obs_mask, axis=1)
+        good = ok & ~bad_depth
+        ft.point[good] = pts[good]
+        ft.solved[good] = True
+        lms = np.array(self.x.landmarks)
+        lms[good] = pts[good]
+        self.x = self.x._replace(landmarks=jnp.asarray(lms))
+
+    def _reject_outliers(self):
+        """ImagePostprocess semantics (rvi/swf/swf_image.cpp:255-308).
+
+        Fixed-shape: reprojection depths/errors for all (slot, frame) pairs
+        at once; masks pick the live observations.
+        """
+        ft = self.features
+        thresh = self.cfg.reproj_outlier_thresh
+        live = ft.obs_mask & ft.active[:, None] & ft.solved[:, None]
+        if not np.any(live):
+            return
+        pcs = np.asarray(self._jit(_all_pair_cam_points, "campts")(
+            self.x.p, self.x.q, self.x.tic[0], self.x.qic[0],
+            self.x.landmarks, self._pbg))           # (NL, NF, 3)
+        xy = pcs[..., :2] / np.maximum(pcs[..., 2:], 1e-6)
+        err = np.linalg.norm(xy - ft.obs_xy, axis=-1)
+        bad = live & ((err > thresh) | (pcs[..., 2] < 0.1))
+        ft.obs_mask[bad] = False
+        ft._prune()
+        # landmarks left with <2 obs can't stay solved
+        weak = ft.solved & (ft.obs_mask.sum(axis=1) < 2)
+        ft.solved[weak] = False
+
+    # ------------------------------------------------------------------
+    # optimization
+    # ------------------------------------------------------------------
+    def _factor_inputs(self):
+        cfg = self.cfg
+        pre_stack = _stack_pre([
+            self.pre[k] if self.pre[k] is not None else self._dummy_pre()
+            for k in range(cfg.nf - 1)])
+        pre_valid = jnp.asarray(np.array(
+            [self.pre[k] is not None and k + 1 < self.frame_count
+             for k in range(cfg.nf - 1)]))
+        f_ids, l_ids, xy, valid = self.features.observation_batch(cfg.max_obs)
+        # keep only frames inside the current window
+        valid = valid & (f_ids < self.frame_count)
+        return (pre_stack, pre_valid, jnp.asarray(f_ids), jnp.asarray(l_ids),
+                jnp.asarray(xy), jnp.asarray(valid))
+
+    def _dummy_pre(self):
+        cfg = self.cfg
+        eye = jnp.eye(15, dtype=jnp.float64)
+        return Preintegrated(
+            delta_p=jnp.zeros(3), delta_q=lie.quat_identity(),
+            delta_v=jnp.zeros(3), jacobian=eye,
+            covariance=eye * 1e-6, sum_dt=jnp.zeros(()),
+            linearized_ba=jnp.zeros(3), linearized_bg=jnp.zeros(3),
+            gyr_i=jnp.zeros(3), gyr_j=jnp.zeros(3))
+
+    def _free_mask(self):
+        lay = self.lay
+        m = np.zeros(lay.dim, dtype=bool)
+        fc = self.frame_count
+        for f in range(fc):
+            m[lay.pose_idx(f):lay.pose_idx(f) + FRAME_DIM] = True
+        act = self.features.active & self.features.solved
+        for slot in np.flatnonzero(act):
+            m[lay.lm_idx(slot):lay.lm_idx(slot) + 3] = True
+        if self.cfg.estimate_extrinsic:
+            m[lay.ext_off:lay.ext_off + 12] = True
+        return jnp.asarray(m)
+
+    def _optimize(self):
+        inputs = self._factor_inputs()
+        free = self._free_mask()
+        solve = self._jit_solve()
+        res = solve(self.x, self.prior, free, *inputs)
+        self.x = res.state
+        self.last_solve = res
+        # keep the host-side landmark mirror in sync for depth gating
+        solved = self.features.solved & self.features.active
+        self.features.point[solved] = np.asarray(res.state.landmarks)[solved]
+
+    def _jit_solve(self):
+        key = "solve"
+        if key not in self._jit_cache:
+            cfg = self.cfg
+            lay = self.lay
+            pbg, g_world = self._pbg, self.g_world
+
+            def eval_fn_factory(prior, pre_stack, pre_valid, f_ids, l_ids,
+                                xy, ovalid):
+                def eval_fn(state):
+                    b_imu = imu_factor_batch(state, pre_stack, pbg, g_world,
+                                             pre_valid)
+                    b_proj = projection_factor_batch(
+                        state, f_ids, jnp.zeros_like(f_ids), l_ids, xy,
+                        ovalid, pbg)
+                    H, g, cost = assemble([b_imu, b_proj], lay.dim)
+                    Hp, gp, cp = prior.hessian_contrib(state)
+                    return H + Hp, g + gp, cost + cp
+                return eval_fn
+
+            @jax.jit
+            def solve(state, prior, free, pre_stack, pre_valid, f_ids, l_ids,
+                      xy, ovalid):
+                eval_fn = eval_fn_factory(prior, pre_stack, pre_valid, f_ids,
+                                          l_ids, xy, ovalid)
+                return dogleg_solve(
+                    eval_fn, retract_window, state, free,
+                    DoglegConfig(max_iters=cfg.max_iters,
+                                 initial_radius=cfg.init_trust_radius))
+
+            self._jit_cache[key] = solve
+        return self._jit_cache[key]
+
+    # ------------------------------------------------------------------
+    # marginalization + slide
+    # ------------------------------------------------------------------
+    def _sync_prior_with_features(self):
+        """Marginalize dead landmark slots OUT of the prior.
+
+        A freed slot can be reused by a new feature; stale prior columns
+        would then constrain the new landmark against the old linearization
+        point (a huge bogus residual).  Equivalent to the reference freeing
+        the per-landmark parameter block on feature death
+        (FeatureManager::removeOut + problem bookkeeping).
+        """
+        lay = self.lay
+        Jnp = np.asarray(self.prior.J)
+        dead_cols = np.zeros(lay.dim, dtype=bool)
+        col_norm = np.abs(Jnp).sum(axis=0)
+        for slot in range(self.cfg.nl):
+            if not self.features.active[slot]:
+                c = lay.lm_idx(slot)
+                if col_norm[c:c + 3].sum() > 0:
+                    dead_cols[c:c + 3] = True
+        if not np.any(dead_cols):
+            return
+        H = self.prior.J.T @ self.prior.J
+        g = self.prior.J.T @ self.prior.r0
+        J0, r0 = self._jit(marginalize_dense, "prior_marg")(
+            H, g, jnp.asarray(dead_cols))
+        self.prior = self.prior._replace(
+            J=J0, r0=r0, valid_rows=jnp.ones(lay.dim, dtype=bool))
+
+    def _jit_marg(self):
+        key = "marg"
+        if key not in self._jit_cache:
+            lay = self.lay
+            pbg, g_world = self._pbg, self.g_world
+
+            @jax.jit
+            def marg(state, prior, marg_mask, pre_stack, pre_valid0, f_ids,
+                     l_ids, xy, ovalid):
+                """Marginalize with the Markov blanket of frame 0:
+                prior + IMU(0->1) + frame-0 projections.  ``pre_valid0``
+                masks every interval except 0."""
+                b_imu = imu_factor_batch(state, pre_stack, pbg, g_world,
+                                         pre_valid0)
+                b_proj = projection_factor_batch(
+                    state, f_ids, jnp.zeros_like(f_ids), l_ids, xy, ovalid,
+                    pbg)
+                H, g, cost = assemble([b_imu, b_proj], lay.dim)
+                Hp, gp, _ = prior.hessian_contrib(state)
+                return marginalize_dense(H + Hp, g + gp, marg_mask)
+
+            self._jit_cache[key] = marg
+        return self._jit_cache[key]
+
+    def _marginalize_oldest(self):
+        """MargImagOld flow (rvi/swf/swf.cpp:535-651 + GlobalMarge)."""
+        cfg, lay, ft = self.cfg, self.lay, self.features
+
+        # frame-0 projection observations (of solved landmarks)
+        lm, fr = np.nonzero(ft.obs_mask & ft.active[:, None]
+                            & ft.solved[:, None])
+        sel = fr == 0
+        nsel = int(sel.sum())
+        cap = cfg.max_obs
+        f_ids = np.zeros(cap, dtype=np.int32)
+        l_ids = np.zeros(cap, dtype=np.int32)
+        xy = np.zeros((cap, 2))
+        valid = np.zeros(cap, dtype=bool)
+        f_ids[:nsel] = 0
+        l_ids[:nsel] = lm[sel][:cap]
+        xy[:nsel] = ft.obs_xy[lm[sel][:cap], 0]
+        valid[:nsel] = True
+
+        marg_mask = np.zeros(lay.dim, dtype=bool)
+        marg_mask[lay.pose_idx(0):lay.pose_idx(0) + FRAME_DIM] = True
+        marg_mask[lay.clk_idx(0):lay.clk_idx(0) + NCLOCK] = True
+
+        pre_stack = _stack_pre([
+            self.pre[k] if self.pre[k] is not None else self._dummy_pre()
+            for k in range(cfg.nf - 1)])
+        pre_valid0 = jnp.asarray(
+            np.arange(cfg.nf - 1) == 0) & (self.pre[0] is not None)
+        J0, r0 = self._jit_marg()(
+            self.x, self.prior, jnp.asarray(marg_mask), pre_stack, pre_valid0,
+            jnp.asarray(f_ids), jnp.asarray(l_ids), jnp.asarray(xy),
+            jnp.asarray(valid))
+        self.prior = MargPrior(J=J0, r0=r0, x0=self.x,
+                               valid_rows=jnp.ones(lay.dim, dtype=bool))
+        self._shift_window(0)
+
+    def _drop_second_newest(self):
+        """MargImagSecondNew flow: discard the frame's observations, merge
+        its preintegrations (SlideWindowFrame, swf.cpp:239-295)."""
+        d = self.frame_count - 2
+        self.features.remove_frame(d, self.cfg.nf - 1)
+        merged = merge_preintegrations(self.pre[d - 1], self.pre[d])
+        self.pre[d - 1] = merged
+        # shift intervals left above d
+        for k in range(d, self.cfg.nf - 2):
+            self.pre[k] = self.pre[k + 1]
+        self.pre[self.cfg.nf - 2] = None
+        self._shift_state_only(d)
+
+    # ------------------------------------------------------------------
+    def _frame_perm(self, drop: int):
+        """Tangent permutation sending old index -> new after dropping frame
+        ``drop`` (frames above shift down; the freed last slot dies)."""
+        lay = self.lay
+        perm = np.arange(lay.dim)
+        for f in range(drop, lay.nf - 1):
+            src_p = lay.pose_idx(f + 1)
+            dst_p = lay.pose_idx(f)
+            perm[dst_p:dst_p + FRAME_DIM] = np.arange(src_p, src_p + FRAME_DIM)
+            src_c = lay.clk_idx(f + 1)
+            dst_c = lay.clk_idx(f)
+            perm[dst_c:dst_c + NCLOCK] = np.arange(src_c, src_c + NCLOCK)
+        return perm
+
+    def _shift_arrays(self, state: WindowState, drop: int) -> WindowState:
+        def sh(a):
+            a = np.asarray(a)
+            out = a.copy()
+            out[drop:-1] = a[drop + 1:]
+            return jnp.asarray(out)
+        return state._replace(p=sh(state.p), q=sh(state.q), v=sh(state.v),
+                              ba=sh(state.ba), bg=sh(state.bg),
+                              clk=sh(state.clk))
+
+    def _shift_window(self, drop: int):
+        """Shift state, prior and bookkeeping after marginalizing ``drop``."""
+        lay = self.lay
+        perm = self._frame_perm(drop)
+        # prior columns follow the moving states; freed last-frame slots get
+        # zero columns (no info)
+        J = np.asarray(self.prior.J)[:, perm]
+        last = lay.nf - 1
+        J[:, lay.pose_idx(last):lay.pose_idx(last) + FRAME_DIM] = 0.0
+        J[:, lay.clk_idx(last):lay.clk_idx(last) + NCLOCK] = 0.0
+        x0 = self._shift_arrays(self.prior.x0, drop)
+        self.prior = self.prior._replace(J=jnp.asarray(J), x0=x0)
+        self._shift_state_only(drop, shift_pre=True)
+
+    def _shift_state_only(self, drop: int, shift_pre: bool = False):
+        self.x = self._shift_arrays(self.x, drop)
+        if shift_pre:
+            for k in range(drop, self.cfg.nf - 2):
+                self.pre[k] = self.pre[k + 1]
+            self.pre[self.cfg.nf - 2] = None
+        self.features.remove_frame(drop, self.cfg.nf - 1) if shift_pre else None
+        del self.frame_times[drop]
+        self.frame_count -= 1
+        # prior x0 and current x now agree on frame indexing
+
+    # ------------------------------------------------------------------
+    def _record(self, t):
+        i = self.frame_count - 1
+        self.trajectory.append(
+            (float(t), np.asarray(self.x.p[i]), np.asarray(self.x.q[i]),
+             np.asarray(self.x.v[i])))
+
+    def _jit(self, fn, key):
+        if key not in self._jit_cache:
+            if key == "preint":
+                self._jit_cache[key] = jax.jit(fn, static_argnums=(6,))
+            else:
+                self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]

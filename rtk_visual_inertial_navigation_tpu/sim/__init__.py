@@ -1,0 +1,1 @@
+from .synthetic import SimConfig, SimData, simulate  # noqa: F401

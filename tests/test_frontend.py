@@ -1,0 +1,95 @@
+import jax.numpy as jnp
+import numpy as np
+
+from rtk_visual_inertial_navigation_tpu.frontend import (
+    FeatureTable, triangulate_dlt, triangulate_landmarks)
+from rtk_visual_inertial_navigation_tpu.models import (
+    EquidistantCamera, PinholeCamera, make_camera)
+from rtk_visual_inertial_navigation_tpu.ops import lie
+
+
+def test_pinhole_roundtrip():
+    cam = PinholeCamera(fx=460.0, fy=458.0, cx=376.0, cy=240.0,
+                        k1=-0.28, k2=0.07, p1=2e-4, p2=1.8e-5)
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(50, 3)) * np.array([2, 2, 0]) + np.array([0, 0, 6])
+    uv = cam.space_to_plane(jnp.asarray(pts))
+    rays = cam.lift_projective(uv)
+    np.testing.assert_allclose(np.asarray(rays[:, :2]),
+                               pts[:, :2] / pts[:, 2:], atol=1e-9)
+
+
+def test_equidistant_roundtrip():
+    cam = EquidistantCamera(mu=255.0, mv=255.4, u0=326.0, v0=238.0,
+                            k2=0.018, k3=0.005, k4=-0.002, k5=0.0005)
+    rng = np.random.default_rng(1)
+    pts = rng.normal(size=(50, 3)) * np.array([3, 3, 0]) + np.array([0, 0, 4])
+    uv = cam.space_to_plane(jnp.asarray(pts))
+    rays = cam.lift_projective(uv)
+    np.testing.assert_allclose(np.asarray(rays[:, :2]),
+                               pts[:, :2] / pts[:, 2:], atol=1e-8)
+
+
+def test_camera_factory():
+    assert isinstance(make_camera("PINHOLE", fx=1, fy=1, cx=0, cy=0),
+                      PinholeCamera)
+    assert isinstance(make_camera("equidistant", mu=1, mv=1, u0=0, v0=0),
+                      EquidistantCamera)
+
+
+def test_triangulation_exact():
+    rng = np.random.default_rng(2)
+    K = 5
+    p = rng.normal(size=(K, 3)) * 2
+    q = np.stack([np.asarray(lie.quat_exp(jnp.asarray(rng.normal(size=3) * 0.2)))
+                  for _ in range(K)])
+    lm = np.array([1.5, -0.7, 8.0])
+    tic = jnp.zeros(3)
+    qic = jnp.asarray([1.0, 0, 0, 0])
+    obs = np.zeros((K, 2))
+    for k in range(K):
+        R = np.asarray(lie.quat_to_rot(jnp.asarray(q[k])))
+        pc = R.T @ (lm - p[k])
+        obs[k] = pc[:2] / pc[2]
+    pt, ok = triangulate_dlt(jnp.asarray(p), jnp.asarray(q), tic, qic,
+                             jnp.asarray(obs), jnp.ones(K, bool),
+                             jnp.zeros(3))
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(pt), lm, atol=1e-8)
+
+
+def test_triangulation_masked_and_batched():
+    rng = np.random.default_rng(3)
+    K, L = 6, 4
+    p = rng.normal(size=(K, 3))
+    q = np.tile(np.array([1.0, 0, 0, 0]), (K, 1))
+    lms = rng.normal(size=(L, 3)) * 2 + np.array([0, 0, 10])
+    obs = np.zeros((L, K, 2))
+    mask = np.zeros((L, K), dtype=bool)
+    for li in range(L):
+        for k in range(K):
+            pc = lms[li] - p[k]
+            obs[li, k] = pc[:2] / pc[2]
+            mask[li, k] = k % 2 == 0  # only half the views
+    pts, ok = triangulate_landmarks(
+        jnp.asarray(p), jnp.asarray(q), jnp.zeros(3),
+        jnp.asarray([1.0, 0, 0, 0]), jnp.asarray(obs), jnp.asarray(mask),
+        jnp.zeros(3))
+    assert np.all(np.asarray(ok))
+    np.testing.assert_allclose(np.asarray(pts), lms, atol=1e-8)
+
+
+def test_feature_table_lifecycle():
+    ft = FeatureTable(capacity=8, num_frames=5)
+    ft.add_frame(0, np.array([10, 11, 12]), np.random.rand(3, 2))
+    tracked = ft.add_frame(1, np.array([10, 11, 13]), np.random.rand(3, 2))
+    assert tracked == 2
+    assert ft.active.sum() == 4
+    # drop frame 0 observations; feature 12 (only seen in frame 0) dies
+    ft.remove_frame(0, 4)
+    assert ft.active.sum() == 3
+    assert 12 not in ft._id_to_slot
+    # capacity exhaustion: new features beyond capacity are dropped
+    ft2 = FeatureTable(capacity=2, num_frames=3)
+    ft2.add_frame(0, np.arange(5), np.random.rand(5, 2))
+    assert ft2.active.sum() == 2

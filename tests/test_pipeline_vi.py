@@ -1,0 +1,67 @@
+"""Golden-trajectory integration test: VI-only mode on noiseless synthetic
+data (the framework's substitute for the reference's bag-replay acceptance
+test, SURVEY.md §4)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtk_visual_inertial_navigation_tpu.config import EstimatorConfig
+from rtk_visual_inertial_navigation_tpu.ops import lie
+from rtk_visual_inertial_navigation_tpu.pipeline import Estimator
+from rtk_visual_inertial_navigation_tpu.sim import SimConfig, simulate
+
+
+@pytest.fixture(scope="module")
+def sim():
+    return simulate(SimConfig(duration=10.0, imu_rate=200.0, cam_rate=4.0,
+                              n_landmarks=60, seed=0))
+
+
+def cfg_for(sim, **kw):
+    q_ic = np.asarray(lie.rot_to_quat(jnp.asarray(sim.cfg.r_ic)))
+    return EstimatorConfig(qic=np.tile(q_ic, (2, 1)),
+                           tic=np.tile(sim.cfg.t_ic, (2, 1)), **kw)
+
+
+def replay(sim, cfg):
+    est = Estimator(cfg)
+    cam_ptr = 0
+    ids = np.arange(sim.landmarks.shape[0])
+    for i, t in enumerate(sim.imu_t):
+        est.process_imu(t, sim.acc[i], sim.gyr[i])
+        if cam_ptr < len(sim.cam_idx) and sim.cam_idx[cam_ptr] == i:
+            vis = sim.obs_valid[cam_ptr]
+            est.process_image(t, ids[vis], sim.obs_xy[cam_ptr][vis])
+            cam_ptr += 1
+    return est
+
+
+def test_vi_golden_trajectory(sim):
+    cfg = cfg_for(sim, nf=8, nl=80, nb=1, max_obs=512,
+                  imu_capacity=64, average_imu=40)
+    est = replay(sim, cfg)
+    assert est.initialized
+    assert len(est.trajectory) > 20
+
+    # associate estimates to truth by time and compute ATE
+    errs = []
+    for (t, p, q, v) in est.trajectory:
+        i = np.argmin(np.abs(sim.imu_t - t))
+        errs.append(np.linalg.norm(p - sim.p[i]))
+    errs = np.asarray(errs)
+    # noiseless data, gauge anchored at the start: trajectory should track
+    # to centimeters over 10 s
+    assert errs[-1] < 0.05, f"final ATE {errs[-1]:.4f} m"
+    assert errs.max() < 0.10, f"max ATE {errs.max():.4f} m"
+
+
+def test_vi_velocity_and_gravity_consistency(sim):
+    cfg = cfg_for(sim, nf=8, nl=80, nb=1, max_obs=512,
+                  imu_capacity=64, average_imu=40)
+    est = replay(sim, cfg)
+    verrs = []
+    for (t, p, q, v) in est.trajectory[5:]:
+        i = np.argmin(np.abs(sim.imu_t - t))
+        verrs.append(np.linalg.norm(v - sim.v[i]))
+    assert np.max(verrs) < 0.1, f"max vel err {np.max(verrs):.4f} m/s"

@@ -1,0 +1,83 @@
+"""Self-consistency of the synthetic data generator: dead-reckoning the IMU
+stream must reproduce the analytic trajectory; GNSS observables must match
+their geometric definitions."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rtk_visual_inertial_navigation_tpu.geodesy import earth
+from rtk_visual_inertial_navigation_tpu.ops import lie
+from rtk_visual_inertial_navigation_tpu.preintegration import (ImuNoise,
+                                                               preintegrate)
+from rtk_visual_inertial_navigation_tpu.sim import SimConfig, simulate
+
+NOISE = ImuNoise(0.05, 0.005, 5e-4, 5e-5)
+
+
+def test_imu_consistency():
+    sim = simulate(SimConfig(duration=6.0, imu_rate=200.0, n_landmarks=10,
+                             n_sats=6))
+    # starts at rest
+    np.testing.assert_allclose(sim.v[0], 0, atol=1e-12)
+    np.testing.assert_allclose(sim.gyr[0], 0, atol=1e-12)
+    # preintegrate a window well after the ramp and compare with truth
+    i0, i1 = 900, 1100
+    S = i1 - i0 + 1
+    dts = jnp.asarray(np.concatenate([[0], np.diff(sim.imu_t[i0:i1 + 1])]))
+    pre = preintegrate(dts, jnp.asarray(sim.acc[i0:i1 + 1]),
+                       jnp.asarray(sim.gyr[i0:i1 + 1]),
+                       jnp.ones(S, bool), jnp.zeros(3), jnp.zeros(3), NOISE)
+    T = sim.imu_t[i1] - sim.imu_t[i0]
+    g = np.array([0, 0, -sim.cfg.g])
+    Ri = np.asarray(lie.quat_to_rot(jnp.asarray(sim.q[i0])))
+    dp_true = Ri.T @ (sim.p[i1] - sim.p[i0] - sim.v[i0] * T - 0.5 * g * T * T)
+    dv_true = Ri.T @ (sim.v[i1] - sim.v[i0] - g * T)
+    np.testing.assert_allclose(np.asarray(pre.delta_p), dp_true, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(pre.delta_v), dv_true, atol=2e-4)
+    dq_true = lie.quat_mul(lie.quat_conj(jnp.asarray(sim.q[i0])),
+                           jnp.asarray(sim.q[i1]))
+    np.testing.assert_allclose(np.abs(np.asarray(pre.delta_q) @ np.asarray(dq_true)),
+                               1.0, atol=1e-6)
+
+
+def test_projection_consistency():
+    sim = simulate(SimConfig(duration=4.0, imu_rate=100.0, n_landmarks=40,
+                             n_sats=4))
+    fi = len(sim.cam_idx) - 1
+    ni = sim.cam_idx[fi]
+    R = np.asarray(lie.quat_to_rot(jnp.asarray(sim.q[ni])))
+    assert sim.obs_valid[fi].sum() >= 3, "forward camera should see features"
+    for l in range(40):
+        if not sim.obs_valid[fi, l]:
+            continue
+        pc = sim.cfg.r_ic.T @ (R.T @ (sim.landmarks[l] - sim.p[ni])
+                               - sim.cfg.t_ic)
+        np.testing.assert_allclose(sim.obs_xy[fi, l], pc[:2] / pc[2],
+                                   atol=1e-12)
+
+
+def test_gnss_consistency():
+    sim = simulate(SimConfig(duration=3.0, imu_rate=100.0, gnss_rate=2.0,
+                             n_landmarks=5, n_sats=8))
+    ei = len(sim.gnss_t) - 1
+    ni = sim.gnss_idx[ei]
+    rr = sim.anchor_ecef + sim.enu_to_ecef @ sim.p[ni]
+    for s in range(8):
+        r, _ = earth.sagnac_range(jnp.asarray(rr), jnp.asarray(sim.sat_pos[ei, s]))
+        np.testing.assert_allclose(sim.pr[ei, s], float(r) + sim.clk[ei],
+                                   atol=1e-9)
+        cp_m = sim.cp_cycles[ei, s] * sim.wavelength[s]
+        np.testing.assert_allclose(
+            cp_m, float(r) + sim.clk[ei] + sim.ambiguities[s] * sim.wavelength[s],
+            atol=1e-9)
+        # RB-SD removes the clock entirely
+        rb, _ = earth.sagnac_range(jnp.asarray(sim.anchor_ecef),
+                                   jnp.asarray(sim.sat_pos[ei, s]))
+        np.testing.assert_allclose(sim.rtk_pr[ei, s], float(r) - float(rb),
+                                   atol=1e-9)
+    # satellites are above the horizon
+    for s in range(8):
+        llh = earth.ecef_to_geodetic(jnp.asarray(sim.anchor_ecef))
+        d = sim.sat_pos[0, s] - sim.anchor_ecef
+        azel = earth.sat_azel(llh, jnp.asarray(d / np.linalg.norm(d)))
+        assert float(azel[1]) > np.deg2rad(15)

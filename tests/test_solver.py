@@ -1,0 +1,126 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtk_visual_inertial_navigation_tpu.factors.base import FactorBatch
+from rtk_visual_inertial_navigation_tpu.solver import (
+    DoglegConfig, assemble, dogleg_solve, marginalize_dense)
+from rtk_visual_inertial_navigation_tpu.solver.gauss_newton import (
+    apply_free_mask, _dogleg_step)
+
+
+def quad_batch(A, b, gidx):
+    """Linear residual r = A x - b as a FactorBatch at x=0 (jac constant)."""
+    B, R, D = 1, A.shape[0], A.shape[1]
+    return FactorBatch(
+        res=(-b)[None, :], jac=A[None, :, :], gidx=gidx[None, :],
+        valid=jnp.ones((1,), bool))
+
+
+def test_assemble_matches_dense():
+    rng = np.random.default_rng(0)
+    D = 7
+    A = jnp.asarray(rng.normal(size=(5, 3)))
+    b = jnp.asarray(rng.normal(size=5))
+    gidx = jnp.asarray([1, 4, 6], dtype=jnp.int32)
+    H, g, cost = assemble([quad_batch(A, b, gidx)], D)
+    Hd = np.zeros((D, D))
+    gd = np.zeros(D)
+    idx = np.array([1, 4, 6])
+    Hd[np.ix_(idx, idx)] = np.asarray(A.T @ A)
+    gd[idx] = np.asarray(A.T @ (-b))
+    np.testing.assert_allclose(H, Hd, atol=1e-12)
+    np.testing.assert_allclose(g, gd, atol=1e-12)
+    np.testing.assert_allclose(cost, 0.5 * float(b @ b), atol=1e-12)
+
+
+def test_assemble_duplicate_indices_accumulate():
+    # two factors hitting the same slots must sum
+    A = jnp.asarray(np.eye(2))
+    b = jnp.asarray(np.ones(2))
+    gidx = jnp.asarray([0, 1], dtype=jnp.int32)
+    H, g, cost = assemble([quad_batch(A, b, gidx),
+                           quad_batch(2 * A, b, gidx)], 3)
+    np.testing.assert_allclose(np.diag(H)[:2], [5.0, 5.0], atol=1e-12)
+
+
+def test_dogleg_step_respects_radius():
+    rng = np.random.default_rng(1)
+    D = 6
+    A = rng.normal(size=(10, D))
+    H = jnp.asarray(A.T @ A + 0.1 * np.eye(D))
+    g = jnp.asarray(rng.normal(size=D))
+    for radius in [1e-3, 1e-1, 1e3]:
+        p = _dogleg_step(H, g, jnp.asarray(radius))
+        assert float(jnp.linalg.norm(p)) <= radius * (1 + 1e-9)
+    # big radius -> exact GN step
+    p = _dogleg_step(H, g, jnp.asarray(1e9))
+    np.testing.assert_allclose(p, -np.linalg.solve(np.asarray(H),
+                                                   np.asarray(g)), atol=1e-8)
+
+
+def test_dogleg_solves_nonlinear_least_squares():
+    """Rosenbrock-style residuals through the full dogleg loop."""
+    def residuals(x):
+        return jnp.stack([10.0 * (x[1] - x[0] ** 2), 1.0 - x[0]])
+
+    def eval_fn(x):
+        r = residuals(x)
+        J = jax.jacfwd(residuals)(x)
+        return J.T @ J, J.T @ r, 0.5 * jnp.sum(r * r)
+
+    x0 = jnp.asarray([-1.2, 1.0])
+    res = dogleg_solve(eval_fn, lambda x, dx: x + dx, x0,
+                       jnp.ones(2, bool), DoglegConfig(max_iters=60))
+    np.testing.assert_allclose(res.state, [1.0, 1.0], atol=1e-6)
+    assert float(res.cost) < 1e-12
+
+
+def test_free_mask_fixes_parameters():
+    rng = np.random.default_rng(2)
+    D = 5
+    A = rng.normal(size=(8, D))
+    H = jnp.asarray(A.T @ A)
+    g = jnp.asarray(rng.normal(size=D))
+    free = jnp.asarray([True, True, False, True, False])
+    Hm, gm, _ = apply_free_mask(H, g, free)
+    p = _dogleg_step(Hm, gm, jnp.asarray(1e9))
+    assert abs(float(p[2])) < 1e-12 and abs(float(p[4])) < 1e-12
+
+
+def test_marginalization_matches_direct_conditioning():
+    """On a linear-Gaussian problem, marginalizing x_m must give the same
+    posterior over x_k as solving the joint problem and reading off x_k."""
+    rng = np.random.default_rng(3)
+    D = 8
+    A = rng.normal(size=(20, D))
+    b = rng.normal(size=20)
+    H = jnp.asarray(A.T @ A)
+    g = jnp.asarray(A.T @ b)           # gradient of ½|Ax - b|² at x=0 is -Aᵀb
+    # solve joint: x* = H⁻¹ Aᵀ b
+    x_joint = np.linalg.solve(np.asarray(H), np.asarray(A.T @ b))
+
+    marg = np.zeros(D, dtype=bool)
+    marg[:3] = True
+    # prior over keep block from marginalization of  ½|Ax-b|² rewritten as
+    # ½ xᵀHx - gᵀ... careful with sign: use g = Aᵀ(A·0 - b) = -Aᵀb
+    J0, r0 = marginalize_dense(H, jnp.asarray(-A.T @ b), marg)
+    # minimize ½|r0 + J0 dx|² over keep slots
+    Hk = np.asarray(J0.T @ J0)
+    gk = np.asarray(J0.T @ r0)
+    keep = ~marg
+    xk = np.zeros(D)
+    xk[keep] = np.linalg.solve(Hk[np.ix_(keep, keep)], -gk[keep])
+    np.testing.assert_allclose(xk[keep], x_joint[3:], atol=1e-8)
+
+
+def test_marginalization_rank_deficient_safe():
+    # an unconstrained keep-slot must not blow up
+    H = jnp.asarray(np.diag([4.0, 1.0, 0.0]))
+    g = jnp.asarray([2.0, -1.0, 0.0])
+    marg = jnp.asarray([True, False, False])
+    J0, r0 = marginalize_dense(H, g, marg)
+    assert np.all(np.isfinite(np.asarray(J0)))
+    assert np.all(np.isfinite(np.asarray(r0)))
+    # slot 2 carries no information
+    np.testing.assert_allclose(np.asarray(J0)[:, 2], 0.0, atol=1e-12)
