@@ -1,0 +1,2 @@
+from .problems import VIWindowProblem, make_synthetic_windows  # noqa: F401
+from .mesh import batched_vi_solve, sharded_vi_solve  # noqa: F401

@@ -1,0 +1,98 @@
+"""Multi-chip execution: data-parallel windows × factor-parallel assembly.
+
+The reference is a single-process 4-thread CPU solver (SURVEY.md §2.12); the
+TPU replacement scales along two axes of a `jax.sharding.Mesh`:
+
+  - ``dp`` (window/data parallel): independent sliding windows — batched
+    multi-sequence replay — sharded across devices; zero communication.
+  - ``fp`` (factor parallel): within each window, the projection-factor
+    batch is sharded; each device scatter-adds its shard's JᵀJ into a local
+    dense Hessian and a ``psum`` over ``fp`` reduces them (the distributed
+    Schur-complement reduction of BASELINE.json).  The reduced solve is
+    replicated — it is tiny next to assembly.
+
+Implemented with ``shard_map`` so the collective placement is explicit; the
+dogleg loop lives inside, so every relinearization re-does the sharded
+assembly + psum.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.state import TangentLayout, retract_window
+from ..factors.inertial import imu_factor_batch
+from ..factors.priors import MargPrior
+from ..factors.visual import projection_factor_batch
+from ..solver import DoglegConfig, assemble, dogleg_solve
+from .problems import VIWindowProblem
+
+
+def _solve_one(prob: VIWindowProblem, lay: TangentLayout,
+               cfg: DoglegConfig, axis_name=None):
+    """Solve one window; if ``axis_name`` is set, the projection batch is a
+    local shard and H/g/cost are psum-reduced over that mesh axis."""
+    pbg = jnp.zeros(3, dtype=prob.state0.p.dtype)
+    g_world = jnp.asarray([0.0, 0.0, 9.81], dtype=prob.state0.p.dtype)
+    prior = MargPrior(J=prob.prior_J, r0=prob.prior_r0, x0=prob.prior_x0,
+                      valid_rows=jnp.ones(prob.prior_r0.shape, dtype=bool))
+
+    def eval_fn(state):
+        b_imu = imu_factor_batch(state, prob.pre, pbg, g_world,
+                                 prob.pre_valid)
+        b_proj = projection_factor_batch(
+            state, prob.f_ids, jnp.zeros_like(prob.f_ids), prob.l_ids,
+            prob.obs_xy, prob.obs_valid, pbg)
+        H, g, cost = assemble([b_proj], lay.dim)
+        if axis_name is not None:
+            # factor-parallel reduction: every fp-peer holds a shard of the
+            # projection factors; priors/IMU are added post-psum once.
+            H = jax.lax.psum(H, axis_name)
+            g = jax.lax.psum(g, axis_name)
+            cost = jax.lax.psum(cost, axis_name)
+        Hi, gi, ci = assemble([b_imu], lay.dim)
+        Hp, gp, cp = prior.hessian_contrib(state)
+        return H + Hi + Hp, g + gi + gp, cost + ci + cp
+
+    res = dogleg_solve(eval_fn, retract_window, prob.state0,
+                       prob.free_mask, cfg)
+    return res.state, res.cost, res.n_accepted
+
+
+def batched_vi_solve(probs: VIWindowProblem, lay: TangentLayout,
+                     cfg: DoglegConfig):
+    """vmap over the window batch (single device)."""
+    return jax.vmap(lambda p: _solve_one(p, lay, cfg))(probs)
+
+
+def sharded_vi_solve(mesh: Mesh, probs: VIWindowProblem, lay: TangentLayout,
+                     cfg: DoglegConfig):
+    """dp×fp sharded solve over a mesh with axes ("dp", "fp").
+
+    Window-batch arrays are sharded over dp; the observation axis of the
+    projection batch is additionally sharded over fp.
+    """
+    n_dp = mesh.shape["dp"]
+    n_fp = mesh.shape["fp"]
+
+    batch_spec = P("dp")
+    obs_spec = P("dp", "fp")
+
+    def spec_of(path_leaf):
+        return batch_spec
+
+    in_specs = jax.tree.map(lambda _: batch_spec, probs)
+    in_specs = in_specs._replace(
+        f_ids=obs_spec, l_ids=obs_spec, obs_xy=obs_spec, obs_valid=obs_spec)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(in_specs,),
+             out_specs=batch_spec, check_vma=False)
+    def run(local):
+        return jax.vmap(
+            lambda p: _solve_one(p, lay, cfg, axis_name="fp"))(local)
+
+    return run(probs)

@@ -1,0 +1,147 @@
+"""On-device synthesis of batched, self-consistent VI window problems.
+
+Used by the benchmark and the multi-chip dry run: B independent sliding
+windows are built entirely in JAX (no host loops) —
+
+  1. random IMU samples per interval are preintegrated (lax.scan, vmapped
+     over B×(NF-1) intervals);
+  2. window states are *constructed from* the preintegration deltas, so the
+     IMU factors are exactly consistent by construction;
+  3. landmarks are placed in front of the cameras and projected to create
+     consistent reprojection measurements;
+  4. the initial guess is a perturbation of the consistent state.
+
+This produces the same factor-graph shapes the real pipeline solves, with a
+landmark-free prior — which keeps the landmark block 3x3-block-diagonal and
+the DENSE_SCHUR group-0 elimination exact.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.state import FRAME_DIM, POSE_DIM, TangentLayout, WindowState
+from ..factors.priors import MargPrior
+from ..ops import lie
+from ..preintegration import ImuNoise, preintegrate
+
+IMU_NOISE = ImuNoise(0.05, 0.005, 5e-4, 5e-5)
+
+
+class VIWindowProblem(NamedTuple):
+    state0: WindowState      # initial guess (perturbed)
+    pre: object              # Preintegrated, leading dim NF-1
+    pre_valid: jnp.ndarray
+    f_ids: jnp.ndarray
+    l_ids: jnp.ndarray
+    obs_xy: jnp.ndarray
+    obs_valid: jnp.ndarray
+    prior_J: jnp.ndarray
+    prior_r0: jnp.ndarray
+    prior_x0: WindowState
+    free_mask: jnp.ndarray
+    truth: WindowState       # for accuracy checks
+
+
+def _make_one(key, nf: int, nl: int, nobs: int, n_samples: int,
+              dtype=jnp.float64):
+    lay = TangentLayout(nf=nf, nl=nl, nb=1, nc=2)
+    keys = jax.random.split(key, 10)
+    g_world = jnp.asarray([0.0, 0.0, 9.81], dtype)
+
+    # --- IMU streams: smooth random accelerations/rates per interval ---
+    dt = 0.25 / (n_samples - 1)
+    acc = 0.5 * jax.random.normal(keys[0], (nf - 1, 1, 3), dtype) \
+        + jnp.asarray([0.0, 0.0, 9.81])
+    gyr = 0.3 * jax.random.normal(keys[1], (nf - 1, 1, 3), dtype)
+    accs = jnp.broadcast_to(acc, (nf - 1, n_samples, 3))
+    gyrs = jnp.broadcast_to(gyr, (nf - 1, n_samples, 3))
+    dts = jnp.full((nf - 1, n_samples), dt, dtype)
+    valid = jnp.ones((nf - 1, n_samples), dtype=bool)
+    zeros3 = jnp.zeros((nf - 1, 3), dtype)
+    pre = jax.vmap(preintegrate, in_axes=(0, 0, 0, 0, 0, 0, None))(
+        dts, accs, gyrs, valid, zeros3, zeros3, IMU_NOISE)
+
+    # --- propagate consistent states from the deltas ---
+    def step(carry, pre_k):
+        p, q, v = carry
+        T = pre_k.sum_dt
+        g = -g_world
+        p1 = p + v * T + 0.5 * g * T * T + lie.quat_rotate(q, pre_k.delta_p)
+        v1 = v + g * T + lie.quat_rotate(q, pre_k.delta_v)
+        q1 = lie.quat_normalize(lie.quat_mul(q, pre_k.delta_q))
+        return (p1, q1, v1), (p1, q1, v1)
+
+    p0 = jnp.zeros(3, dtype)
+    q0 = lie.quat_identity(dtype=dtype)
+    v0 = 0.3 * jax.random.normal(keys[2], (3,), dtype)
+    (_, _, _), (ps, qs, vs) = jax.lax.scan(step, (p0, q0, v0), pre)
+    ps = jnp.concatenate([p0[None], ps])
+    qs = jnp.concatenate([q0[None], qs])
+    vs = jnp.concatenate([v0[None], vs])
+
+    truth = WindowState.zeros(nf, nl, 1, dtype=dtype)._replace(
+        p=ps, q=qs, v=vs)
+
+    # --- landmarks in front of the (identity-extrinsic) cameras ---
+    lm = jnp.stack([
+        jax.random.uniform(keys[3], (nl,), dtype, -6.0, 6.0),
+        jax.random.uniform(keys[4], (nl,), dtype, -4.0, 4.0),
+        jax.random.uniform(keys[5], (nl,), dtype, 8.0, 30.0),
+    ], axis=-1)
+    truth = truth._replace(landmarks=lm)
+
+    # --- observations: every (frame, landmark) pair, capped at nobs ---
+    f_ids = jnp.tile(jnp.arange(nf, dtype=jnp.int32), nl)[:nobs]
+    l_ids = jnp.repeat(jnp.arange(nl, dtype=jnp.int32), nf)[:nobs]
+
+    def project(f, l):
+        pc = lie.quat_rotate_inv(qs[f], lm[l] - ps[f])
+        return pc[0:2] / pc[2], pc[2] > 1.0
+
+    obs_xy, ok = jax.vmap(project)(f_ids, l_ids)
+    obs_valid = ok & (jnp.abs(obs_xy[:, 0]) < 2.0) & (jnp.abs(obs_xy[:, 1]) < 2.0)
+
+    # --- landmark-free diagonal prior pinning frame 0 (gauge) ---
+    prior_J = jnp.zeros((lay.dim, lay.dim), dtype)
+    dvec = jnp.zeros((lay.dim,), dtype)
+    i0 = lay.pose_idx(0)
+    s0 = lay.sb_idx(0)
+    dvec = dvec.at[i0:i0 + POSE_DIM].set(2e2)
+    dvec = dvec.at[s0:s0 + 9].set(1e1)
+    prior_J = prior_J + jnp.diag(dvec)
+
+    # --- perturbed initial guess (frame 0 stays at the prior) ---
+    pk = jax.random.split(keys[6], 4)
+    dp = 0.1 * jax.random.normal(pk[0], (nf, 3), dtype)
+    dth = 0.02 * jax.random.normal(pk[1], (nf, 3), dtype)
+    dv = 0.1 * jax.random.normal(pk[2], (nf, 3), dtype)
+    dlm = 0.3 * jax.random.normal(pk[3], (nl, 3), dtype)
+    mask0 = (jnp.arange(nf) > 0).astype(dtype)[:, None]
+    state0 = truth._replace(
+        p=truth.p + dp * mask0,
+        q=lie.quat_boxplus(truth.q, dth * mask0),
+        v=truth.v + dv * mask0,
+        landmarks=truth.landmarks + dlm,
+    )
+
+    free = jnp.zeros((lay.dim,), dtype=bool)
+    free = free.at[lay.lm_off:3 * nl].set(True)
+    free = free.at[lay.frame_off:lay.frame_off + FRAME_DIM * nf].set(True)
+
+    return VIWindowProblem(
+        state0=state0, pre=pre,
+        pre_valid=jnp.ones((nf - 1,), dtype=bool),
+        f_ids=f_ids, l_ids=l_ids, obs_xy=obs_xy, obs_valid=obs_valid,
+        prior_J=prior_J, prior_r0=jnp.zeros((lay.dim,), dtype),
+        prior_x0=truth, free_mask=free, truth=truth)
+
+
+def make_synthetic_windows(key, batch: int, nf: int = 8, nl: int = 64,
+                           nobs: int = 448, n_samples: int = 16,
+                           dtype=jnp.float64) -> VIWindowProblem:
+    keys = jax.random.split(key, batch)
+    return jax.vmap(lambda k: _make_one(k, nf, nl, nobs, n_samples, dtype))(keys)

@@ -363,6 +363,8 @@ class Estimator:
                       xy, ovalid):
                 eval_fn = eval_fn_factory(prior, pre_stack, pre_valid, f_ids,
                                           l_ids, xy, ovalid)
+                # dense path: the marginalization prior couples landmarks,
+                # so the block-diagonal Schur shortcut does not apply here
                 return dogleg_solve(
                     eval_fn, retract_window, state, free,
                     DoglegConfig(max_iters=cfg.max_iters,
@@ -426,27 +428,41 @@ class Estimator:
         return self._jit_cache[key]
 
     def _marginalize_oldest(self):
-        """MargImagOld flow (rvi/swf/swf.cpp:535-651 + GlobalMarge)."""
+        """MargImagOld flow (rvi/swf/swf.cpp:535-651 + GlobalMarge).
+
+        Full-information variant: the Markov blanket includes ALL frame-0
+        projection factors, so the resulting prior couples surviving
+        landmarks (like the reference's GlobalMarge prior over the blanket).
+        The pipeline therefore solves with the dense path (the prior's
+        landmark-landmark coupling breaks the 3x3-block-diagonal assumption
+        of the Schur group-0 elimination; the reference handles this by
+        ordering prior-connected features OUT of group 0 — a fixed-budget
+        version of that is a planned optimization).  Landmarks dying with
+        frame 0 are marginalized out entirely.
+        """
         cfg, lay, ft = self.cfg, self.lay, self.features
 
-        # frame-0 projection observations (of solved landmarks)
-        lm, fr = np.nonzero(ft.obs_mask & ft.active[:, None]
-                            & ft.solved[:, None])
+        live = ft.active & ft.solved
+        dying = (live & (ft.obs_mask[:, 1:self.frame_count].sum(axis=1) == 0)
+                 & ft.obs_mask[:, 0])
+        lm, fr = np.nonzero(ft.obs_mask & live[:, None])
         sel = fr == 0
-        nsel = int(sel.sum())
+        nsel = min(int(sel.sum()), cfg.max_obs)
         cap = cfg.max_obs
         f_ids = np.zeros(cap, dtype=np.int32)
         l_ids = np.zeros(cap, dtype=np.int32)
         xy = np.zeros((cap, 2))
         valid = np.zeros(cap, dtype=bool)
         f_ids[:nsel] = 0
-        l_ids[:nsel] = lm[sel][:cap]
-        xy[:nsel] = ft.obs_xy[lm[sel][:cap], 0]
+        l_ids[:nsel] = lm[sel][:nsel]
+        xy[:nsel] = ft.obs_xy[lm[sel][:nsel], 0]
         valid[:nsel] = True
 
         marg_mask = np.zeros(lay.dim, dtype=bool)
         marg_mask[lay.pose_idx(0):lay.pose_idx(0) + FRAME_DIM] = True
         marg_mask[lay.clk_idx(0):lay.clk_idx(0) + NCLOCK] = True
+        for slot in np.flatnonzero(dying):
+            marg_mask[lay.lm_idx(slot):lay.lm_idx(slot) + 3] = True
 
         pre_stack = _stack_pre([
             self.pre[k] if self.pre[k] is not None else self._dummy_pre()

@@ -62,6 +62,9 @@ class DoglegConfig(NamedTuple):
     max_radius: float = 1e15
     min_radius: float = 1e-12
     min_rel_decrease: float = 1e-3  # ceres dogleg accept threshold on rho
+    # number of leading landmark slots forming the 3x3-block-diagonal Schur
+    # group 0 (the classic DENSE_SCHUR elimination; 0 = plain dense solve)
+    schur_nl: int = 0
 
 
 class SolveResult(NamedTuple):
@@ -73,11 +76,46 @@ class SolveResult(NamedTuple):
     n_accepted: jnp.ndarray
 
 
-def _dogleg_step(H, g, radius):
+def _gn_step_dense(H, g):
+    L = jnp.linalg.cholesky(H)
+    return -jax.scipy.linalg.cho_solve((L, True), g)
+
+
+def _gn_step_schur(H, g, nl: int):
+    """Gauss-Newton step eliminating the leading 3x3-block-diagonal landmark
+    group first (DENSE_SCHUR semantics; group 0 of MyOrdering,
+    rvi/swf/swf_gnss.cpp:629-783).  Cost drops from O(D³) to
+    O(nl + D_r³ + nl·D_r²) — the single biggest win for BA-shaped problems.
+    """
+    n3 = 3 * nl
+    Hll = H[:n3, :n3].reshape(nl, 3, nl, 3)
+    idx = jnp.arange(nl)
+    Hll = Hll[idx, :, idx, :]                        # (nl,3,3)
+    Hlr = H[:n3, n3:]                                # (n3, Dr)
+    gl = g[:n3].reshape(nl, 3)
+    gr = g[n3:]
+
+    Hlr3 = Hlr.reshape(nl, 3, -1)                    # (nl,3,Dr)
+    Hll_inv = jnp.linalg.inv(Hll)                    # batched 3x3
+    HinvHlr = jnp.einsum("lij,ljk->lik", Hll_inv, Hlr3)
+    # Hrl Hll⁻¹ Hlr = Σ_l Hlr_lᵀ (Hll⁻¹ Hlr)_l
+    S = H[n3:, n3:] - jnp.einsum("lir,lik->rk", Hlr3, HinvHlr)
+    Hinv_gl = jnp.einsum("lij,lj->li", Hll_inv, gl)  # (nl,3)
+    rhs = gr - jnp.einsum("lir,li->r", Hlr3, Hinv_gl)
+    L = jnp.linalg.cholesky(S)
+    dr = -jax.scipy.linalg.cho_solve((L, True), rhs)
+    # back-substitute: dl = -Hll⁻¹ (gl + Hlr dr)
+    dl = -(Hinv_gl + jnp.einsum("lir,r->li", HinvHlr, dr))
+    return jnp.concatenate([dl.reshape(-1), dr])
+
+
+def _dogleg_step(H, g, radius, schur_nl: int = 0):
     """Powell dogleg step for min ½ pᵀHp + gᵀp s.t. |p| ≤ radius."""
     # Gauss-Newton step (H is regularized SPD by apply_free_mask)
-    L = jnp.linalg.cholesky(H)
-    p_gn = -jax.scipy.linalg.cho_solve((L, True), g)
+    if schur_nl > 0:
+        p_gn = _gn_step_schur(H, g, schur_nl)
+    else:
+        p_gn = _gn_step_dense(H, g)
     gn_norm = jnp.linalg.norm(p_gn)
 
     gHg = g @ (H @ g)
@@ -124,7 +162,7 @@ def dogleg_solve(eval_fn: Callable, retract_fn: Callable, state0,
     def body(_, carry: SolveResult):
         state, H, g, cost, radius, n_acc = carry
         Hm, gm, _ = apply_free_mask(H, g, free_mask)
-        p = _dogleg_step(Hm, gm, radius)
+        p = _dogleg_step(Hm, gm, radius, cfg.schur_nl)
         pred = -(gm @ p + 0.5 * p @ (Hm @ p))
         cand = retract_fn(state, p)
         Hc, gc, costc = eval_fn(cand)

@@ -124,3 +124,26 @@ def test_marginalization_rank_deficient_safe():
     assert np.all(np.isfinite(np.asarray(r0)))
     # slot 2 carries no information
     np.testing.assert_allclose(np.asarray(J0)[:, 2], 0.0, atol=1e-12)
+
+
+def test_schur_step_matches_dense():
+    from rtk_visual_inertial_navigation_tpu.solver.gauss_newton import (
+        _gn_step_dense, _gn_step_schur)
+    rng = np.random.default_rng(7)
+    nl, dr = 6, 11
+    D = 3 * nl + dr
+    # build an SPD H whose landmark block is 3x3-block-diagonal
+    A = rng.normal(size=(3 * D, D))
+    H = A.T @ A + 0.5 * np.eye(D)
+    n3 = 3 * nl
+    Hll = H[:n3, :n3].copy()
+    for i in range(nl):
+        for j in range(nl):
+            if i != j:
+                Hll[3 * i:3 * i + 3, 3 * j:3 * j + 3] = 0.0
+    H[:n3, :n3] = Hll
+    g = rng.normal(size=D)
+    p_dense = _gn_step_dense(jnp.asarray(H), jnp.asarray(g))
+    p_schur = _gn_step_schur(jnp.asarray(H), jnp.asarray(g), nl)
+    np.testing.assert_allclose(np.asarray(p_schur), np.asarray(p_dense),
+                               rtol=1e-9, atol=1e-9)
