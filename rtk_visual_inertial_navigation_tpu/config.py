@@ -64,5 +64,14 @@ class EstimatorConfig:
 
     # GNSS gating (swf.cpp:732-742: ≥8 healthy sats or drop epoch)
     min_sats_per_epoch: int = 8
+    # GNSS geometry anchor (base station / ANCHOR_POINT, yaml:95): local
+    # frame is ENU at this ECEF point; enu_to_ecef columns are E,N,U
+    anchor_ecef: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    enu_to_ecef: np.ndarray = field(default_factory=lambda: np.eye(3))
+    # per-kind GNSS factor capacities (rows across the whole window)
+    max_gnss_pr: int = 256
+    max_gnss_cp: int = 256
+    max_gnss_dopp: int = 256
+    initial_gnss_boost_epochs: int = 100
 
     dtype: str = "float64"

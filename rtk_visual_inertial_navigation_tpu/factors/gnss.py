@@ -1,0 +1,213 @@
+"""GNSS factors, batched over (epoch-frame, satellite, frequency) slots.
+
+Residual semantics follow rvi/factor/gnss_factor.cpp:
+  SppPseudorange  r = istd·(ρ + dt_sys − P)                  (cpp:9-39)
+  SppCarrierPhase r = istd·(ρ + dt_sys − N·λ − L·λ)          (cpp:45-80)
+  RTKCarrierPhase r = w·(ρ_sd − N·λ − L·λ + dtur)            (cpp:105-138)
+  RTKPseudorange  r = w·(ρ_sd − P + dtur)                    (cpp:140-168)
+  SppDoppler      r = istd·(ρ̇ + dṫ + D·λ)                    (cpp:174-212)
+  FixedInteger    r = istd·((N_j − N_datum) − n̄)             (cpp:85-96)
+with the RTK weight 1/√(varerr2) = 1/√(var/sin²el + (c·5e-12·Δt_br)²)
+(cpp:98-103).
+
+TPU-native precision model: all large constants are pre-reduced on the host
+in float64 (gnss/preprocess.py) —
+  ρ(x) = r0 + Δρ(x_e) + sag_loc(x_e),  x_e = R_e·p (ENU->ECEF of the local
+  state), Δρ via geodesy.reduced_range (cancellation-free), and the
+  measurement arrives as  z' = z − r0 − sag0  so the device only ever sees
+  O(km) numbers.  The clock/bias/ambiguity states are naturally small.
+
+Each factor batch row carries a frame id, clock-slot id, optional phase-bias
+slot id, the precomputed geometry (r0_unit, r0, sat constants), and the
+reduced measurement.  Jacobians via tangent-space jacfwd as everywhere else.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.state import NCLOCK, POSE_DIM, WindowState, layout_of
+from ..geodesy.earth import CLIGHT, OMGE
+from .base import FactorBatch, block_indices
+
+
+class GnssObsBatch(NamedTuple):
+    """Fixed-capacity per-observation arrays (host-precomputed, f64).
+
+    One row = one (epoch-frame, satellite, frequency) observation channel.
+    """
+
+    frame_ids: jnp.ndarray   # (B,) int32 window frame index
+    clk_slot: jnp.ndarray    # (B,) int32 clock slot within the frame [0,13)
+    drift_slot: jnp.ndarray  # (B,) int32 (doppler) clock-drift slot (12)
+    pb_slot: jnp.ndarray     # (B,) int32 phase-bias slot (carrier phase only)
+    r0_unit: jnp.ndarray     # (B,3) f64 unit(anchor - sat) in ECEF
+    r0: jnp.ndarray          # (B,)  f64 |anchor - sat| (+Sagnac folded out)
+    sat_xy: jnp.ndarray      # (B,2) sat x,y for the local Sagnac term
+    sat_vel: jnp.ndarray     # (B,3) sat velocity (doppler)
+    z: jnp.ndarray           # (B,) reduced measurement [m] (or [m/s])
+    wavelength: jnp.ndarray  # (B,) carrier wavelength [m]
+    weight: jnp.ndarray      # (B,) sqrt-information
+    valid: jnp.ndarray       # (B,) bool
+
+
+def _ecef_local(p_enu, R_e):
+    return jnp.einsum("ij,j->i", R_e, p_enu)
+
+
+def _rho_reduced(x_e, row: GnssObsBatch):
+    """Δρ(x) = ρ(anchor + x) − ρ(anchor): reduced range + local Sagnac."""
+    proj = jnp.sum(row.r0_unit * x_e)
+    x2 = jnp.sum(x_e * x_e)
+    t = 2.0 * proj + x2 / row.r0
+    delta = t / (1.0 + jnp.sqrt(jnp.maximum(1.0 + t / row.r0, 1e-12)))
+    sag = OMGE * (row.sat_xy[0] * x_e[1] - row.sat_xy[1] * x_e[0]) / CLIGHT
+    return delta + sag
+
+
+def spp_pseudorange_batch(state: WindowState, batch: GnssObsBatch,
+                          R_e) -> FactorBatch:
+    """r = w·(Δρ(x) + clk − z');  tangent = [pos3, clk1]."""
+    lay = layout_of(state)
+
+    def one(row: GnssObsBatch):
+        p = state.p[row.frame_ids]
+        clk = state.clk[row.frame_ids, row.clk_slot]
+
+        def res_fn(t):
+            x_e = _ecef_local(p + t[0:3], R_e)
+            return (row.weight * (_rho_reduced(x_e, row) + clk + t[3]
+                                  - row.z))[None]
+
+        zero = jnp.zeros((4,), dtype=p.dtype)
+        return res_fn(zero), jax.jacfwd(res_fn)(zero)
+
+    res, jac = jax.vmap(one)(batch)
+    gidx = jnp.concatenate([
+        block_indices(lay.pose_idx(batch.frame_ids), 3),
+        block_indices(lay.clk_idx(batch.frame_ids, batch.clk_slot), 1),
+    ], axis=-1)
+    m = batch.valid.astype(res.dtype)
+    return FactorBatch(res * m[:, None], jac * m[:, None, None], gidx,
+                       batch.valid)
+
+
+def spp_carrier_phase_batch(state: WindowState, batch: GnssObsBatch,
+                            R_e) -> FactorBatch:
+    """r = w·(Δρ(x) + clk − N·λ − z');  tangent = [pos3, clk1, N1]."""
+    lay = layout_of(state)
+
+    def one(row: GnssObsBatch):
+        p = state.p[row.frame_ids]
+        clk = state.clk[row.frame_ids, row.clk_slot]
+        N = state.phase_bias[row.pb_slot]
+
+        def res_fn(t):
+            x_e = _ecef_local(p + t[0:3], R_e)
+            return (row.weight * (_rho_reduced(x_e, row) + clk + t[3]
+                                  - (N + t[4]) * row.wavelength
+                                  - row.z))[None]
+
+        zero = jnp.zeros((5,), dtype=p.dtype)
+        return res_fn(zero), jax.jacfwd(res_fn)(zero)
+
+    res, jac = jax.vmap(one)(batch)
+    gidx = jnp.concatenate([
+        block_indices(lay.pose_idx(batch.frame_ids), 3),
+        block_indices(lay.clk_idx(batch.frame_ids, batch.clk_slot), 1),
+        block_indices(lay.pb_idx(batch.pb_slot), 1),
+    ], axis=-1)
+    m = batch.valid.astype(res.dtype)
+    return FactorBatch(res * m[:, None], jac * m[:, None, None], gidx,
+                       batch.valid)
+
+
+def rtk_pseudorange_batch(state: WindowState, batch: GnssObsBatch,
+                          R_e) -> FactorBatch:
+    """RB-SD: r = w·(Δρ(x) + dtur − z'); z' = P_sd − (r0_rover − r_base)
+    pre-reduced on host.  tangent = [pos3, dtur1]."""
+    return spp_pseudorange_batch(state, batch, R_e)
+
+
+def rtk_carrier_phase_batch(state: WindowState, batch: GnssObsBatch,
+                            R_e) -> FactorBatch:
+    """RB-SD phase: r = w·(Δρ(x) − N·λ + dtur − z'); same structure as the
+    SPP carrier phase (clock slot = dtur slot)."""
+    return spp_carrier_phase_batch(state, batch, R_e)
+
+
+def doppler_batch(state: WindowState, batch: GnssObsBatch, R_e) -> FactorBatch:
+    """r = w·(ê·(v − v_sat) + sag_rate + drift − z); tangent = [v3, drift1,
+    pos3].  LOS unit ê is taken at the precomputed geometry (position
+    dependence of ê is the (I − êêᵀ)/ρ term, tiny but kept via autodiff on
+    the reduced range, matching SppDopplerFactor cpp:174-212)."""
+    lay = layout_of(state)
+
+    def one(row: GnssObsBatch):
+        p = state.p[row.frame_ids]
+        v = state.v[row.frame_ids]
+        drift = state.clk[row.frame_ids, row.drift_slot]
+
+        def res_fn(t):
+            x_e = _ecef_local(p + t[4:7], R_e)
+            v_e = _ecef_local(v + t[0:3], R_e)
+            # LOS unit: (d0 + x)/|d0 + x| built from reduced pieces
+            num = row.r0_unit * row.r0 + x_e
+            delta = _rho_reduced(x_e, row)
+            e = num / (row.r0 + delta)
+            rel = v_e - row.sat_vel
+            rate = jnp.sum(e * rel)
+            sag = (OMGE / CLIGHT) * (
+                row.sat_vel[1] * x_e[0] + row.sat_xy[1] * v_e[0]
+                - row.sat_vel[0] * x_e[1] - row.sat_xy[0] * v_e[1])
+            return (row.weight * (rate + sag + drift + t[3] - row.z))[None]
+
+        zero = jnp.zeros((7,), dtype=p.dtype)
+        return res_fn(zero), jax.jacfwd(res_fn)(zero)
+
+    res, jac = jax.vmap(one)(batch)
+    gidx = jnp.concatenate([
+        block_indices(lay.sb_idx(batch.frame_ids), 3),
+        block_indices(lay.clk_idx(batch.frame_ids, batch.drift_slot), 1),
+        block_indices(lay.pose_idx(batch.frame_ids), 3),
+    ], axis=-1)
+    m = batch.valid.astype(res.dtype)
+    return FactorBatch(res * m[:, None], jac * m[:, None, None], gidx,
+                       batch.valid)
+
+
+class FixedIntegerBatch(NamedTuple):
+    pb_slot: jnp.ndarray    # (B,) the ambiguity being fixed
+    datum_slot: jnp.ndarray  # (B,) per-(sys,freq) datum ambiguity slot
+    n_fixed: jnp.ndarray    # (B,) fixed integer (difference to datum)
+    weight: jnp.ndarray     # (B,) 1/0.03 (gnss_factor.h:137)
+    valid: jnp.ndarray
+
+
+def fixed_integer_batch(state: WindowState,
+                        batch: FixedIntegerBatch) -> FactorBatch:
+    """r = w·((N_j − N_datum) − n̄); both are phase-bias slots."""
+    lay = layout_of(state)
+
+    def one(pb, datum, n_fixed, w):
+        Nj = state.phase_bias[pb]
+        Nd = state.phase_bias[datum]
+
+        def res_fn(t):
+            return (w * ((Nj + t[0]) - (Nd + t[1]) - n_fixed))[None]
+
+        zero = jnp.zeros((2,), dtype=state.phase_bias.dtype)
+        return res_fn(zero), jax.jacfwd(res_fn)(zero)
+
+    res, jac = jax.vmap(one)(batch.pb_slot, batch.datum_slot, batch.n_fixed,
+                             batch.weight)
+    gidx = jnp.concatenate([
+        block_indices(lay.pb_idx(batch.pb_slot), 1),
+        block_indices(lay.pb_idx(batch.datum_slot), 1),
+    ], axis=-1)
+    m = batch.valid.astype(res.dtype)
+    return FactorBatch(res * m[:, None], jac * m[:, None, None], gidx,
+                       batch.valid)

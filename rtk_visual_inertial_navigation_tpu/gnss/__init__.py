@@ -1,0 +1,5 @@
+from .preprocess import (  # noqa: F401
+    GnssEpoch,
+    GnssPreprocessor,
+    PhaseBiasTable,
+)

@@ -1,0 +1,289 @@
+"""Host-side GNSS preprocessing: epochs -> fixed-capacity factor arrays.
+
+Covers the semantics of SWFOptimization::GnssPreprocess
+(rvi/swf/swf_gnss.cpp:265-499) in TPU-native form:
+  - float64 pre-reduction of the large geometry (reference range r0 to the
+    anchor, base range for RB-SD, Sagnac constant) so device factors only
+    see O(km) values (see factors/gnss.py);
+  - phase-bias slot allocation per (sat, freq, kind) with cycle-slip and
+    staleness handling (PBtype semantics, common_function.h:58-70: slip
+    counters, continuity count, 10 s staleness at swf_gnss.cpp:297-330);
+  - elevation gating (AZELMIN = 25°) and epoch gating (≥ min sats,
+    swf.cpp:732-742);
+  - per-(sys,freq) textbook SPP weighting (swf_core.cpp:140-161) and the
+    RTK varerr2 weighting (gnss_factor.cpp:98-103).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..geodesy import earth
+from ..geodesy.earth import CLIGHT, OMGE
+
+AZELMIN = np.deg2rad(25.0)
+STALENESS_S = 10.0           # bias forgotten after 10 s unseen
+RTK_CLOCK_SLOT = 0           # base of RTK dtur slots [0..5]
+SPP_CLOCK_SLOT = 6           # base of SPP dtgps slots [6..11]
+DRIFT_SLOT = 12
+
+
+@dataclass
+class GnssEpoch:
+    """One preprocessed epoch (all arrays length S = #sats in view)."""
+
+    t: float
+    sat_id: np.ndarray        # (S,) unique satellite numbers
+    sys: np.ndarray           # (S,) 0/1/2
+    freq: np.ndarray          # (S,) frequency index
+    sat_pos: np.ndarray       # (S,3) ECEF
+    sat_vel: np.ndarray       # (S,3)
+    pr: np.ndarray            # (S,) rover pseudorange [m] (nan = missing)
+    cp: np.ndarray            # (S,) rover carrier phase [cycle]
+    dopp: np.ndarray          # (S,) doppler range-rate [m/s]
+    rtk_pr: np.ndarray        # (S,) RB-SD pseudorange [m]
+    rtk_cp: np.ndarray        # (S,) RB-SD carrier phase [cycle]
+    pr_std: np.ndarray        # (S,)
+    cp_std: np.ndarray        # (S,) [cycle]
+    dopp_std: np.ndarray      # (S,)
+    slip: np.ndarray          # (S,) bool receiver cycle-slip flag
+    br_time_diff: float = 1.0  # rover-base age [s] (RTK weighting)
+
+
+class PhaseBiasTable:
+    """Slot allocator for carrier-phase ambiguities (PBtype linked lists ->
+    fixed-capacity table)."""
+
+    KINDS = ("rtk", "spp")
+
+    def __init__(self, capacity: int):
+        self.nb = capacity
+        self.active = np.zeros(capacity, dtype=bool)
+        self.key: list[Optional[tuple]] = [None] * capacity
+        self.value = np.zeros(capacity)
+        self.continuity = np.zeros(capacity, dtype=np.int64)
+        self.last_seen = np.full(capacity, -np.inf)
+        self.sys = np.zeros(capacity, dtype=np.int64)
+        self.freq = np.zeros(capacity, dtype=np.int64)
+        self._map: dict[tuple, int] = {}
+
+    def lookup(self, kind: str, sat: int, freq: int, t: float,
+               slip: bool) -> tuple[int, bool]:
+        """Return (slot, is_new). Allocates on slip / staleness / first see.
+
+        is_new means the ambiguity value needs initialization from the
+        current measurement residual (swf_gnss.cpp:432-499 new-bias init).
+        """
+        k = (kind, int(sat), int(freq))
+        slot = self._map.get(k)
+        if slot is not None:
+            stale = (t - self.last_seen[slot]) > STALENESS_S
+            if slip or stale:
+                self._free(slot)
+                slot = None
+        if slot is None:
+            slot = self._alloc(k, t)
+            if slot < 0:
+                return -1, False
+            return slot, True
+        self.last_seen[slot] = t
+        self.continuity[slot] += 1
+        return slot, False
+
+    def _alloc(self, k, t) -> int:
+        free = np.flatnonzero(~self.active)
+        if len(free) == 0:
+            # evict the stalest slot
+            slot = int(np.argmin(self.last_seen))
+            self._free(slot)
+            free = np.flatnonzero(~self.active)
+            if len(free) == 0:
+                return -1
+        slot = int(free[0])
+        self.active[slot] = True
+        self.key[slot] = k
+        self.value[slot] = 0.0
+        self.continuity[slot] = 0
+        self.last_seen[slot] = t
+        self._map[k] = slot
+        return slot
+
+    def _free(self, slot: int):
+        k = self.key[slot]
+        if k is not None:
+            self._map.pop(k, None)
+        self.active[slot] = False
+        self.key[slot] = None
+
+    def prune_stale(self, t: float) -> np.ndarray:
+        """Free slots unseen for STALENESS_S; returns freed slot indices."""
+        stale = self.active & ((t - self.last_seen) > STALENESS_S)
+        for slot in np.flatnonzero(stale):
+            self._free(slot)
+        return np.flatnonzero(stale)
+
+
+def spp_pr_weight(el, pr_std, ion_var=0.0, trop_var=0.0, sat_var=0.0,
+                  boost: float = 1.0) -> np.ndarray:
+    """SPP pseudorange istd (swf_core.cpp:147-155):
+    sin²el / √(Pstd² + ion·0.125² + trop·0.7² + sat·0.35² + 1), ×10 for the
+    first 100 rover epochs ("higher istd ... so the states converge faster
+    under dogleg", swf_core.cpp:152-154)."""
+    sinel = np.sin(np.maximum(el, 0.05))
+    var = (pr_std ** 2 + ion_var * 0.125 ** 2 + trop_var * 0.7 ** 2
+           + sat_var * 0.35 ** 2 + 1.0)
+    return boost * sinel * sinel / np.sqrt(var)
+
+
+def spp_cp_weight(el, cp_std_m, ion_var=0.0, trop_var=0.0, sat_var=0.0
+                  ) -> np.ndarray:
+    """SPP carrier-phase istd (swf_core.cpp:163-169): sin²el / √((Lstd·λ)² +
+    iono/tropo/sat terms) — note: no +1, no startup boost."""
+    sinel = np.sin(np.maximum(el, 0.05))
+    var = (cp_std_m ** 2 + ion_var * 0.125 ** 2 + trop_var * 0.7 ** 2
+           + sat_var * 0.35 ** 2)
+    return sinel * sinel / np.sqrt(np.maximum(var, 1e-12))
+
+
+def doppler_weight(el, dopp_std_m) -> np.ndarray:
+    """Doppler istd = sin²el / (Dstd·λ) (swf_core.cpp:196-199); our
+    measurements are already in m/s so the std arrives in m/s."""
+    sinel = np.sin(np.maximum(el, 0.05))
+    return sinel * sinel / np.maximum(dopp_std_m, 1e-6)
+
+
+def rtk_weight(el: np.ndarray, mea_var: np.ndarray,
+               br_time_diff: float) -> np.ndarray:
+    """1/√varerr2 (gnss_factor.cpp:98-103)."""
+    b = CLIGHT * 5e-12 * br_time_diff
+    sinel = np.sin(np.maximum(el, 0.05))
+    return 1.0 / np.sqrt(mea_var / sinel ** 2 + b * b)
+
+
+@dataclass
+class PreparedEpoch:
+    """Factor-array slices for one epoch (to be scattered into the window's
+    fixed-capacity GnssObsBatch arrays by the estimator)."""
+
+    # rows share the layout of factors.gnss.GnssObsBatch minus frame id
+    kind: np.ndarray        # (N,) 0=spp_pr 1=spp_cp 2=rtk_pr 3=rtk_cp 4=dopp
+    clk_slot: np.ndarray
+    pb_slot: np.ndarray
+    r0_unit: np.ndarray
+    r0: np.ndarray
+    sat_xy: np.ndarray
+    sat_vel: np.ndarray
+    z: np.ndarray
+    wavelength: np.ndarray
+    weight: np.ndarray
+    new_bias: np.ndarray    # (N,) bool: pb_slot needs value initialization
+    n_usable: int           # healthy SPP sat count (epoch gating)
+
+
+class GnssPreprocessor:
+    """Converts raw epochs into device-ready factor rows."""
+
+    def __init__(self, anchor_ecef: np.ndarray, nb_capacity: int,
+                 use_rtk=False, use_rtd=False, use_spp_phase=False,
+                 use_doppler=True, initial_deweight_epochs: int = 100):
+        self.anchor = np.asarray(anchor_ecef, dtype=np.float64)
+        self.anchor_llh = np.asarray(earth.ecef_to_geodetic(self.anchor))
+        self.bias = PhaseBiasTable(nb_capacity)
+        self.use_rtk = use_rtk
+        self.use_rtd = use_rtd
+        self.use_spp_phase = use_spp_phase
+        self.use_doppler = use_doppler
+        self.epoch_count = 0
+        self.initial_deweight_epochs = initial_deweight_epochs
+
+    def prepare(self, ep: GnssEpoch) -> PreparedEpoch:
+        S = len(ep.sat_id)
+        d0 = self.anchor[None, :] - ep.sat_pos              # (S,3) f64
+        r0_plain = np.linalg.norm(d0, axis=-1)
+        r0_unit = d0 / r0_plain[:, None]
+        sag0 = OMGE * (ep.sat_pos[:, 0] * self.anchor[1]
+                       - ep.sat_pos[:, 1] * self.anchor[0]) / CLIGHT
+        r0 = r0_plain  # Sagnac handled additively: ρ = r0 + Δρ + sag0 + sag_loc
+        el = np.asarray(earth.sat_azel(
+            self.anchor_llh, -r0_unit))[..., 1]
+        lam = earth.WAVELENGTHS[np.clip(ep.sys, 0, 2), np.clip(ep.freq, 0, 1)]
+
+        vis = el >= AZELMIN
+        usable = vis & np.isfinite(ep.pr)
+        n_usable = int(usable.sum())
+        self.epoch_count += 1
+        boost = 10.0 if self.epoch_count <= self.initial_deweight_epochs \
+            else 1.0
+        have_base = self.use_rtk or self.use_rtd
+
+        rows = {k: [] for k in ("kind", "clk_slot", "pb_slot", "r0_unit",
+                                "r0", "sat_xy", "sat_vel", "z", "wavelength",
+                                "weight", "new_bias")}
+
+        def add(kind, clk, pb, i, z, w, new_bias=False):
+            rows["kind"].append(kind)
+            rows["clk_slot"].append(clk)
+            rows["pb_slot"].append(max(pb, 0))
+            rows["r0_unit"].append(r0_unit[i])
+            rows["r0"].append(r0[i])
+            rows["sat_xy"].append(ep.sat_pos[i, :2])
+            rows["sat_vel"].append(ep.sat_vel[i])
+            rows["z"].append(z)
+            rows["wavelength"].append(lam[i])
+            rows["weight"].append(w)
+            rows["new_bias"].append(new_bias)
+
+        for i in range(S):
+            if not vis[i]:
+                continue
+            sysf = int(ep.sys[i]) * 2 + int(ep.freq[i])
+            # --- SPP pseudorange: only without a base, frequency 0 only
+            # (swf_core.cpp:140-146: d->SPP_P[0], !have_base) ---
+            if (np.isfinite(ep.pr[i]) and not have_base
+                    and int(ep.freq[i]) == 0):
+                z = ep.pr[i] - r0[i] - sag0[i]
+                w = spp_pr_weight(el[i], ep.pr_std[i], boost=boost)
+                add(0, SPP_CLOCK_SLOT + sysf, -1, i, z, w)
+            # --- SPP carrier phase (f=0, swf_core.cpp:163-172) ---
+            if (self.use_spp_phase and np.isfinite(ep.cp[i])
+                    and int(ep.freq[i]) == 0):
+                slot, new = self.bias.lookup("spp", ep.sat_id[i], ep.freq[i],
+                                             ep.t, bool(ep.slip[i]))
+                if slot >= 0:
+                    z = ep.cp[i] * lam[i] - r0[i] - sag0[i]
+                    w = spp_cp_weight(el[i], ep.cp_std[i] * lam[i])
+                    add(1, SPP_CLOCK_SLOT + sysf, slot, i, z, w, new)
+            # --- RB-SD pseudorange (RTD, dual frequency) ---
+            if self.use_rtd and np.isfinite(ep.rtk_pr[i]):
+                # z' = P_sd − (r0_rover − r_base): base==anchor ⇒ r0−r_base=0
+                # (general base handled by passing true base ranges in)
+                z = ep.rtk_pr[i]
+                w = rtk_weight(np.asarray([el[i]]),
+                               np.asarray([ep.pr_std[i] ** 2]),
+                               ep.br_time_diff)[0]
+                add(2, RTK_CLOCK_SLOT + sysf, -1, i, z, w)
+            # --- RB-SD carrier phase (RTK, dual frequency) ---
+            if self.use_rtk and np.isfinite(ep.rtk_cp[i]):
+                slot, new = self.bias.lookup("rtk", ep.sat_id[i], ep.freq[i],
+                                             ep.t, bool(ep.slip[i]))
+                if slot >= 0:
+                    z = ep.rtk_cp[i] * lam[i]
+                    w = rtk_weight(np.asarray([el[i]]),
+                                   np.asarray([(ep.cp_std[i] * lam[i]) ** 2]),
+                                   ep.br_time_diff)[0]
+                    add(3, RTK_CLOCK_SLOT + sysf, slot, i, z, w, new)
+            # --- Doppler (f=0, swf_core.cpp:190-203) ---
+            if (self.use_doppler and np.isfinite(ep.dopp[i])
+                    and int(ep.freq[i]) == 0):
+                add(4, DRIFT_SLOT, -1, i, ep.dopp[i],
+                    doppler_weight(el[i], ep.dopp_std[i]))
+
+        out = {k: np.asarray(v) for k, v in rows.items()}
+        if len(out["kind"]) == 0:
+            out = {k: np.zeros((0, 3) if k in ("r0_unit", "sat_vel")
+                               else ((0, 2) if k == "sat_xy" else (0,)))
+                   for k in rows}
+        return PreparedEpoch(n_usable=n_usable, **out)

@@ -29,11 +29,15 @@ import numpy as np
 from ..config import EstimatorConfig
 from ..core.state import (FRAME_DIM, NCLOCK, POSE_DIM, TangentLayout,
                           WindowState, layout_of, retract_window)
+from ..factors.gnss import (GnssObsBatch, doppler_batch,
+                            rtk_carrier_phase_batch, rtk_pseudorange_batch,
+                            spp_carrier_phase_batch, spp_pseudorange_batch)
 from ..factors.inertial import imu_factor_batch, merge_preintegrations
 from ..factors.priors import MargPrior
 from ..factors.visual import projection_factor_batch, project_world_point
 from ..frontend.features import FeatureTable
 from ..frontend.triangulation import triangulate_landmarks
+from ..gnss.preprocess import GnssEpoch, GnssPreprocessor, PreparedEpoch
 from ..ops import lie
 from ..preintegration import ImuNoise, Preintegrated, preintegrate
 from ..solver import DoglegConfig, assemble, dogleg_solve, marginalize_dense
@@ -82,6 +86,18 @@ class Estimator:
         self.g_world = jnp.asarray([0.0, 0.0, cfg.g])
         self._pbg = jnp.asarray(cfg.pbg)
 
+        # GNSS: frame typing, per-frame prepared epochs, preprocessor
+        self.frame_is_gnss = np.zeros(cfg.nf, dtype=bool)
+        self.gnss_store: list[Optional[PreparedEpoch]] = [None] * cfg.nf
+        self._R_e = jnp.asarray(cfg.enu_to_ecef)
+        self.gnss: Optional[GnssPreprocessor] = None
+        if cfg.use_gnss:
+            self.gnss = GnssPreprocessor(
+                cfg.anchor_ecef, cfg.nb, use_rtk=cfg.use_rtk,
+                use_rtd=cfg.use_rtd, use_spp_phase=cfg.use_spp_phase,
+                use_doppler=cfg.use_doppler,
+                initial_deweight_epochs=cfg.initial_gnss_boost_epochs)
+
         self._jit_cache: dict = {}
         self.trajectory: list[tuple[float, np.ndarray, np.ndarray, np.ndarray]] = []
 
@@ -112,13 +128,66 @@ class Estimator:
             self._reject_outliers()
             self._sync_prior_with_features()
         self._record(t)
-        if self.frame_count == self.cfg.nf:
-            keyframe = self.features.keyframe_decision(fidx)
-            if keyframe:
-                self._marginalize_oldest()
-            else:
-                self._drop_second_newest()
+        self._maybe_slide()
+
+    def process_gnss(self, ep: GnssEpoch):
+        """One GNSS epoch as a first-class frame (InputGnss/GnssProcess
+        semantics, rvi/swf/swf_gnss.cpp:8-19,175-262; epoch gating at
+        swf.cpp:732-742)."""
+        if not self.initialized or self.gnss is None:
+            return
+        prep = self.gnss.prepare(ep)
+        if prep.n_usable < self.cfg.min_sats_per_epoch:
+            return
+        self._add_frame(ep.t)
+        fidx = self.frame_count - 1
+        self.frame_is_gnss[fidx] = True
+        self.gnss_store[fidx] = prep
+        self._init_new_biases(fidx, prep)
+        if self.frame_count >= 3:
+            self._optimize()
             self._sync_prior_with_features()
+        self._record(ep.t)
+        self._maybe_slide()
+
+    def _maybe_slide(self):
+        if self.frame_count < self.cfg.nf:
+            return
+        fidx = self.frame_count - 1
+        # drop-second-newest only when both newest frames are visual and the
+        # parallax test says non-keyframe; otherwise marginalize the oldest
+        # (the reference's GNSS frames always leave by marginalization /
+        # chain condensation, swf.cpp:535-651)
+        both_visual = (not self.frame_is_gnss[fidx]
+                       and not self.frame_is_gnss[fidx - 1])
+        if both_visual and not self.features.keyframe_decision(fidx):
+            self._drop_second_newest()
+        else:
+            self._marginalize_oldest()
+        self._sync_prior_with_features()
+
+    def _init_new_biases(self, fidx: int, prep: PreparedEpoch):
+        """Closed-form init of freshly-allocated ambiguities so their first
+        residual is ~0 (the reference runs a tiny 2-iteration solve instead,
+        swf_gnss.cpp:534-575)."""
+        if len(prep.kind) == 0 or not np.any(prep.new_bias):
+            return
+        p = np.asarray(self.x.p[fidx])
+        clk = np.asarray(self.x.clk[fidx])
+        x_e = np.asarray(self.cfg.enu_to_ecef) @ p
+        pb = np.array(self.x.phase_bias)
+        from ..geodesy.earth import CLIGHT, OMGE
+        for r in np.flatnonzero(prep.new_bias):
+            proj = float(prep.r0_unit[r] @ x_e)
+            t_ = 2.0 * proj + float(x_e @ x_e) / prep.r0[r]
+            delta = t_ / (1.0 + np.sqrt(max(1.0 + t_ / prep.r0[r], 1e-12)))
+            sag = OMGE * (prep.sat_xy[r, 0] * x_e[1]
+                          - prep.sat_xy[r, 1] * x_e[0]) / CLIGHT
+            rho = delta + sag
+            c = clk[prep.clk_slot[r]]
+            # residual = ρ + clk − N·λ − z  ⇒  N = (ρ + clk − z)/λ
+            pb[prep.pb_slot[r]] = (rho + c - prep.z[r]) / prep.wavelength[r]
+        self.x = self.x._replace(phase_bias=jnp.asarray(pb))
 
     # ------------------------------------------------------------------
     # initialization (InitializePos semantics, rvi/swf/swf_imu.cpp:5-37:
@@ -304,6 +373,62 @@ class Estimator:
         return (pre_stack, pre_valid, jnp.asarray(f_ids), jnp.asarray(l_ids),
                 jnp.asarray(xy), jnp.asarray(valid))
 
+    def _gnss_factor_inputs(self):
+        """Concatenate per-frame prepared epochs into three fixed-capacity
+        GnssObsBatch structures (pseudorange: SPP+RTD share a residual form;
+        carrier phase: SPP-CP+RTK likewise; doppler separate)."""
+        cfg = self.cfg
+        rows = []
+        for f in range(self.frame_count):
+            prep = self.gnss_store[f]
+            if prep is None or len(prep.kind) == 0:
+                continue
+            rows.append((f, prep))
+
+        def build(kinds, cap):
+            frame_ids = np.zeros(cap, dtype=np.int32)
+            clk = np.zeros(cap, dtype=np.int32)
+            drift = np.full(cap, 12, dtype=np.int32)
+            pbs = np.zeros(cap, dtype=np.int32)
+            r0u = np.tile(np.array([1.0, 0, 0]), (cap, 1))
+            r0 = np.full(cap, 2.6e7)
+            sxy = np.zeros((cap, 2))
+            svel = np.zeros((cap, 3))
+            z = np.zeros(cap)
+            lam = np.ones(cap)
+            w = np.zeros(cap)
+            valid = np.zeros(cap, dtype=bool)
+            n = 0
+            for f, prep in rows:
+                sel = np.isin(prep.kind, kinds)
+                k = min(int(sel.sum()), cap - n)
+                if k <= 0:
+                    continue
+                s = np.flatnonzero(sel)[:k]
+                frame_ids[n:n + k] = f
+                clk[n:n + k] = prep.clk_slot[s]
+                pbs[n:n + k] = prep.pb_slot[s]
+                r0u[n:n + k] = prep.r0_unit[s]
+                r0[n:n + k] = prep.r0[s]
+                sxy[n:n + k] = prep.sat_xy[s]
+                svel[n:n + k] = prep.sat_vel[s]
+                z[n:n + k] = prep.z[s]
+                lam[n:n + k] = prep.wavelength[s]
+                w[n:n + k] = prep.weight[s]
+                valid[n:n + k] = True
+                n += k
+            return GnssObsBatch(
+                frame_ids=jnp.asarray(frame_ids), clk_slot=jnp.asarray(clk),
+                drift_slot=jnp.asarray(drift), pb_slot=jnp.asarray(pbs),
+                r0_unit=jnp.asarray(r0u), r0=jnp.asarray(r0),
+                sat_xy=jnp.asarray(sxy), sat_vel=jnp.asarray(svel),
+                z=jnp.asarray(z), wavelength=jnp.asarray(lam),
+                weight=jnp.asarray(w), valid=jnp.asarray(valid))
+
+        return (build((0, 2), cfg.max_gnss_pr),
+                build((1, 3), cfg.max_gnss_cp),
+                build((4,), cfg.max_gnss_dopp))
+
     def _dummy_pre(self):
         cfg = self.cfg
         eye = jnp.eye(15, dtype=jnp.float64)
@@ -320,18 +445,24 @@ class Estimator:
         fc = self.frame_count
         for f in range(fc):
             m[lay.pose_idx(f):lay.pose_idx(f) + FRAME_DIM] = True
+            if self.frame_is_gnss[f]:
+                m[lay.clk_idx(f):lay.clk_idx(f) + NCLOCK] = True
         act = self.features.active & self.features.solved
         for slot in np.flatnonzero(act):
             m[lay.lm_idx(slot):lay.lm_idx(slot) + 3] = True
+        if self.gnss is not None:
+            for slot in np.flatnonzero(self.gnss.bias.active):
+                m[lay.pb_idx(slot)] = True
         if self.cfg.estimate_extrinsic:
             m[lay.ext_off:lay.ext_off + 12] = True
         return jnp.asarray(m)
 
     def _optimize(self):
         inputs = self._factor_inputs()
+        gnss_inputs = self._gnss_factor_inputs()
         free = self._free_mask()
         solve = self._jit_solve()
-        res = solve(self.x, self.prior, free, *inputs)
+        res = solve(self.x, self.prior, free, *inputs, *gnss_inputs)
         self.x = res.state
         self.last_solve = res
         # keep the host-side landmark mirror in sync for depth gating
@@ -345,24 +476,32 @@ class Estimator:
             lay = self.lay
             pbg, g_world = self._pbg, self.g_world
 
+            R_e = self._R_e
+
             def eval_fn_factory(prior, pre_stack, pre_valid, f_ids, l_ids,
-                                xy, ovalid):
+                                xy, ovalid, b_pr, b_cp, b_dopp):
                 def eval_fn(state):
-                    b_imu = imu_factor_batch(state, pre_stack, pbg, g_world,
-                                             pre_valid)
-                    b_proj = projection_factor_batch(
-                        state, f_ids, jnp.zeros_like(f_ids), l_ids, xy,
-                        ovalid, pbg)
-                    H, g, cost = assemble([b_imu, b_proj], lay.dim)
+                    batches = [
+                        imu_factor_batch(state, pre_stack, pbg, g_world,
+                                         pre_valid),
+                        projection_factor_batch(
+                            state, f_ids, jnp.zeros_like(f_ids), l_ids, xy,
+                            ovalid, pbg),
+                        spp_pseudorange_batch(state, b_pr, R_e),
+                        spp_carrier_phase_batch(state, b_cp, R_e),
+                        doppler_batch(state, b_dopp, R_e),
+                    ]
+                    H, g, cost = assemble(batches, lay.dim)
                     Hp, gp, cp = prior.hessian_contrib(state)
                     return H + Hp, g + gp, cost + cp
                 return eval_fn
 
             @jax.jit
             def solve(state, prior, free, pre_stack, pre_valid, f_ids, l_ids,
-                      xy, ovalid):
+                      xy, ovalid, b_pr, b_cp, b_dopp):
                 eval_fn = eval_fn_factory(prior, pre_stack, pre_valid, f_ids,
-                                          l_ids, xy, ovalid)
+                                          l_ids, xy, ovalid, b_pr, b_cp,
+                                          b_dopp)
                 # dense path: the marginalization prior couples landmarks,
                 # so the block-diagonal Schur shortcut does not apply here
                 return dogleg_solve(
@@ -394,6 +533,14 @@ class Estimator:
                 c = lay.lm_idx(slot)
                 if col_norm[c:c + 3].sum() > 0:
                     dead_cols[c:c + 3] = True
+        # same lifecycle for phase-bias slots (slip / staleness / eviction
+        # recycles them; stale prior columns would corrupt the new ambiguity)
+        if self.gnss is not None:
+            for slot in range(self.cfg.nb):
+                if not self.gnss.bias.active[slot]:
+                    c = lay.pb_idx(slot)
+                    if col_norm[c] > 0:
+                        dead_cols[c] = True
         if not np.any(dead_cols):
             return
         H = self.prior.J.T @ self.prior.J
@@ -409,18 +556,26 @@ class Estimator:
             lay = self.lay
             pbg, g_world = self._pbg, self.g_world
 
+            R_e = self._R_e
+
             @jax.jit
             def marg(state, prior, marg_mask, pre_stack, pre_valid0, f_ids,
-                     l_ids, xy, ovalid):
+                     l_ids, xy, ovalid, b_pr, b_cp, b_dopp):
                 """Marginalize with the Markov blanket of frame 0:
-                prior + IMU(0->1) + frame-0 projections.  ``pre_valid0``
-                masks every interval except 0."""
-                b_imu = imu_factor_batch(state, pre_stack, pbg, g_world,
-                                         pre_valid0)
-                b_proj = projection_factor_batch(
-                    state, f_ids, jnp.zeros_like(f_ids), l_ids, xy, ovalid,
-                    pbg)
-                H, g, cost = assemble([b_imu, b_proj], lay.dim)
+                prior + IMU(0->1) + frame-0 projections + frame-0 GNSS
+                factors.  ``pre_valid0`` masks every interval except 0; the
+                GNSS batches arrive with validity restricted to frame 0."""
+                batches = [
+                    imu_factor_batch(state, pre_stack, pbg, g_world,
+                                     pre_valid0),
+                    projection_factor_batch(
+                        state, f_ids, jnp.zeros_like(f_ids), l_ids, xy,
+                        ovalid, pbg),
+                    spp_pseudorange_batch(state, b_pr, R_e),
+                    spp_carrier_phase_batch(state, b_cp, R_e),
+                    doppler_batch(state, b_dopp, R_e),
+                ]
+                H, g, cost = assemble(batches, lay.dim)
                 Hp, gp, _ = prior.hessian_contrib(state)
                 return marginalize_dense(H + Hp, g + gp, marg_mask)
 
@@ -469,10 +624,12 @@ class Estimator:
             for k in range(cfg.nf - 1)])
         pre_valid0 = jnp.asarray(
             np.arange(cfg.nf - 1) == 0) & (self.pre[0] is not None)
+        b_pr, b_cp, b_dopp = self._gnss_factor_inputs()
+        only0 = lambda b: b._replace(valid=b.valid & (b.frame_ids == 0))
         J0, r0 = self._jit_marg()(
             self.x, self.prior, jnp.asarray(marg_mask), pre_stack, pre_valid0,
             jnp.asarray(f_ids), jnp.asarray(l_ids), jnp.asarray(xy),
-            jnp.asarray(valid))
+            jnp.asarray(valid), only0(b_pr), only0(b_cp), only0(b_dopp))
         self.prior = MargPrior(J=J0, r0=r0, x0=self.x,
                                valid_rows=jnp.ones(lay.dim, dtype=bool))
         self._shift_window(0)
@@ -535,7 +692,13 @@ class Estimator:
             for k in range(drop, self.cfg.nf - 2):
                 self.pre[k] = self.pre[k + 1]
             self.pre[self.cfg.nf - 2] = None
-        self.features.remove_frame(drop, self.cfg.nf - 1) if shift_pre else None
+            self.features.remove_frame(drop, self.cfg.nf - 1)
+        # frame-type and GNSS-store bookkeeping follow the same shift
+        self.frame_is_gnss[drop:-1] = self.frame_is_gnss[drop + 1:]
+        self.frame_is_gnss[-1] = False
+        self.gnss_store[drop:self.cfg.nf - 1] = \
+            self.gnss_store[drop + 1:self.cfg.nf]
+        self.gnss_store[self.cfg.nf - 1] = None
         del self.frame_times[drop]
         self.frame_count -= 1
         # prior x0 and current x now agree on frame indexing

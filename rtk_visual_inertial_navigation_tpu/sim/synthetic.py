@@ -149,6 +149,32 @@ def _trajectory(t, rng):
     return p, v, a, R, w_body
 
 
+def gnss_epoch_of(sim: "SimData", ei: int, pr_std=0.8, cp_std=0.01,
+                  dopp_std=0.1):
+    """Adapter: one SimData epoch -> gnss.preprocess.GnssEpoch."""
+    from ..gnss.preprocess import GnssEpoch
+
+    S = sim.cfg.n_sats
+    return GnssEpoch(
+        t=float(sim.gnss_t[ei]),
+        sat_id=np.arange(S),
+        sys=np.zeros(S, dtype=np.int64),
+        freq=np.zeros(S, dtype=np.int64),
+        sat_pos=sim.sat_pos[ei],
+        sat_vel=sim.sat_vel[ei],
+        pr=sim.pr[ei],
+        cp=sim.cp_cycles[ei],
+        dopp=sim.dopp[ei],
+        rtk_pr=sim.rtk_pr[ei],
+        rtk_cp=sim.rtk_cp[ei],
+        pr_std=np.full(S, pr_std),
+        cp_std=np.full(S, cp_std),
+        dopp_std=np.full(S, dopp_std),
+        slip=np.zeros(S, dtype=bool),
+        br_time_diff=1.0,
+    )
+
+
 def simulate(cfg: SimConfig) -> SimData:
     rng = np.random.default_rng(cfg.seed)
     n = int(cfg.duration * cfg.imu_rate) + 1
@@ -259,12 +285,15 @@ def simulate(cfg: SimConfig) -> SimData:
             rate, _ = earth.range_rate(
                 jnp.asarray(rr_ecef), jnp.asarray(sat_pos[ei, s]),
                 jnp.asarray(vr_ecef), jnp.asarray(sat_vel[ei, s]))
+            # carrier-phase sign convention follows the reference residual
+            # ρ + dt − N·λ − L·λ = 0 (gnss_factor.cpp:57,119): the ambiguity
+            # enters the modeled phase with a MINUS sign.
             pr[ei, s] = r + clk[ei] + rng.normal(0, cfg.pr_noise)
-            cp_cycles[ei, s] = ((r + clk[ei]) / lam[s] + ambiguities[s]
+            cp_cycles[ei, s] = ((r + clk[ei]) / lam[s] - ambiguities[s]
                                 + rng.normal(0, cfg.cp_noise))
             dopp[ei, s] = float(rate) + cfg.clk_drift + rng.normal(0, cfg.dop_noise)
             rtk_pr[ei, s] = r - rb + rng.normal(0, cfg.pr_noise * 0.5)
-            rtk_cp[ei, s] = ((r - rb) / lam[s] + rtk_ambiguities[s]
+            rtk_cp[ei, s] = ((r - rb) / lam[s] - rtk_ambiguities[s]
                              + rng.normal(0, cfg.cp_noise * 0.5))
 
     return SimData(

@@ -76,6 +76,28 @@ class SolveResult(NamedTuple):
     n_accepted: jnp.ndarray
 
 
+def inv33(M):
+    """Closed-form batched 3x3 inverse (adjugate/det).
+
+    TPU's LuDecomposition has no f64 path, and for 3x3 blocks the closed
+    form is faster on any backend (matinv33 analog, common_function.cpp).
+    """
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g_, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g_)
+    C = d * h - e * g_
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-300, 1.0, det)
+    adj = jnp.stack([
+        A, -(b * i - c * h), (b * f - c * e),
+        B, (a * i - c * g_), -(a * f - c * d),
+        C, -(a * h - b * g_), (a * e - b * d),
+    ], axis=-1).reshape(M.shape)
+    return adj * inv_det[..., None, None]
+
+
 def _gn_step_dense(H, g):
     L = jnp.linalg.cholesky(H)
     return -jax.scipy.linalg.cho_solve((L, True), g)
@@ -96,7 +118,7 @@ def _gn_step_schur(H, g, nl: int):
     gr = g[n3:]
 
     Hlr3 = Hlr.reshape(nl, 3, -1)                    # (nl,3,Dr)
-    Hll_inv = jnp.linalg.inv(Hll)                    # batched 3x3
+    Hll_inv = inv33(Hll)                             # batched closed-form 3x3
     HinvHlr = jnp.einsum("lij,ljk->lik", Hll_inv, Hlr3)
     # Hrl Hll⁻¹ Hlr = Σ_l Hlr_lᵀ (Hll⁻¹ Hlr)_l
     S = H[n3:, n3:] - jnp.einsum("lir,lik->rk", Hlr3, HinvHlr)

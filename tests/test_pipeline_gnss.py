@@ -1,0 +1,105 @@
+"""SPP-VI golden test: GNSS epochs as first-class frames interleaved with
+visual frames; absolute position must lock to the ENU truth (unlike VI-only,
+which drifts)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtk_visual_inertial_navigation_tpu.config import EstimatorConfig
+from rtk_visual_inertial_navigation_tpu.ops import lie
+from rtk_visual_inertial_navigation_tpu.pipeline import Estimator
+from rtk_visual_inertial_navigation_tpu.sim import SimConfig, simulate
+from rtk_visual_inertial_navigation_tpu.sim.synthetic import gnss_epoch_of
+
+
+@pytest.fixture(scope="module")
+def sim():
+    return simulate(SimConfig(duration=10.0, imu_rate=200.0, cam_rate=2.0,
+                              gnss_rate=2.0, n_landmarks=60, n_sats=10,
+                              seed=0))
+
+
+def replay(sim, cfg):
+    est = Estimator(cfg)
+    ids = np.arange(sim.landmarks.shape[0])
+    cam_ptr, g_ptr = 0, 0
+    for i, t in enumerate(sim.imu_t):
+        est.process_imu(t, sim.acc[i], sim.gyr[i])
+        if g_ptr < len(sim.gnss_idx) and sim.gnss_idx[g_ptr] == i:
+            est.process_gnss(gnss_epoch_of(sim, g_ptr))
+            g_ptr += 1
+        if cam_ptr < len(sim.cam_idx) and sim.cam_idx[cam_ptr] == i:
+            vis = sim.obs_valid[cam_ptr]
+            est.process_image(t, ids[vis], sim.obs_xy[cam_ptr][vis])
+            cam_ptr += 1
+    return est
+
+
+def spp_cfg(sim, **kw):
+    q_ic = np.asarray(lie.rot_to_quat(jnp.asarray(sim.cfg.r_ic)))
+    return EstimatorConfig(
+        nf=10, nl=80, nb=32, max_obs=400, imu_capacity=128, average_imu=40,
+        qic=np.tile(q_ic, (2, 1)), tic=np.tile(sim.cfg.t_ic, (2, 1)),
+        use_gnss=True, use_doppler=True,
+        anchor_ecef=sim.anchor_ecef, enu_to_ecef=sim.enu_to_ecef,
+        max_gnss_pr=160, max_gnss_cp=160, max_gnss_dopp=160,
+        min_sats_per_epoch=6, initial_gnss_boost_epochs=5, **kw)
+
+
+def test_spp_vi_locks_to_truth(sim):
+    est = replay(sim, spp_cfg(sim))
+    assert est.initialized
+    errs, clk_errs = [], []
+    for (t, p, q, v) in est.trajectory:
+        i = np.argmin(np.abs(sim.imu_t - t))
+        errs.append(np.linalg.norm(p - sim.p[i]))
+    errs = np.asarray(errs)
+    # noiseless pseudorange + doppler: absolute ENU position should be
+    # centimeter-level once GNSS kicks in
+    assert errs[len(errs) // 2:].max() < 0.05, errs.max()
+
+    # the estimated receiver clock should match the simulated one
+    fc = est.frame_count
+    gframes = [f for f in range(fc) if est.frame_is_gnss[f]]
+    assert gframes, "window should contain GNSS frames"
+    f = gframes[-1]
+    t_f = est.frame_times[f]
+    ei = np.argmin(np.abs(sim.gnss_t - t_f))
+    clk_est = float(np.asarray(est.x.clk[f, 6]))  # GPS f0 SPP slot
+    assert abs(clk_est - sim.clk[ei]) < 0.05, (clk_est, sim.clk[ei])
+    drift_est = float(np.asarray(est.x.clk[f, 12]))
+    assert abs(drift_est - sim.clk_drift) < 0.05, drift_est
+
+
+def test_spp_cp_vi_mode(sim):
+    """SPP + carrier phase: float ambiguities estimated per (sat,freq)."""
+    est = replay(sim, spp_cfg(sim, use_spp_phase=True))
+    errs = []
+    for (t, p, q, v) in est.trajectory:
+        i = np.argmin(np.abs(sim.imu_t - t))
+        errs.append(np.linalg.norm(p - sim.p[i]))
+    errs = np.asarray(errs)
+    assert errs[len(errs) // 2:].max() < 0.05, errs.max()
+    # some ambiguities must be active and near-integer-consistent:
+    # N_est - N_true should be the same constant across sats (absorbed by
+    # clock); check pairwise differences match truth differences
+    bias = est.gnss.bias
+    slots = [s for s in range(est.cfg.nb)
+             if bias.active[s] and bias.key[s][0] == "spp"]
+    assert len(slots) >= 4
+    est_N = np.asarray(est.x.phase_bias)[slots]
+    true_N = np.asarray([sim.ambiguities[bias.key[s][1]] for s in slots])
+    d = est_N - true_N
+    assert np.std(d) < 0.05, f"ambiguity spread {np.std(d):.3f} cycles"
+
+
+def test_rtd_vi_mode(sim):
+    """RTD: RB-SD pseudorange replaces SPP pseudorange."""
+    est = replay(sim, spp_cfg(sim, use_rtd=True))
+    errs = []
+    for (t, p, q, v) in est.trajectory:
+        i = np.argmin(np.abs(sim.imu_t - t))
+        errs.append(np.linalg.norm(p - sim.p[i]))
+    errs = np.asarray(errs)
+    assert errs[len(errs) // 2:].max() < 0.05, errs.max()

@@ -68,7 +68,7 @@ def test_gnss_consistency():
                                    atol=1e-9)
         cp_m = sim.cp_cycles[ei, s] * sim.wavelength[s]
         np.testing.assert_allclose(
-            cp_m, float(r) + sim.clk[ei] + sim.ambiguities[s] * sim.wavelength[s],
+            cp_m, float(r) + sim.clk[ei] - sim.ambiguities[s] * sim.wavelength[s],
             atol=1e-9)
         # RB-SD removes the clock entirely
         rb, _ = earth.sagnac_range(jnp.asarray(sim.anchor_ecef),
