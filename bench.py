@@ -34,8 +34,9 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    if not args.f32:
-        jax.config.update("jax_enable_x64", True)
+    # x64 always on: problem synthesis/whitening happens in f64 and is cast
+    # down for the f32 solve (see parallel.problems.make_synthetic_windows)
+    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     from rtk_visual_inertial_navigation_tpu.core.state import TangentLayout
@@ -64,6 +65,7 @@ def main():
     perr = np.linalg.norm(
         np.asarray(state.p) - np.asarray(probs.truth.p), axis=-1)
     med_err = float(perr[:, 1:].max())
+    frac_bad = float((perr[:, 1:].max(axis=1) > 0.01).mean())
 
     reps = 2 if args.smoke else args.reps
     t0 = time.time()
@@ -80,6 +82,7 @@ def main():
         "vs_baseline": round(updates_per_s / 25.0, 2),
         "batch": B,
         "max_pos_err_m": round(med_err, 6),
+        "frac_windows_err_gt_1cm": round(frac_bad, 4),
         "backend": jax.default_backend(),
         "dtype": str(dtype.__name__),
     }

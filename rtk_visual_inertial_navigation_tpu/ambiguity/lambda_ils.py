@@ -1,0 +1,168 @@
+"""Integer least-squares (LAMBDA / MLAMBDA) for ambiguity resolution.
+
+Fresh implementation of the published algorithm (Teunissen 1995 LAMBDA
+decorrelation; Chang-Yang-Zhou 2005 MLAMBDA search) with the same
+input/output contract as the reference's RTKLIB-derived `lambda()`
+(rvi/gnss/src/lambda.cpp:204-235): given float ambiguities ``a`` (n,) and
+covariance ``Q`` (n,n), return the ``m`` best integer candidates and their
+squared norms  (a−ǎ)ᵀQ⁻¹(a−ǎ).
+
+Problem sizes are tiny (n ≤ ~30) and the search is branch-heavy, so this
+runs on the host in numpy — it is orchestration around the TPU compute path,
+not part of it.  The solver exports the ambiguity covariance (SURVEY.md
+§2.9's tail-block covariance) and this module consumes it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def ld_factorization(Q: np.ndarray):
+    """Q = Lᵀ·diag(D)·L with unit lower-triangular L (lambda.cpp:58-76)."""
+    n = Q.shape[0]
+    A = Q.astype(float).copy()
+    L = np.zeros((n, n))
+    D = np.zeros(n)
+    for i in range(n - 1, -1, -1):
+        D[i] = A[i, i]
+        if D[i] <= 0.0:
+            raise np.linalg.LinAlgError("LD factorization: Q not PD")
+        a = np.sqrt(D[i])
+        L[i, : i + 1] = A[i, : i + 1] / a
+        for j in range(i):
+            A[j, : j + 1] -= L[i, : j + 1] * L[i, j]
+        L[i, : i + 1] /= L[i, i]
+    return L, D
+
+
+def _gauss(L, Z, i, j):
+    mu = round(L[i, j])
+    if mu != 0:
+        L[i:, j] -= mu * L[i:, i]
+        Z[:, j] -= mu * Z[:, i]
+
+
+def _perm(L, D, j, delta, Z):
+    n = L.shape[0]
+    eta = D[j] / delta
+    lam = D[j + 1] * L[j + 1, j] / delta
+    D[j] = eta * D[j + 1]
+    D[j + 1] = delta
+    a0 = L[j, :j].copy()
+    a1 = L[j + 1, :j].copy()
+    L[j, :j] = -L[j + 1, j] * a0 + a1
+    L[j + 1, :j] = eta * a0 + lam * a1
+    L[j + 1, j] = lam
+    L[j + 2:, [j, j + 1]] = L[j + 2:, [j + 1, j]]
+    Z[:, [j, j + 1]] = Z[:, [j + 1, j]]
+
+
+def lambda_reduction(L, D):
+    """LLL-style decorrelation; returns (L', D', Z) with Qz = Zᵀ Q Z
+    (lambda.cpp:106-121)."""
+    n = L.shape[0]
+    L = L.copy()
+    D = D.copy()
+    Z = np.eye(n)
+    j = k = n - 2
+    while j >= 0:
+        if j <= k:
+            for i in range(j + 1, n):
+                _gauss(L, Z, i, j)
+        delta = D[j] + L[j + 1, j] ** 2 * D[j + 1]
+        if delta + 1e-6 < D[j + 1]:
+            _perm(L, D, j, delta, Z)
+            k = j
+            j = n - 2
+        else:
+            j -= 1
+    return L, D, Z
+
+
+def ils_search(L, D, zs, m: int = 2, loop_max: int = 10000):
+    """Depth-first m-best search in the reduced lattice (lambda.cpp:123-191).
+
+    Returns (candidates (m,n) ints, dists (m,)); candidates sorted by dist.
+    """
+    n = len(zs)
+    S = np.zeros((n, n))
+    dist = np.zeros(n)
+    zb = np.zeros(n)
+    z = np.zeros(n)
+    step = np.zeros(n)
+    zn = np.zeros((m, n))
+    s = np.zeros(m)
+    nn = 0
+    imax = 0
+    maxdist = 1e99
+
+    k = n - 1
+    zb[k] = zs[k]
+    z[k] = round(zb[k])
+    y = zb[k] - z[k]
+    step[k] = np.sign(y) if y != 0 else 1.0
+    for _ in range(loop_max):
+        newdist = dist[k] + y * y / D[k]
+        if newdist < maxdist:
+            if k != 0:
+                k -= 1
+                dist[k] = newdist
+                S[k, : k + 1] = (S[k + 1, : k + 1]
+                                 + (z[k + 1] - zb[k + 1]) * L[k + 1, : k + 1])
+                zb[k] = zs[k] + S[k, k]
+                z[k] = round(zb[k])
+                y = zb[k] - z[k]
+                step[k] = np.sign(y) if y != 0 else 1.0
+            else:
+                if nn < m:
+                    if nn == 0 or newdist > s[imax]:
+                        imax = nn
+                    zn[nn] = z
+                    s[nn] = newdist
+                    nn += 1
+                else:
+                    if newdist < s[imax]:
+                        zn[imax] = z
+                        s[imax] = newdist
+                        imax = int(np.argmax(s))
+                    maxdist = s[imax]
+                z[0] += step[0]
+                y = zb[0] - z[0]
+                step[0] = -step[0] - np.sign(step[0])
+        else:
+            if k == n - 1:
+                break
+            k += 1
+            z[k] += step[k]
+            y = zb[k] - z[k]
+            step[k] = -step[k] - np.sign(step[k])
+    order = np.argsort(s[:nn])
+    return zn[order].astype(np.int64), s[order]
+
+
+def lambda_ils(a: np.ndarray, Q: np.ndarray, m: int = 2):
+    """Full pipeline: LD -> reduction -> search -> back-transform.
+
+    Returns (F (m,n) integer candidates in the ORIGINAL parameterization,
+    s (m,) squared norms).
+    """
+    a = np.asarray(a, dtype=float)
+    L, D = ld_factorization(Q)
+    L, D, Z = lambda_reduction(L, D)
+    zres = Z.T @ a
+    E, s = ils_search(L, D, zres, m=m)
+    # candidates satisfy z = Zᵀ ǎ  =>  ǎ = Z⁻ᵀ z ; entries are integers
+    F = np.linalg.solve(Z.T, E.T).T
+    return np.rint(F).astype(np.int64), s
+
+
+def ratio_test(s: np.ndarray, threshold: float = 2.0) -> bool:
+    """Classic acceptance test: s₂/s₁ ≥ threshold (reference uses the
+    partial variant with cost splitting at swf_lambda.cpp:204-244; the full
+    test is its m=2 special case with identical index sets)."""
+    if len(s) < 2:
+        return False
+    if s[0] <= 1e-12:
+        return True
+    return s[1] / s[0] >= threshold

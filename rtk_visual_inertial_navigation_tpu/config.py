@@ -74,4 +74,11 @@ class EstimatorConfig:
     max_gnss_dopp: int = 256
     initial_gnss_boost_epochs: int = 100
 
+    # integer ambiguity resolution (swf_lambda.cpp)
+    fix_ratio_threshold: float = 2.0       # RATIO_THRESHOLD (yaml:40)
+    min_dd_for_fix: int = 4                # ≥4 DD rows (swf_lambda.cpp:178)
+    min_fix_continuity: int = 2            # CARRIER_PHASE_CONTINUE_THRESHOLD
+    fix_continue_threshold: int = 40       # FIX_CONTINUE_THRESHOLD
+    phase_all_reset_count: int = 100       # Phase_ALL_RESET_COUNT
+
     dtype: str = "float64"

@@ -50,17 +50,22 @@ def _single_imu(pre: Preintegrated, p_i, q_i, v_i, ba_i, bg_i,
 
 
 def imu_factor_batch(state: WindowState, pre: Preintegrated, pbg, g_world,
-                     valid) -> FactorBatch:
+                     valid, W=None) -> FactorBatch:
     """Evaluate all NF-1 consecutive-frame IMU factors.
 
     Args:
       pre: Preintegrated batched with leading dim NF-1 (interval k spans
         frames k -> k+1).
       valid: (NF-1,) mask (interval exists and sum_dt < IMUINTEGRATIONTIMEMAX).
+      W: optional precomputed (NF-1,15,15) sqrt-information.  Pass it when
+        solving in float32: deriving chol(cov⁻¹) from the f32 covariance
+        (eigenvalue spread ~1e6, entries ~1e-10) destroys the whitening;
+        compute once in f64 and cast.
     """
     lay = layout_of(state)
     nf = lay.nf
-    W = jax.vmap(sqrt_info_of_cov)(pre.covariance)
+    if W is None:
+        W = jax.vmap(sqrt_info_of_cov)(pre.covariance)
 
     res, jac = jax.vmap(
         lambda pr, w, i: _single_imu(

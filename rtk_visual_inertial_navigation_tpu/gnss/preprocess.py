@@ -71,7 +71,7 @@ class PhaseBiasTable:
         self._map: dict[tuple, int] = {}
 
     def lookup(self, kind: str, sat: int, freq: int, t: float,
-               slip: bool) -> tuple[int, bool]:
+               slip: bool, sys: int = 0) -> tuple[int, bool]:
         """Return (slot, is_new). Allocates on slip / staleness / first see.
 
         is_new means the ambiguity value needs initialization from the
@@ -88,6 +88,8 @@ class PhaseBiasTable:
             slot = self._alloc(k, t)
             if slot < 0:
                 return -1, False
+            self.sys[slot] = sys
+            self.freq[slot] = freq
             return slot, True
         self.last_seen[slot] = t
         self.continuity[slot] += 1
@@ -251,7 +253,8 @@ class GnssPreprocessor:
             if (self.use_spp_phase and np.isfinite(ep.cp[i])
                     and int(ep.freq[i]) == 0):
                 slot, new = self.bias.lookup("spp", ep.sat_id[i], ep.freq[i],
-                                             ep.t, bool(ep.slip[i]))
+                                             ep.t, bool(ep.slip[i]),
+                                             int(ep.sys[i]))
                 if slot >= 0:
                     z = ep.cp[i] * lam[i] - r0[i] - sag0[i]
                     w = spp_cp_weight(el[i], ep.cp_std[i] * lam[i])
@@ -268,7 +271,8 @@ class GnssPreprocessor:
             # --- RB-SD carrier phase (RTK, dual frequency) ---
             if self.use_rtk and np.isfinite(ep.rtk_cp[i]):
                 slot, new = self.bias.lookup("rtk", ep.sat_id[i], ep.freq[i],
-                                             ep.t, bool(ep.slip[i]))
+                                             ep.t, bool(ep.slip[i]),
+                                             int(ep.sys[i]))
                 if slot >= 0:
                     z = ep.rtk_cp[i] * lam[i]
                     w = rtk_weight(np.asarray([el[i]]),

@@ -43,7 +43,7 @@ def _solve_one(prob: VIWindowProblem, lay: TangentLayout,
 
     def eval_fn(state):
         b_imu = imu_factor_batch(state, prob.pre, pbg, g_world,
-                                 prob.pre_valid)
+                                 prob.pre_valid, W=prob.imu_W)
         b_proj = projection_factor_batch(
             state, prob.f_ids, jnp.zeros_like(prob.f_ids), prob.l_ids,
             prob.obs_xy, prob.obs_valid, pbg)

@@ -34,6 +34,7 @@ IMU_NOISE = ImuNoise(0.05, 0.005, 5e-4, 5e-5)
 class VIWindowProblem(NamedTuple):
     state0: WindowState      # initial guess (perturbed)
     pre: object              # Preintegrated, leading dim NF-1
+    imu_W: jnp.ndarray       # (NF-1,15,15) precomputed sqrt-information
     pre_valid: jnp.ndarray
     f_ids: jnp.ndarray
     l_ids: jnp.ndarray
@@ -132,8 +133,11 @@ def _make_one(key, nf: int, nl: int, nobs: int, n_samples: int,
     free = free.at[lay.lm_off:3 * nl].set(True)
     free = free.at[lay.frame_off:lay.frame_off + FRAME_DIM * nf].set(True)
 
+    from ..factors.inertial import sqrt_info_of_cov
+    imu_W = jax.vmap(sqrt_info_of_cov)(pre.covariance)
+
     return VIWindowProblem(
-        state0=state0, pre=pre,
+        state0=state0, pre=pre, imu_W=imu_W,
         pre_valid=jnp.ones((nf - 1,), dtype=bool),
         f_ids=f_ids, l_ids=l_ids, obs_xy=obs_xy, obs_valid=obs_valid,
         prior_J=prior_J, prior_r0=jnp.zeros((lay.dim,), dtype),
@@ -143,5 +147,12 @@ def _make_one(key, nf: int, nl: int, nobs: int, n_samples: int,
 def make_synthetic_windows(key, batch: int, nf: int = 8, nl: int = 64,
                            nobs: int = 448, n_samples: int = 16,
                            dtype=jnp.float64) -> VIWindowProblem:
+    """Synthesize in f64 (whitening/covariance require it), then cast."""
     keys = jax.random.split(key, batch)
-    return jax.vmap(lambda k: _make_one(k, nf, nl, nobs, n_samples, dtype))(keys)
+    probs = jax.vmap(
+        lambda k: _make_one(k, nf, nl, nobs, n_samples, jnp.float64))(keys)
+    if dtype != jnp.float64:
+        probs = jax.tree.map(
+            lambda x: x.astype(dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, probs)
+    return probs

@@ -98,6 +98,12 @@ class Estimator:
                 use_doppler=cfg.use_doppler,
                 initial_deweight_epochs=cfg.initial_gnss_boost_epochs)
 
+        # integer-fix state (swf_lambda.cpp fix bookkeeping)
+        self.rtk_fixed = False
+        self._fix_streak = 0
+        self._nofix_streak = 0
+        self._last_fix: list = []
+
         self._jit_cache: dict = {}
         self.trajectory: list[tuple[float, np.ndarray, np.ndarray, np.ndarray]] = []
 
@@ -146,6 +152,8 @@ class Estimator:
         self._init_new_biases(fidx, prep)
         if self.frame_count >= 3:
             self._optimize()
+            if self.cfg.use_rtk and self.cfg.use_n_resolve:
+                self._integer_solve(fidx)
             self._sync_prior_with_features()
         self._record(ep.t)
         self._maybe_slide()
@@ -511,6 +519,127 @@ class Estimator:
 
             self._jit_cache[key] = solve
         return self._jit_cache[key]
+
+    # ------------------------------------------------------------------
+    # integer ambiguity resolution (IntegerSolve/LambdaSearch flow,
+    # rvi/swf/swf_gnss.cpp:128-171 + swf_lambda.cpp)
+    # ------------------------------------------------------------------
+    def _integer_solve(self, fidx: int):
+        from ..ambiguity import (choose_reference, double_difference,
+                                 lambda_ils, ratio_test)
+
+        cfg, lay = self.cfg, self.lay
+        prep = self.gnss_store[fidx]
+        if prep is None:
+            return
+        # RTK carrier-phase bias slots observed at the newest epoch
+        newest_slots = np.unique(prep.pb_slot[prep.kind == 3])
+        if len(newest_slots) < 4:
+            return
+        bias_tab = self.gnss.bias
+        b_all = np.asarray(self.x.phase_bias)
+
+        # covariance of the free system at the solution (tail-block
+        # covariance of the ordered elimination — SURVEY.md §2.9; computed
+        # here as the masked inverse of the final Hessian)
+        H = np.asarray(self.last_solve.H)
+        free = np.asarray(self._free_mask())
+        m = free & (np.diag(H) > 0)
+        Hm = H * m[:, None] * m[None, :] + np.diag(~m * 1.0)
+        Cov = np.linalg.inv(Hm)
+
+        # group by (sys, freq); build DD per group
+        groups: dict[tuple, list[int]] = {}
+        for slot in newest_slots:
+            key = bias_tab.key[slot]
+            if key is None or key[0] != "rtk":
+                continue
+            if bias_tab.continuity[slot] < cfg.min_fix_continuity:
+                continue
+            groups.setdefault((bias_tab.sys[slot], key[2]), []).append(slot)
+
+        D_rows = []
+        dd_slots = []  # (slot_i, slot_ref) per row
+        gate = 0.2 if self._fix_streak > 0 else 1.4
+        for key, slots in groups.items():
+            if len(slots) < 2:
+                continue
+            vals = b_all[slots]
+            ref_local = choose_reference(vals)
+            Dg, members = double_difference(vals, ref_local, gate)
+            for mrow, mi in zip(Dg, members):
+                D_rows.append((slots[mi], slots[ref_local]))
+        if len(D_rows) < cfg.min_dd_for_fix:
+            self._note_no_fix()
+            return
+
+        n_dd = len(D_rows)
+        pb_cols = np.asarray([lay.pb_idx(s) for s in range(cfg.nb)])
+        b_float = np.asarray([b_all[i] - b_all[r] for i, r in D_rows])
+        # DD covariance from the full covariance
+        Ddense = np.zeros((n_dd, lay.dim))
+        for k, (i, r) in enumerate(D_rows):
+            Ddense[k, lay.pb_idx(i)] = 1.0
+            Ddense[k, lay.pb_idx(r)] = -1.0
+        Qdd = Ddense @ Cov @ Ddense.T
+        Qdd = 0.5 * (Qdd + Qdd.T)
+        try:
+            F, s = lambda_ils(b_float, Qdd, m=2)
+        except np.linalg.LinAlgError:
+            self._note_no_fix()
+            return
+        if not ratio_test(s, cfg.fix_ratio_threshold):
+            self._note_no_fix()
+            return
+
+        # conditioned (fixed) solution over the whole free tangent:
+        # dx = Cov Dᵀ (D Cov Dᵀ)⁻¹ (D b − ň)
+        innov = b_float - F[0]
+        K = np.linalg.solve(Qdd, innov)
+        dx = Cov @ (Ddense.T @ K)
+        self.x = retract_window(self.x, jnp.asarray(-dx))
+        self.rtk_fixed = True
+        self._fix_streak += 1
+        self._nofix_streak = 0
+        self._last_fix = [(i, r, int(n)) for (i, r), n in zip(D_rows, F[0])]
+
+        # after enough consecutive fixes, bake FixedInteger constraints into
+        # the prior (swf_lambda.cpp:249-355 re-marginalization)
+        if self._fix_streak >= cfg.fix_continue_threshold:
+            self._bake_fixed_integers(D_rows, F[0])
+            self._fix_streak = 0
+
+    def _note_no_fix(self):
+        self.rtk_fixed = False
+        self._fix_streak = 0
+        self._nofix_streak += 1
+        # full phase reset after too long without a fix
+        # (Phase_ALL_RESET_COUNT=100, swf_gnss.cpp:395,433)
+        if self._nofix_streak >= self.cfg.phase_all_reset_count:
+            for slot in np.flatnonzero(self.gnss.bias.active):
+                self.gnss.bias._free(slot)
+            self._nofix_streak = 0
+
+    def _bake_fixed_integers(self, D_rows, n_fixed):
+        """Fold w·((N_i − N_ref) − ň) rows into the prior information and
+        re-factorize (FixedIntegerFactor weight 1/0.03, gnss_factor.h:137)."""
+        lay = self.lay
+        w = 1.0 / 0.03
+        H = np.array(self.prior.J.T @ self.prior.J)
+        g = np.array(self.prior.J.T @ self.prior.r0)
+        x0b = np.asarray(self.prior.x0.phase_bias)
+        for (i, r), n in zip(D_rows, n_fixed):
+            row = np.zeros(lay.dim)
+            row[lay.pb_idx(i)] = w
+            row[lay.pb_idx(r)] = -w
+            # residual at the prior linearization point
+            r0 = w * ((x0b[i] - x0b[r]) - n)
+            H += np.outer(row, row)
+            g += row * r0
+        from ..solver import prior_from_hessian
+        J0, r0v = prior_from_hessian(jnp.asarray(H), jnp.asarray(g))
+        self.prior = self.prior._replace(
+            J=J0, r0=r0v, valid_rows=jnp.ones(lay.dim, dtype=bool))
 
     # ------------------------------------------------------------------
     # marginalization + slide

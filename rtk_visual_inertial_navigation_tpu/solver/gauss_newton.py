@@ -24,12 +24,15 @@ import jax.numpy as jnp
 from ..factors.base import FactorBatch
 
 
-def assemble(batches: Sequence[FactorBatch], dim: int, dtype=jnp.float64):
+def assemble(batches: Sequence[FactorBatch], dim: int, dtype=None):
     """Scatter-add factor batches into (H, g, cost).
 
     H = Σ JᵀJ, g = Σ Jᵀr, cost = ½ Σ|r|² over valid factors (already masked
-    into the batch rows).
+    into the batch rows).  dtype defaults to the batches' residual dtype so
+    a float32 solve stays float32 under jax_enable_x64.
     """
+    if dtype is None:
+        dtype = batches[0].res.dtype if batches else jnp.float64
     H = jnp.zeros((dim, dim), dtype)
     g = jnp.zeros((dim,), dtype)
     cost = jnp.zeros((), dtype)
@@ -98,9 +101,18 @@ def inv33(M):
     return adj * inv_det[..., None, None]
 
 
+def _jacobi_scale(H):
+    """1/√diag preconditioner — essential for float32 Cholesky on TPU (the
+    Hessian mixes projection weights ~4e5 with unit prior rows)."""
+    d = jnp.diagonal(H)
+    return 1.0 / jnp.sqrt(jnp.maximum(d, 1e-12))
+
+
 def _gn_step_dense(H, g):
-    L = jnp.linalg.cholesky(H)
-    return -jax.scipy.linalg.cho_solve((L, True), g)
+    s = _jacobi_scale(H)
+    Hs = H * s[:, None] * s[None, :]
+    L = jnp.linalg.cholesky(Hs)
+    return -s * jax.scipy.linalg.cho_solve((L, True), s * g)
 
 
 def _gn_step_schur(H, g, nl: int):
@@ -124,8 +136,10 @@ def _gn_step_schur(H, g, nl: int):
     S = H[n3:, n3:] - jnp.einsum("lir,lik->rk", Hlr3, HinvHlr)
     Hinv_gl = jnp.einsum("lij,lj->li", Hll_inv, gl)  # (nl,3)
     rhs = gr - jnp.einsum("lir,li->r", Hlr3, Hinv_gl)
-    L = jnp.linalg.cholesky(S)
-    dr = -jax.scipy.linalg.cho_solve((L, True), rhs)
+    s = _jacobi_scale(S)
+    Ss = S * s[:, None] * s[None, :]
+    L = jnp.linalg.cholesky(Ss)
+    dr = -s * jax.scipy.linalg.cho_solve((L, True), s * rhs)
     # back-substitute: dl = -Hll⁻¹ (gl + Hlr dr)
     dl = -(Hinv_gl + jnp.einsum("lir,r->li", HinvHlr, dr))
     return jnp.concatenate([dl.reshape(-1), dr])

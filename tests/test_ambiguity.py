@@ -1,0 +1,127 @@
+import numpy as np
+import pytest
+
+from rtk_visual_inertial_navigation_tpu.ambiguity import (
+    choose_reference, conditioned_fix, double_difference, ils_search,
+    lambda_ils, lambda_reduction, ld_factorization, ratio_test)
+
+
+def rand_cov(rng, n, cond=50.0):
+    A = rng.normal(size=(n, n))
+    U, _, Vt = np.linalg.svd(A)
+    d = np.logspace(0, np.log10(cond), n)
+    return (U * d) @ U.T * 0.01
+
+
+def brute_force_ils(a, Q, radius=3):
+    """Oracle: exhaustive search over an integer box around round(a)."""
+    n = len(a)
+    Qi = np.linalg.inv(Q)
+    base = np.rint(a).astype(int)
+    best, best_s = None, np.inf
+    second_s = np.inf
+    from itertools import product
+    for offs in product(range(-radius, radius + 1), repeat=n):
+        z = base + np.asarray(offs)
+        d = a - z
+        s = float(d @ Qi @ d)
+        if s < best_s:
+            second_s = best_s
+            best, best_s = z, s
+        elif s < second_s:
+            second_s = s
+    return best, best_s, second_s
+
+
+def test_ld_factorization_reconstructs():
+    rng = np.random.default_rng(0)
+    Q = rand_cov(rng, 6)
+    L, D = ld_factorization(Q)
+    np.testing.assert_allclose(L.T @ np.diag(D) @ L, Q, atol=1e-12)
+    # unit diagonal, lower triangular
+    np.testing.assert_allclose(np.diag(L), 1.0, atol=1e-12)
+    assert np.allclose(L, np.tril(L))
+
+
+def test_reduction_preserves_quadratic_form():
+    rng = np.random.default_rng(1)
+    Q = rand_cov(rng, 8)
+    L, D = ld_factorization(Q)
+    L2, D2, Z = lambda_reduction(L, D)
+    # Z unimodular
+    np.testing.assert_allclose(abs(np.linalg.det(Z)), 1.0, atol=1e-9)
+    assert np.allclose(Z, np.rint(Z))
+    # L2' diag(D2) L2 == Z' Q Z
+    np.testing.assert_allclose(L2.T @ np.diag(D2) @ L2, Z.T @ Q @ Z,
+                               atol=1e-9)
+
+
+@pytest.mark.parametrize("n", [2, 3, 4, 5])
+def test_lambda_matches_brute_force(n):
+    rng = np.random.default_rng(n)
+    for trial in range(5):
+        Q = rand_cov(rng, n, cond=200.0)
+        a = rng.normal(size=n) * 3
+        F, s = lambda_ils(a, Q, m=2)
+        z_bf, s_bf, s2_bf = brute_force_ils(a, Q, radius=4)
+        np.testing.assert_array_equal(F[0], z_bf)
+        np.testing.assert_allclose(s[0], s_bf, rtol=1e-9)
+        np.testing.assert_allclose(s[1], s2_bf, rtol=1e-9)
+
+
+def test_lambda_high_confidence_case():
+    # tiny covariance: fixed solution is just the rounding, huge ratio
+    a = np.array([2.9999, -5.0001, 7.0002])
+    Q = np.eye(3) * 1e-6
+    F, s = lambda_ils(a, Q, m=2)
+    np.testing.assert_array_equal(F[0], [3, -5, 7])
+    assert ratio_test(s, 2.0)
+
+
+def test_ratio_test_rejects_ambiguous():
+    a = np.array([0.5, 0.5])  # exactly between integers
+    Q = np.eye(2) * 0.1
+    F, s = lambda_ils(a, Q, m=2)
+    assert not ratio_test(s, 2.0)
+
+
+def test_choose_reference():
+    # bias 1 differs from others by near-integers => best reference
+    b = np.array([10.45, 3.98, 7.46, 1.97])
+    # pairwise fractional distances: b0&b2 differ by 2.99 (frac .01)...
+    ref = choose_reference(b)
+    assert ref in (0, 2)  # the .45/.46 pair aligns with .98/.97 modulo ints?
+    # deterministic small case
+    b2 = np.array([1.0, 2.0, 3.5])
+    assert choose_reference(b2) in (0, 1)
+
+
+def test_double_difference_structure():
+    b = np.array([1.2, 3.4, 5.1, 2.2])
+    D, members = double_difference(b, ref_idx=1, gate=2.0)
+    assert D.shape[0] == len(members)
+    for r, i in zip(D, members):
+        assert r[i] == 1.0 and r[1] == -1.0 and np.abs(r).sum() == 2
+
+
+def test_conditioned_fix_exact_on_linear_gaussian():
+    """Fixing the biases to their true integers must pull x toward truth
+    optimally: validate against direct joint conditioning on a random Gaussian."""
+    rng = np.random.default_rng(3)
+    P, nb = 4, 3
+    # joint covariance of [x; b]
+    M = rng.normal(size=(P + nb, P + nb))
+    Sig = M @ M.T + np.eye(P + nb)
+    x_true = rng.normal(size=P)
+    b_true = rng.integers(-5, 5, nb).astype(float)
+    # float estimate = truth + correlated noise
+    noise = np.linalg.cholesky(Sig) @ rng.normal(size=P + nb) * 0.1
+    x_f = x_true + noise[:P]
+    b_f = b_true + noise[P:]
+    D = np.eye(nb)  # fix each bias directly
+    x_fixed, db = conditioned_fix(
+        x_f, Sig[:P, P:], b_f, Sig[P:, P:], D, b_true)
+    # manual conditioning
+    K = Sig[:P, P:] @ np.linalg.inv(Sig[P:, P:])
+    x_manual = x_f - K @ (b_f - b_true)
+    np.testing.assert_allclose(x_fixed, x_manual, atol=1e-10)

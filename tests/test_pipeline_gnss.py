@@ -103,3 +103,26 @@ def test_rtd_vi_mode(sim):
         errs.append(np.linalg.norm(p - sim.p[i]))
     errs = np.asarray(errs)
     assert errs[len(errs) // 2:].max() < 0.05, errs.max()
+
+
+def test_rtk_vi_integer_fix(sim):
+    """Full RTK: RB-SD carrier phase + pseudorange with LAMBDA integer
+    fixing; DD ambiguities must resolve to the exact true integers and the
+    position should be millimeter-level."""
+    est = replay(sim, spp_cfg(sim, use_rtk=True, use_rtd=True,
+                              use_n_resolve=True, min_fix_continuity=1,
+                              fix_continue_threshold=3))
+    assert est.rtk_fixed, "should reach a fixed solution on noiseless data"
+    # verify the fixed DD integers against the simulated RB-SD ambiguities
+    bias = est.gnss.bias
+    assert est._last_fix, "no DD fixes recorded"
+    for (slot_i, slot_r, n) in est._last_fix:
+        sat_i = bias.key[slot_i][1]
+        sat_r = bias.key[slot_r][1]
+        true_dd = sim.rtk_ambiguities[sat_i] - sim.rtk_ambiguities[sat_r]
+        assert n == int(true_dd), (n, true_dd)
+    errs = []
+    for (t, p, q, v) in est.trajectory[-10:]:
+        i = np.argmin(np.abs(sim.imu_t - t))
+        errs.append(np.linalg.norm(p - sim.p[i]))
+    assert max(errs) < 0.02, max(errs)
