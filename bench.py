@@ -37,6 +37,9 @@ def main():
     # x64 always on: problem synthesis/whitening happens in f64 and is cast
     # down for the f32 solve (see parallel.problems.make_synthetic_windows)
     jax.config.update("jax_enable_x64", True)
+    # TPU f32 matmuls default to bfloat16 MXU passes — fatal for normal
+    # equations; force true-f32 accumulation (3-pass) everywhere
+    jax.config.update("jax_default_matmul_precision", "highest")
     import jax.numpy as jnp
 
     from rtk_visual_inertial_navigation_tpu.core.state import TangentLayout

@@ -36,7 +36,8 @@ class EstimatorConfig:
     use_spp_correction: bool = False
     use_doppler: bool = False
     use_n_resolve: bool = False  # integer ambiguity fixing
-    use_mag: bool = False
+    use_mag: bool = False            # USE_MAG_INIT_YAW: yaw bootstrap
+    use_mag_correct_yaw: bool = False  # mag factors during optimization
 
     # IMU (BMI088 defaults, yaml:49-52)
     imu_noise: ImuNoise = field(

@@ -43,6 +43,7 @@ class WindowState(NamedTuple):
     clk: jnp.ndarray      # (NF,NCLOCK) receiver clock states [m], [m/s]
     tic: jnp.ndarray      # (NC,3) camera-IMU translation
     qic: jnp.ndarray      # (NC,4) camera-IMU rotation
+    mag_bias: jnp.ndarray  # (3,) magnetometer bias (para_bmg analog)
     landmarks: jnp.ndarray  # (NL,3) world points
     phase_bias: jnp.ndarray  # (NB,) carrier-phase ambiguities [cycle]
 
@@ -65,6 +66,7 @@ class WindowState(NamedTuple):
             clk=jnp.zeros((nf, NCLOCK), dtype),
             tic=jnp.zeros((nc, 3), dtype),
             qic=lie.quat_identity((nc,), dtype),
+            mag_bias=jnp.zeros((3,), dtype),
             landmarks=jnp.zeros((nl, 3), dtype),
             phase_bias=jnp.zeros((nb,), dtype),
         )
@@ -91,8 +93,12 @@ class TangentLayout(NamedTuple):
         return self.frame_off + FRAME_DIM * self.nf
 
     @property
-    def clk_off(self):
+    def mag_off(self):
         return self.ext_off + POSE_DIM * self.nc
+
+    @property
+    def clk_off(self):
+        return self.mag_off + 3
 
     @property
     def pb_off(self):
@@ -138,6 +144,7 @@ def retract_window(state: WindowState, dx: jnp.ndarray) -> WindowState:
     d_lm = dx[lay.lm_off:lay.lm_off + 3 * nl].reshape(nl, 3)
     d_fr = dx[lay.frame_off:lay.frame_off + FRAME_DIM * nf].reshape(nf, FRAME_DIM)
     d_ext = dx[lay.ext_off:lay.ext_off + POSE_DIM * nc].reshape(nc, POSE_DIM)
+    d_mag = dx[lay.mag_off:lay.mag_off + 3]
     d_clk = dx[lay.clk_off:lay.clk_off + NCLOCK * nf].reshape(nf, NCLOCK)
     d_pb = dx[lay.pb_off:lay.pb_off + nb]
     return WindowState(
@@ -149,6 +156,7 @@ def retract_window(state: WindowState, dx: jnp.ndarray) -> WindowState:
         clk=state.clk + d_clk,
         tic=state.tic + d_ext[:, 0:3],
         qic=lie.quat_boxplus(state.qic, d_ext[:, 3:6]),
+        mag_bias=state.mag_bias + d_mag,
         landmarks=state.landmarks + d_lm,
         phase_bias=state.phase_bias + d_pb,
     )
@@ -176,6 +184,7 @@ def window_boxminus(x1: WindowState, x0: WindowState) -> jnp.ndarray:
             (x1.landmarks - x0.landmarks).reshape(-1),
             d_fr,
             d_ext,
+            x1.mag_bias - x0.mag_bias,
             (x1.clk - x0.clk).reshape(-1),
             x1.phase_bias - x0.phase_bias,
         ]

@@ -1,0 +1,77 @@
+"""Magnetometer yaw factor.
+
+Semantics of MAGFactor (rvi/factor/mag_factor.cpp:5-33): the world-frame
+magnetic field must point north — residual = 20 · east-component of the
+normalized horizontal world mag:
+
+    m_w = R_wb (m_body + b_mag);   r = MAGSQRTINFO · m_w[0] / |m_w[0:2]|
+
+(our world frame is ENU, so "east" is axis 0, matching the reference's
+Rwgwᵀ-rotated frame).  Parameters: frame pose (attitude part) and the global
+3-vector mag bias.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.state import POSE_DIM, WindowState, layout_of
+from ..ops import lie
+from .base import FactorBatch, block_indices
+
+MAG_SQRT_INFO = 20.0
+
+
+def mag_factor_batch(state: WindowState, frame_ids, mag_body, valid
+                     ) -> FactorBatch:
+    """Evaluate B magnetometer factors.
+
+    Args:
+      frame_ids: (B,) window frame index.
+      mag_body: (B,3) magnetometer reading (calibration applied).
+    """
+    lay = layout_of(state)
+
+    def one(f, m):
+        q = state.q[f]
+        bmg = state.mag_bias
+
+        def res_fn(t):
+            dth = t[0:3]
+            dbm = t[3:6]
+            mw = lie.quat_rotate(lie.quat_boxplus(q, dth), m + bmg + dbm)
+            horiz = jnp.sqrt(jnp.maximum(mw[0] ** 2 + mw[1] ** 2, 1e-12))
+            return (MAG_SQRT_INFO * mw[0] / horiz)[None]
+
+        zero = jnp.zeros((6,), dtype=state.p.dtype)
+        return res_fn(zero), jax.jacfwd(res_fn)(zero)
+
+    res, jac = jax.vmap(one)(frame_ids, mag_body)
+    # tangent = [frame attitude (3), mag bias (3)]; attitude slots are the
+    # last 3 of the pose block
+    gidx = jnp.concatenate([
+        block_indices(lay.pose_idx(frame_ids) + 3, 3),
+        jnp.broadcast_to(
+            jnp.arange(lay.mag_off, lay.mag_off + 3, dtype=jnp.int32),
+            (frame_ids.shape[0], 3)),
+    ], axis=-1)
+    m = valid.astype(res.dtype)
+    return FactorBatch(res * m[:, None], jac * m[:, None, None], gidx, valid)
+
+
+def yaw_from_mag(mean_acc, mean_mag, mag_bias=None):
+    """TRIAD-style attitude from averaged accelerometer + magnetometer
+    (InitializePos, rvi/swf/swf_imu.cpp:5-37 + MagProcess yaw extraction):
+    rows of R_wb are [east; north; up] expressed in body coordinates.
+    Returns the body->world quaternion.
+    """
+    if mag_bias is None:
+        mag_bias = jnp.zeros(3, dtype=mean_acc.dtype)
+    z0 = mean_acc / jnp.linalg.norm(mean_acc)                 # up (body)
+    east = jnp.cross(mean_mag + mag_bias, z0)
+    x0 = east / jnp.maximum(jnp.linalg.norm(east), 1e-12)     # east (body)
+    y0 = jnp.cross(z0, x0)
+    y0 = y0 / jnp.maximum(jnp.linalg.norm(y0), 1e-12)         # north (body)
+    R_wb = jnp.stack([x0, y0, z0])                            # world<-body
+    return lie.rot_to_quat(R_wb)

@@ -1,0 +1,64 @@
+"""Trajectory scoring with the reference's metrics (evaluate/evaluate.py):
+
+  - SPP modes: plane RMSE (x,y) + height RMSE (z), mean-aligned
+    (evaluate.py:58-61);
+  - RTK: 3-D MAE, not aligned (evaluate.py:63-65);
+  - association by nearest timestamp with 1/400 s tolerance (evaluate.py:42);
+  - optional prism lever-arm correction from estimated attitude
+    (evaluate.py:24-25, ptg calibration at :70).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from ..ops import lie
+import jax.numpy as jnp
+
+ASSOC_TOL_S = 1.0 / 400.0
+
+
+@dataclass
+class TrajectoryMetrics:
+    plane_rmse: float
+    height_rmse: float
+    mae_3d: float
+    n_associated: int
+
+
+def evaluate_trajectory(est_t, est_p, gt_t, gt_p, align=True,
+                        est_ypr_deg: Optional[np.ndarray] = None,
+                        prism_offset: Optional[np.ndarray] = None
+                        ) -> TrajectoryMetrics:
+    """Score an estimated trajectory against ground truth.
+
+    Args:
+      est_t, est_p: (N,), (N,3) estimated times/positions.
+      gt_t, gt_p: (M,), (M,3) ground truth.
+      align: subtract the mean error (reference's SPP convention).
+      est_ypr_deg + prism_offset: apply p -= R(ypr) @ prism_offset first.
+    """
+    est_t = np.asarray(est_t)
+    est_p = np.asarray(est_p, dtype=float).copy()
+    if est_ypr_deg is not None and prism_offset is not None:
+        R = np.asarray(lie.ypr_to_rot(jnp.asarray(est_ypr_deg)))
+        est_p -= np.einsum("nij,j->ni", R, prism_offset)
+
+    errors = []
+    for tg, pg in zip(np.asarray(gt_t), np.asarray(gt_p)):
+        k = int(np.abs(tg - est_t).argmin())
+        if abs(tg - est_t[k]) > ASSOC_TOL_S:
+            continue
+        errors.append(est_p[k] - pg)
+    if not errors:
+        return TrajectoryMetrics(np.nan, np.nan, np.nan, 0)
+    errors = np.asarray(errors)
+    mae_3d = float(np.sqrt((errors ** 2).sum(axis=1)).mean())
+    if align:
+        errors = errors - errors.mean(axis=0)
+    plane = float(np.sqrt((errors[:, 0] ** 2 + errors[:, 1] ** 2).mean()))
+    height = float(np.sqrt((errors[:, 2] ** 2).mean()))
+    return TrajectoryMetrics(plane, height, mae_3d, len(errors))

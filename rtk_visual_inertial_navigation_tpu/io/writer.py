@@ -1,0 +1,53 @@
+"""Result CSV writer, column-compatible with the reference's save_result
+(rvi/utility/visualization.cpp:222-277) so its evaluate.py runs unmodified.
+
+Columns: time,px,py,pz,vx,vy,vz,yaw,pitch,roll,ax,ay,az,bax,bay,baz,
+bgx,bgy,bgz,rtk_fix,mag_yaw,havegps,trajectory_sum,lat,lon,pbgx,pbgy,pbgz.
+Position/velocity/ypr are reported in the initial-gravity-aligned frame
+(InitRwgwᵀ · …); our estimator's world frame is already ENU at the anchor,
+so the transform is identity when the anchor matches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..geodesy import earth
+from ..ops import lie
+
+import jax.numpy as jnp
+
+HEADER = ("time,px,py,pz,vx,vy,vz,yaw,pitch,roll,ax,ay,az,bax,bay,baz,"
+          "bgx,bgy,bgz,rtk_fix,mag_yaw,havegps,trajectory_sum,lat,lon,"
+          "pbgx,pbgy,pbgz")
+
+
+class ResultWriter:
+    def __init__(self, path: str, anchor_ecef=None, enu_to_ecef=None):
+        self.path = path
+        self.anchor = anchor_ecef
+        self.R_e = enu_to_ecef
+        with open(path, "w") as f:
+            f.write(HEADER + "\n")
+
+    def write(self, t, p, q, v, ba, bg, acc_w=None, rtk_fix=0, mag_yaw=0.0,
+              havegps=0, pbg=None):
+        ypr = np.asarray(lie.rot_to_ypr(lie.quat_to_rot(jnp.asarray(q))))
+        acc_w = np.zeros(3) if acc_w is None else np.asarray(acc_w)
+        pbg_w = np.zeros(3)
+        if pbg is not None:
+            pbg_w = np.asarray(
+                lie.quat_rotate(jnp.asarray(q), jnp.asarray(pbg)))
+        lat = lon = 0.0
+        if self.anchor is not None and self.R_e is not None:
+            ecef = self.anchor + self.R_e @ np.asarray(p)
+            llh = np.asarray(earth.ecef_to_geodetic(jnp.asarray(ecef)))
+            lat, lon = np.rad2deg(llh[0]), np.rad2deg(llh[1])
+        row = [f"{t * 1e9:.0f}"]
+        for vals in (p, v, ypr, acc_w, ba, bg):
+            row += [f"{x:.10f}" for x in np.asarray(vals)]
+        row += [str(int(rtk_fix)), f"{mag_yaw:.10f}", str(int(havegps)),
+                "0", f"{lat:.10f}", f"{lon:.10f}"]
+        row += [f"{x:.10f}" for x in pbg_w]
+        with open(self.path, "a") as f:
+            f.write(",".join(row) + "\n")

@@ -33,6 +33,7 @@ from ..factors.gnss import (GnssObsBatch, doppler_batch,
                             rtk_carrier_phase_batch, rtk_pseudorange_batch,
                             spp_carrier_phase_batch, spp_pseudorange_batch)
 from ..factors.inertial import imu_factor_batch, merge_preintegrations
+from ..factors.mag import mag_factor_batch
 from ..factors.priors import MargPrior
 from ..factors.visual import projection_factor_batch, project_world_point
 from ..frontend.features import FeatureTable
@@ -98,6 +99,12 @@ class Estimator:
                 use_doppler=cfg.use_doppler,
                 initial_deweight_epochs=cfg.initial_gnss_boost_epochs)
 
+        # magnetometer (MagProcess buffering, rvi/swf/swf_imu.cpp:219-252)
+        self._mag_buf: list[tuple[float, np.ndarray]] = []
+        self.frame_mag = np.zeros((cfg.nf, 3))
+        self.frame_mag_valid = np.zeros(cfg.nf, dtype=bool)
+        self._init_mag: list[np.ndarray] = []
+
         # integer-fix state (swf_lambda.cpp fix bookkeeping)
         self.rtk_fixed = False
         self._fix_streak = 0
@@ -118,6 +125,23 @@ class Estimator:
             self._init_acc.append(np.asarray(acc, dtype=float))
             self._init_gyr.append(np.asarray(gyr, dtype=float))
 
+    def process_mag(self, t, mag):
+        """Buffer magnetometer samples (nearest-to-frame selection,
+        MagProcess semantics; 10 s retention)."""
+        self._mag_buf.append((float(t), np.asarray(mag, dtype=float)))
+        self._mag_buf = [(tt, mm) for tt, mm in self._mag_buf
+                         if t - tt <= 10.0]
+        if not self.initialized:
+            self._init_mag.append(np.asarray(mag, dtype=float))
+
+    def _select_mag(self, fidx: int, t: float):
+        if not self._mag_buf:
+            return
+        tt, mm = min(self._mag_buf, key=lambda x: abs(x[0] - t))
+        if abs(tt - t) < 0.5:
+            self.frame_mag[fidx] = mm
+            self.frame_mag_valid[fidx] = True
+
     def process_image(self, t, ids, xys):
         """One camera frame with tracked features (id, unit-plane xy)."""
         if not self.initialized:
@@ -127,6 +151,7 @@ class Estimator:
         else:
             self._add_frame(t)
         fidx = self.frame_count - 1
+        self._select_mag(fidx, t)
         self.features.add_frame(fidx, np.asarray(ids), np.asarray(xys))
         self._triangulate_new()
         if self.frame_count >= 3:
@@ -147,6 +172,7 @@ class Estimator:
             return
         self._add_frame(ep.t)
         fidx = self.frame_count - 1
+        self._select_mag(fidx, ep.t)
         self.frame_is_gnss[fidx] = True
         self.gnss_store[fidx] = prep
         self._init_new_biases(fidx, prep)
@@ -204,17 +230,25 @@ class Estimator:
     def _initialize(self, t):
         mean_acc = np.mean(self._init_acc, axis=0)
         mean_gyr = np.mean(self._init_gyr, axis=0)
-        z_b = mean_acc / np.linalg.norm(mean_acc)   # body z measured in body
-        # rotation taking body z to world z (gravity-aligned), yaw-free
-        w_z = np.array([0.0, 0.0, 1.0])
-        v = np.cross(z_b, w_z)
-        c = float(z_b @ w_z)
-        if np.linalg.norm(v) < 1e-12:
-            q0 = np.array([1.0, 0, 0, 0])
+        if self.cfg.use_mag and self._init_mag:
+            # TRIAD: roll/pitch from gravity, yaw from the magnetometer
+            # (InitializePos, rvi/swf/swf_imu.cpp:5-37)
+            from ..factors.mag import yaw_from_mag
+            mean_mag = np.mean(self._init_mag, axis=0)
+            q0 = np.asarray(yaw_from_mag(jnp.asarray(mean_acc),
+                                         jnp.asarray(mean_mag)))
         else:
-            axis = v / np.linalg.norm(v)
-            ang = np.arctan2(np.linalg.norm(v), c)
-            q0 = np.asarray(lie.quat_exp(jnp.asarray(axis * ang)))
+            z_b = mean_acc / np.linalg.norm(mean_acc)  # body z, in body frame
+            # rotation taking body z to world z (gravity-aligned), yaw-free
+            w_z = np.array([0.0, 0.0, 1.0])
+            v = np.cross(z_b, w_z)
+            c = float(z_b @ w_z)
+            if np.linalg.norm(v) < 1e-12:
+                q0 = np.array([1.0, 0, 0, 0])
+            else:
+                axis = v / np.linalg.norm(v)
+                ang = np.arctan2(np.linalg.norm(v), c)
+                q0 = np.asarray(lie.quat_exp(jnp.asarray(axis * ang)))
         self.x = self.x._replace(
             q=self.x.q.at[0].set(jnp.asarray(q0)),
             bg=self.x.bg.at[0].set(jnp.asarray(mean_gyr)),
@@ -248,6 +282,10 @@ class Estimator:
         d[s0:s0 + 3] = 1e1          # velocity
         d[s0 + 3:s0 + 6] = 1e1      # ba
         d[s0 + 6:s0 + 9] = 1e2      # bg
+        if self.cfg.use_mag_correct_yaw:
+            # mag-bias prior, weight 1 (InitialFactor33 via sqrt_info_pose4,
+            # swf_core.cpp:531-537) — without it the (bias, yaw) pair drifts
+            d[lay.mag_off:lay.mag_off + 3] = 1.0
         np.fill_diagonal(J, d)
         self.prior = MargPrior(
             J=jnp.asarray(J), r0=jnp.zeros(lay.dim),
@@ -463,14 +501,26 @@ class Estimator:
                 m[lay.pb_idx(slot)] = True
         if self.cfg.estimate_extrinsic:
             m[lay.ext_off:lay.ext_off + 12] = True
+        if self.cfg.use_mag_correct_yaw:
+            m[lay.mag_off:lay.mag_off + 3] = True
         return jnp.asarray(m)
+
+    def _mag_inputs(self):
+        use = self.cfg.use_mag_correct_yaw
+        valid = self.frame_mag_valid.copy()
+        valid[self.frame_count:] = False
+        if not use:
+            valid[:] = False
+        return (jnp.asarray(np.arange(self.cfg.nf, dtype=np.int32)),
+                jnp.asarray(self.frame_mag), jnp.asarray(valid))
 
     def _optimize(self):
         inputs = self._factor_inputs()
         gnss_inputs = self._gnss_factor_inputs()
         free = self._free_mask()
         solve = self._jit_solve()
-        res = solve(self.x, self.prior, free, *inputs, *gnss_inputs)
+        res = solve(self.x, self.prior, free, *inputs, *gnss_inputs,
+                    *self._mag_inputs())
         self.x = res.state
         self.last_solve = res
         # keep the host-side landmark mirror in sync for depth gating
@@ -487,7 +537,8 @@ class Estimator:
             R_e = self._R_e
 
             def eval_fn_factory(prior, pre_stack, pre_valid, f_ids, l_ids,
-                                xy, ovalid, b_pr, b_cp, b_dopp):
+                                xy, ovalid, b_pr, b_cp, b_dopp,
+                                mag_f, mag_m, mag_v):
                 def eval_fn(state):
                     batches = [
                         imu_factor_batch(state, pre_stack, pbg, g_world,
@@ -498,6 +549,7 @@ class Estimator:
                         spp_pseudorange_batch(state, b_pr, R_e),
                         spp_carrier_phase_batch(state, b_cp, R_e),
                         doppler_batch(state, b_dopp, R_e),
+                        mag_factor_batch(state, mag_f, mag_m, mag_v),
                     ]
                     H, g, cost = assemble(batches, lay.dim)
                     Hp, gp, cp = prior.hessian_contrib(state)
@@ -506,10 +558,10 @@ class Estimator:
 
             @jax.jit
             def solve(state, prior, free, pre_stack, pre_valid, f_ids, l_ids,
-                      xy, ovalid, b_pr, b_cp, b_dopp):
+                      xy, ovalid, b_pr, b_cp, b_dopp, mag_f, mag_m, mag_v):
                 eval_fn = eval_fn_factory(prior, pre_stack, pre_valid, f_ids,
                                           l_ids, xy, ovalid, b_pr, b_cp,
-                                          b_dopp)
+                                          b_dopp, mag_f, mag_m, mag_v)
                 # dense path: the marginalization prior couples landmarks,
                 # so the block-diagonal Schur shortcut does not apply here
                 return dogleg_solve(
@@ -822,9 +874,12 @@ class Estimator:
                 self.pre[k] = self.pre[k + 1]
             self.pre[self.cfg.nf - 2] = None
             self.features.remove_frame(drop, self.cfg.nf - 1)
-        # frame-type and GNSS-store bookkeeping follow the same shift
+        # frame-type, mag, and GNSS-store bookkeeping follow the same shift
         self.frame_is_gnss[drop:-1] = self.frame_is_gnss[drop + 1:]
         self.frame_is_gnss[-1] = False
+        self.frame_mag[drop:-1] = self.frame_mag[drop + 1:]
+        self.frame_mag_valid[drop:-1] = self.frame_mag_valid[drop + 1:]
+        self.frame_mag_valid[-1] = False
         self.gnss_store[drop:self.cfg.nf - 1] = \
             self.gnss_store[drop + 1:self.cfg.nf]
         self.gnss_store[self.cfg.nf - 1] = None

@@ -42,6 +42,12 @@ class SimConfig:
     dop_noise: float = 0.0         # doppler [m/s]
     ba: np.ndarray = field(default_factory=lambda: np.zeros(3))
     bg: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    # magnetometer: world field in ENU (north + down component) and noise
+    mag_world: np.ndarray = field(
+        default_factory=lambda: np.array([0.0, 0.35, -0.25]))
+    mag_noise: float = 0.0
+    # constant initial yaw offset [rad] (tests mag-based yaw init)
+    yaw0: float = 0.0
     # receiver clock offset [m] and drift [m/s]
     clk0: float = 40.0
     clk_drift: float = 1.5
@@ -62,6 +68,7 @@ class SimData:
     imu_t: np.ndarray     # (N,)
     acc: np.ndarray       # (N,3) body specific force + bias + noise
     gyr: np.ndarray       # (N,3)
+    mag: np.ndarray       # (N,3) magnetometer in body frame
     # truth at IMU times
     p: np.ndarray         # (N,3) local frame (z-up, relative to anchor)
     q: np.ndarray         # (N,4)
@@ -106,7 +113,7 @@ def _envelope(t, t0=1.0, ramp=3.0):
     return e, de, dde
 
 
-def _trajectory(t, rng):
+def _trajectory(t, rng, yaw0=0.0):
     """Smooth, excitation-rich trajectory: enveloped Lissajous position +
     wobbling attitude, starting at rest.  Analytic p, v, a, R, w_body.
     """
@@ -132,6 +139,7 @@ def _trajectory(t, rng):
     base = amp * np.sin(om * t[:, None] + ph)
     dbase = amp * om * np.cos(om * t[:, None] + ph)
     ypr = e * base
+    ypr[:, 0] += yaw0
     dypr = de * base + e * dbase
     yaw, pitch, roll = ypr[:, 0], ypr[:, 1], ypr[:, 2]
     dyaw, dpitch, droll = dypr[:, 0], dypr[:, 1], dypr[:, 2]
@@ -180,7 +188,7 @@ def simulate(cfg: SimConfig) -> SimData:
     n = int(cfg.duration * cfg.imu_rate) + 1
     t = np.arange(n) / cfg.imu_rate
 
-    p, v, a, R, w_body = _trajectory(t, rng)
+    p, v, a, R, w_body = _trajectory(t, rng, cfg.yaw0)
     q = np.asarray(lie.rot_to_quat(jnp.asarray(R)))
     g_vec = np.array([0.0, 0.0, -cfg.g])
 
@@ -193,6 +201,11 @@ def simulate(cfg: SimConfig) -> SimData:
         gyr = gyr + rng.normal(0, cfg.gyr_noise * np.sqrt(cfg.imu_rate), gyr.shape)
     acc = acc + cfg.ba
     gyr = gyr + cfg.bg
+
+    # magnetometer: world field rotated into body (+ noise)
+    mag = np.einsum("nji,j->ni", R, cfg.mag_world)
+    if cfg.mag_noise > 0:
+        mag = mag + rng.normal(0, cfg.mag_noise, mag.shape)
 
     # camera frames
     stride = max(1, int(round(cfg.imu_rate / cfg.cam_rate)))
@@ -297,7 +310,7 @@ def simulate(cfg: SimConfig) -> SimData:
                              + rng.normal(0, cfg.cp_noise * 0.5))
 
     return SimData(
-        cfg=cfg, imu_t=t, acc=acc, gyr=gyr, p=p, q=q, v=v,
+        cfg=cfg, imu_t=t, acc=acc, gyr=gyr, mag=mag, p=p, q=q, v=v,
         cam_t=cam_t, cam_idx=cam_idx, landmarks=landmarks,
         obs_xy=obs_xy, obs_valid=obs_valid,
         gnss_t=gnss_t, gnss_idx=gnss_idx, sat_pos=sat_pos, sat_vel=sat_vel,

@@ -1,0 +1,82 @@
+import os
+
+import numpy as np
+
+from rtk_visual_inertial_navigation_tpu.io import (ResultWriter,
+                                                   evaluate_trajectory)
+from rtk_visual_inertial_navigation_tpu.io.config_compat import (
+    load_reference_config)
+from rtk_visual_inertial_navigation_tpu.io.writer import HEADER
+
+
+def test_result_writer_schema(tmp_path):
+    p = tmp_path / "out.csv"
+    w = ResultWriter(str(p))
+    w.write(t=1.5, p=[1, 2, 3], q=[1, 0, 0, 0], v=[0.1, 0.2, 0.3],
+            ba=[0, 0, 0], bg=[0, 0, 0], rtk_fix=1, havegps=1)
+    lines = p.read_text().strip().split("\n")
+    assert lines[0] == HEADER
+    vals = lines[1].split(",")
+    assert len(vals) == len(HEADER.split(","))
+    assert vals[0] == "1500000000"
+    np.testing.assert_allclose(float(vals[1]), 1.0)
+
+
+def test_writer_readable_by_pandas_like_reference(tmp_path):
+    import pandas as pd
+    p = tmp_path / "out.csv"
+    w = ResultWriter(str(p))
+    for k in range(5):
+        w.write(t=k * 0.0025, p=[k, 0, 0], q=[1, 0, 0, 0], v=[0, 0, 0],
+                ba=[0, 0, 0], bg=[0, 0, 0])
+    df = pd.read_csv(p)
+    # the reference's evaluate.py consumes these exact columns
+    for col in ("time", "px", "py", "pz", "yaw", "pitch", "roll"):
+        assert col in df.columns
+    assert len(df) == 5
+
+
+def test_evaluate_metrics():
+    t = np.linspace(0, 10, 4001)
+    p_est = np.stack([t, 2 * t, 0 * t], -1)
+    # ground truth offset by constant bias: plane/height RMSE vanish after
+    # mean alignment; 3-D MAE equals the bias norm
+    bias = np.array([0.3, -0.4, 1.2])
+    m = evaluate_trajectory(t, p_est, t[::40], p_est[::40] - bias,
+                            align=True)
+    assert m.n_associated == len(t[::40])
+    assert m.plane_rmse < 1e-12 and m.height_rmse < 1e-12
+    np.testing.assert_allclose(m.mae_3d, np.linalg.norm(bias), rtol=1e-12)
+    # association tolerance: sparse estimates + offset gt find nothing
+    t_sparse = np.arange(0, 10, 0.1)
+    p_sparse = np.zeros((len(t_sparse), 3))
+    m2 = evaluate_trajectory(t_sparse, p_sparse, t_sparse + 0.02,
+                             p_sparse)
+    assert m2.n_associated == 0
+
+
+def test_load_reference_yaml_modes():
+    base = "/root/reference/yaml"
+    rtk = load_reference_config(f"{base}/rtk_visual_inertial_config.yaml")
+    assert rtk.use_gnss and rtk.use_rtk and rtk.use_rtd and rtk.use_n_resolve
+    assert not rtk.use_spp_phase
+    np.testing.assert_allclose(
+        rtk.anchor_ecef, [-2323932.39454, 5387298.51324, 2493096.51920])
+    np.testing.assert_allclose(rtk.pbg, [-0.0051302024, 0.0091942546,
+                                         0.308739733])
+    assert rtk.imu_noise.acc_n == 0.05
+    # ENU rotation is orthonormal and maps up to radial direction
+    R = rtk.enu_to_ecef
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
+    up = rtk.anchor_ecef / np.linalg.norm(rtk.anchor_ecef)
+    assert R[:, 2] @ up > 0.99
+
+    vi = load_reference_config(f"{base}/visual_inertial_config.yaml")
+    assert not vi.use_gnss and not vi.use_rtk
+    spp = load_reference_config(f"{base}/spp_visual_inertial_config.yaml")
+    assert spp.use_gnss and not spp.use_rtk and spp.use_spp_correction
+    sppcp = load_reference_config(
+        f"{base}/spp_CP_visual_inertial_config.yaml")
+    assert sppcp.use_spp_phase
+    rtd = load_reference_config(f"{base}/rtd_visual_inertial_config.yaml")
+    assert rtd.use_rtd and not rtd.use_n_resolve

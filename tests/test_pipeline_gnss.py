@@ -126,3 +126,40 @@ def test_rtk_vi_integer_fix(sim):
         i = np.argmin(np.abs(sim.imu_t - t))
         errs.append(np.linalg.norm(p - sim.p[i]))
     assert max(errs) < 0.02, max(errs)
+
+
+def test_mag_yaw_init_enables_gnss_with_yaw_offset():
+    """With a nonzero true initial yaw, gravity-only init (yaw=0) breaks the
+    GNSS/vision consistency; TRIAD init from the magnetometer fixes it
+    (USE_MAG_INIT_YAW semantics)."""
+    import jax.numpy as jnp
+    from rtk_visual_inertial_navigation_tpu.ops import lie as _lie
+    sim2 = simulate(SimConfig(duration=8.0, imu_rate=200.0, cam_rate=2.0,
+                              gnss_rate=2.0, n_landmarks=60, n_sats=10,
+                              seed=3, yaw0=0.7))
+    cfg = spp_cfg(sim2, use_mag=True, use_mag_correct_yaw=True)
+    est = Estimator(cfg)
+    ids = np.arange(sim2.landmarks.shape[0])
+    cam_ptr, g_ptr = 0, 0
+    for i, t in enumerate(sim2.imu_t):
+        est.process_imu(t, sim2.acc[i], sim2.gyr[i])
+        if i % 10 == 0:
+            est.process_mag(t, sim2.mag[i])
+        if g_ptr < len(sim2.gnss_idx) and sim2.gnss_idx[g_ptr] == i:
+            est.process_gnss(gnss_epoch_of(sim2, g_ptr))
+            g_ptr += 1
+        if cam_ptr < len(sim2.cam_idx) and sim2.cam_idx[cam_ptr] == i:
+            vis = sim2.obs_valid[cam_ptr]
+            est.process_image(t, ids[vis], sim2.obs_xy[cam_ptr][vis])
+            cam_ptr += 1
+    # initial attitude must include the yaw offset (TRIAD from mag)
+    errs = [np.linalg.norm(p - sim2.p[np.argmin(np.abs(sim2.imu_t - t))])
+            for (t, p, q, v) in est.trajectory]
+    errs = np.asarray(errs)
+    assert errs[len(errs) // 2:].max() < 0.1, errs.max()
+    # yaw tracked: last frame attitude matches truth
+    fi = est.frame_count - 1
+    i = np.argmin(np.abs(sim2.imu_t - est.frame_times[fi]))
+    dth = np.asarray(_lie.quat_boxminus(
+        jnp.asarray(np.asarray(est.x.q[fi])), jnp.asarray(sim2.q[i])))
+    assert np.linalg.norm(dth) < 0.02, dth
