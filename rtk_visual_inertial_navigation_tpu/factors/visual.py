@@ -88,26 +88,89 @@ def projection_factor_batch(state: WindowState, frame_ids, cam_ids, lm_ids,
     return FactorBatch(res * m[:, None], jac * m[:, None, None], gidx, valid)
 
 
+def _invdepth_transform(p_i, q_i, p_j, q_j, te_i, qe_i, te_j, qe_j,
+                        inv_dep, pts_i, pbg):
+    """Inverse-depth point hosted in camera (te_i,qe_i) at frame i, observed
+    by camera (te_j,qe_j) at frame j."""
+    pts_cam_i = pts_i / inv_dep
+    pts_imu_i = lie.quat_rotate(qe_i, pts_cam_i) + te_i - pbg
+    pts_w = lie.quat_rotate(q_i, pts_imu_i) + p_i
+    pts_imu_j = lie.quat_rotate_inv(q_j, pts_w - p_j)
+    return lie.quat_rotate_inv(qe_j, pts_imu_j + pbg - te_j)
+
+
 def _single_proj_invdepth(p_i, q_i, p_j, q_j, tic, qic, inv_dep,
                           pts_i, pts_j_xy, pbg, weight):
     """Inverse-depth, two frames, one camera; tangent = [pose_i6, pose_j6,
     ext6, invdepth1]. Semantics of ProjectionTwoFrameOneCamFactor."""
 
     def res_fn(t):
-        dpi, dthi = t[0:3], t[3:6]
-        dpj, dthj = t[6:9], t[9:12]
-        dte, dthe = t[12:15], t[15:18]
-        did = t[18]
-        qi = lie.quat_boxplus(q_i, dthi)
-        qj = lie.quat_boxplus(q_j, dthj)
-        te, qe = tic + dte, lie.quat_boxplus(qic, dthe)
-        lam = inv_dep + did
-        pts_cam_i = pts_i / lam
-        pts_imu_i = lie.quat_rotate(qe, pts_cam_i) + te - pbg
-        pts_w = lie.quat_rotate(qi, pts_imu_i) + (p_i + dpi)
-        pts_imu_j = lie.quat_rotate_inv(qj, pts_w - (p_j + dpj))
-        pts_cam_j = lie.quat_rotate_inv(qe, pts_imu_j + pbg - te)
-        return weight * (pts_cam_j[0:2] / _safe_z(pts_cam_j[2]) - pts_j_xy)
+        qi = lie.quat_boxplus(q_i, t[3:6])
+        qj = lie.quat_boxplus(q_j, t[9:12])
+        te, qe = tic + t[12:15], lie.quat_boxplus(qic, t[15:18])
+        pc = _invdepth_transform(p_i + t[0:3], qi, p_j + t[6:9], qj,
+                                 te, qe, te, qe, inv_dep + t[18], pts_i, pbg)
+        return weight * (pc[0:2] / _safe_z(pc[2]) - pts_j_xy)
 
     zero = jnp.zeros((19,), dtype=p_i.dtype)
     return res_fn(zero), jax.jacfwd(res_fn)(zero)
+
+
+def _single_proj_invdepth_stereo_cross(p_i, q_i, p_j, q_j, tic, qic,
+                                       tic2, qic2, inv_dep, pts_i, pts_j_xy,
+                                       pbg, weight):
+    """Two frames, two cameras (host cam0 at i, observed by cam1 at j);
+    tangent = [pose_i6, pose_j6, ext0_6, ext1_6, invdepth1] —
+    ProjectionTwoFrameTwoCamFactor (projection_factor.cpp:77-168)."""
+
+    def res_fn(t):
+        qi = lie.quat_boxplus(q_i, t[3:6])
+        qj = lie.quat_boxplus(q_j, t[9:12])
+        te0, qe0 = tic + t[12:15], lie.quat_boxplus(qic, t[15:18])
+        te1, qe1 = tic2 + t[18:21], lie.quat_boxplus(qic2, t[21:24])
+        pc = _invdepth_transform(p_i + t[0:3], qi, p_j + t[6:9], qj,
+                                 te0, qe0, te1, qe1, inv_dep + t[24],
+                                 pts_i, pbg)
+        return weight * (pc[0:2] / _safe_z(pc[2]) - pts_j_xy)
+
+    zero = jnp.zeros((25,), dtype=p_i.dtype)
+    return res_fn(zero), jax.jacfwd(res_fn)(zero)
+
+
+def _single_proj_invdepth_stereo_same(tic, qic, tic2, qic2, inv_dep,
+                                      pts_i, pts_j_xy, weight):
+    """Same frame, two cameras; tangent = [ext0_6, ext1_6, invdepth1] —
+    ProjectionOneFrameTwoCamFactor (projection_factor.cpp:269-330).
+    Frame pose cancels, so only extrinsics + depth appear."""
+
+    def res_fn(t):
+        te0, qe0 = tic + t[0:3], lie.quat_boxplus(qic, t[3:6])
+        te1, qe1 = tic2 + t[6:9], lie.quat_boxplus(qic2, t[9:12])
+        pts_cam_i = pts_i / (inv_dep + t[12])
+        pts_imu = lie.quat_rotate(qe0, pts_cam_i) + te0
+        pc = lie.quat_rotate_inv(qe1, pts_imu - te1)
+        return weight * (pc[0:2] / _safe_z(pc[2]) - pts_j_xy)
+
+    zero = jnp.zeros((13,), dtype=tic.dtype)
+    return res_fn(zero), jax.jacfwd(res_fn)(zero)
+
+
+def invdepth_factor_batch(state: WindowState, host_ids, obs_ids, cam_ids,
+                          inv_depths, pts_host, meas_xy, valid, pbg,
+                          weight=PROJ_SQRT_INFO):
+    """Batched two-frame-one-cam inverse-depth factors (USE_INVERSE_DEPTH=1
+    parameterization).  ``inv_depths`` is a (B,) gather of the per-landmark
+    inverse depth state the caller maintains; the returned jacobian column
+    for it is the factor's last column.
+
+    Returns (res (B,2), jac (B,2,19)) — callers scatter columns themselves
+    because the inverse-depth state lives outside the standard landmark
+    layout (full pipeline wiring of this parameterization is follow-up
+    work; the evaluators are complete and tested)."""
+    f = jax.vmap(
+        lambda hi, oi, c, idep, ph, m: _single_proj_invdepth(
+            state.p[hi], state.q[hi], state.p[oi], state.q[oi],
+            state.tic[c], state.qic[c], idep, ph, m, pbg, weight))
+    res, jac = f(host_ids, obs_ids, cam_ids, inv_depths, pts_host, meas_xy)
+    m = valid.astype(res.dtype)
+    return res * m[:, None], jac * m[:, None, None]

@@ -1,0 +1,169 @@
+"""Feature detection and pyramidal LK optical flow as batched JAX ops.
+
+TPU-native re-design of FeatureTracker (rvi/feature/feature_tracker.cpp):
+  - Shi-Tomasi response (min eigenvalue of the structure tensor) computed
+    densely with separable box filters; greedy top-K selection with a
+    MIN_DIST suppression disk (goodFeaturesToTrack + mask semantics,
+    feature_tracker.cpp:44-71,150-165) as a fixed-K fori_loop;
+  - pyramidal Lucas-Kanade with fixed iteration counts and bilinear patch
+    sampling via map_coordinates, batched over features with vmap
+    (cv::calcOpticalFlowPyrLK analog, :98-141);
+  - forward-backward consistency check (FLOW_BACK, :119-130).
+
+Everything is static-shape: K feature slots with validity masks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.ndimage import map_coordinates
+
+
+def _box_filter(img, r):
+    """(2r+1)² box sum via separable cumsum differences."""
+    def along(a, axis):
+        c = jnp.cumsum(a, axis=axis)
+        pad = [(0, 0), (0, 0)]
+        pad[axis] = (r + 1, r)
+        cp = jnp.pad(c, pad)
+        n = a.shape[axis]
+        hi = jax.lax.slice_in_dim(cp, 2 * r + 1, 2 * r + 1 + n, axis=axis)
+        lo = jax.lax.slice_in_dim(cp, 0, n, axis=axis)
+        return hi - lo
+
+    return along(along(img, 0), 1)
+
+
+def gradients(img):
+    gx = jnp.zeros_like(img)
+    gx = gx.at[:, 1:-1].set(0.5 * (img[:, 2:] - img[:, :-2]))
+    gy = jnp.zeros_like(img)
+    gy = gy.at[1:-1, :].set(0.5 * (img[2:, :] - img[:-2, :]))
+    return gx, gy
+
+
+def shi_tomasi_response(img, win: int = 2):
+    gx, gy = gradients(img)
+    sxx = _box_filter(gx * gx, win)
+    syy = _box_filter(gy * gy, win)
+    sxy = _box_filter(gx * gy, win)
+    tr = 0.5 * (sxx + syy)
+    det = jnp.sqrt(jnp.maximum((0.5 * (sxx - syy)) ** 2 + sxy ** 2, 0.0))
+    return tr - det          # min eigenvalue
+
+
+def select_features(response, k: int, min_dist: int, border: int = 8,
+                    mask=None):
+    """Greedy top-K with MIN_DIST suppression. Returns (xy (K,2), ok (K,))."""
+    H, W = response.shape
+    r = response
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    inb = ((yy >= border) & (yy < H - border)
+           & (xx >= border) & (xx < W - border))
+    r = jnp.where(inb, r, -jnp.inf)
+    if mask is not None:
+        r = jnp.where(mask, r, -jnp.inf)
+
+    def body(i, carry):
+        r, pts, ok = carry
+        idx = jnp.argmax(r)
+        y, x = idx // W, idx % W
+        good = r[y, x] > 1e-6
+        pts = pts.at[i].set(jnp.stack([x, y]).astype(response.dtype))
+        ok = ok.at[i].set(good)
+        supp = ((yy - y) ** 2 + (xx - x) ** 2) <= min_dist * min_dist
+        r = jnp.where(supp, -jnp.inf, r)
+        return r, pts, ok
+
+    pts0 = jnp.zeros((k, 2), response.dtype)
+    ok0 = jnp.zeros((k,), bool)
+    _, pts, ok = jax.lax.fori_loop(0, k, body, (r, pts0, ok0))
+    return pts, ok
+
+
+def build_pyramid(img, levels: int):
+    pyr = [img]
+    for _ in range(levels - 1):
+        a = pyr[-1]
+        H, W = a.shape
+        a = a[: H - H % 2, : W - W % 2]
+        pyr.append(0.25 * (a[0::2, 0::2] + a[1::2, 0::2]
+                           + a[0::2, 1::2] + a[1::2, 1::2]))
+    return pyr
+
+
+def _patch(img, center_xy, r):
+    """Bilinear (2r+1)² patch around center (x, y)."""
+    d = jnp.arange(-r, r + 1, dtype=img.dtype)
+    yy = center_xy[1] + d[:, None] + 0.0 * d[None, :]
+    xx = center_xy[0] + 0.0 * d[:, None] + d[None, :]
+    return map_coordinates(img, [yy, xx], order=1, mode="nearest")
+
+
+def _lk_level(img0, img1, pt0, guess, r, iters):
+    """One pyramid level of LK for one feature; returns refined flow."""
+    T = _patch(img0, pt0, r)
+    gx = 0.5 * (_patch(img0, pt0 + jnp.asarray([1.0, 0.0], img0.dtype), r)
+                - _patch(img0, pt0 - jnp.asarray([1.0, 0.0], img0.dtype), r))
+    gy = 0.5 * (_patch(img0, pt0 + jnp.asarray([0.0, 1.0], img0.dtype), r)
+                - _patch(img0, pt0 - jnp.asarray([0.0, 1.0], img0.dtype), r))
+    a11 = jnp.sum(gx * gx)
+    a12 = jnp.sum(gx * gy)
+    a22 = jnp.sum(gy * gy)
+    det = a11 * a22 - a12 * a12
+    ok = det > 1e-6
+    det = jnp.where(ok, det, 1.0)
+
+    def step(_, d):
+        P = _patch(img1, pt0 + d, r)
+        e = P - T
+        b1 = jnp.sum(e * gx)
+        b2 = jnp.sum(e * gy)
+        dx = (a22 * b1 - a12 * b2) / det
+        dy = (a11 * b2 - a12 * b1) / det
+        return d - jnp.stack([dx, dy])
+
+    d = jax.lax.fori_loop(0, iters, step, guess)
+    return d, ok
+
+
+def lk_track(pyr0, pyr1, pts, valid, win: int = 7, iters: int = 10):
+    """Track points from pyramid pyr0 to pyr1 (coarse-to-fine).
+
+    Args:
+      pyr0, pyr1: lists of images (level 0 = full resolution).
+      pts: (K,2) pixel coordinates in level 0; valid: (K,) mask.
+    Returns (new_pts (K,2), ok (K,)).
+    """
+    levels = len(pyr0)
+    r = win // 2
+
+    def track_one(pt, v):
+        d = jnp.zeros(2, dtype=pt.dtype)
+        ok = v
+        for lv in range(levels - 1, -1, -1):
+            scale = 2.0 ** lv
+            d_lv, ok_lv = _lk_level(pyr0[lv], pyr1[lv], pt / scale,
+                                    d / scale, r, iters)
+            d = d_lv * scale
+            ok = ok & ok_lv
+        new = pt + d
+        H, W = pyr0[0].shape
+        inb = ((new[0] >= 2) & (new[0] < W - 2)
+               & (new[1] >= 2) & (new[1] < H - 2))
+        return new, ok & inb
+
+    return jax.vmap(track_one)(pts, valid)
+
+
+def lk_track_fb(pyr0, pyr1, pts, valid, win: int = 7, iters: int = 10,
+                fb_thresh: float = 0.5):
+    """LK with the forward-backward consistency check (FLOW_BACK)."""
+    fwd, ok1 = lk_track(pyr0, pyr1, pts, valid, win, iters)
+    back, ok2 = lk_track(pyr1, pyr0, fwd, ok1, win, iters)
+    dist = jnp.linalg.norm(back - pts, axis=-1)
+    return fwd, ok1 & ok2 & (dist < fb_thresh)

@@ -51,6 +51,7 @@ class GnssEpoch:
     dopp_std: np.ndarray      # (S,)
     slip: np.ndarray          # (S,) bool receiver cycle-slip flag
     br_time_diff: float = 1.0  # rover-base age [s] (RTK weighting)
+    pr0: Optional[np.ndarray] = None  # (S,) SPP_P0 correction channel [m]
 
 
 class PhaseBiasTable:
@@ -79,13 +80,18 @@ class PhaseBiasTable:
         """
         k = (kind, int(sat), int(freq))
         slot = self._map.get(k)
+        avoid = -1
         if slot is not None:
             stale = (t - self.last_seen[slot]) > STALENESS_S
             if slip or stale:
                 self._free(slot)
+                avoid = slot  # a fresh ambiguity must get a DIFFERENT slot:
+                # the marginalization prior may still hold columns for the
+                # old one, and those are only purged once the old slot is
+                # seen inactive by the estimator's prior-maintenance sweep
                 slot = None
         if slot is None:
-            slot = self._alloc(k, t)
+            slot = self._alloc(k, t, avoid=avoid)
             if slot < 0:
                 return -1, False
             self.sys[slot] = sys
@@ -95,13 +101,16 @@ class PhaseBiasTable:
         self.continuity[slot] += 1
         return slot, False
 
-    def _alloc(self, k, t) -> int:
-        free = np.flatnonzero(~self.active)
+    def _alloc(self, k, t, avoid: int = -1) -> int:
+        free = [s for s in np.flatnonzero(~self.active) if s != avoid]
         if len(free) == 0:
-            # evict the stalest slot
-            slot = int(np.argmin(self.last_seen))
+            # evict the stalest slot (other than the avoided one)
+            order = np.argsort(self.last_seen)
+            slot = next((int(s) for s in order if s != avoid), -1)
+            if slot < 0:
+                return -1
             self._free(slot)
-            free = np.flatnonzero(~self.active)
+            free = [s for s in np.flatnonzero(~self.active) if s != avoid]
             if len(free) == 0:
                 return -1
         slot = int(free[0])
@@ -119,6 +128,20 @@ class PhaseBiasTable:
             self._map.pop(k, None)
         self.active[slot] = False
         self.key[slot] = None
+
+    def reallocate(self, slot: int, t: float) -> int:
+        """Force a cycle slip on an existing slot: free it and allocate a
+        fresh one for the same (kind, sat, freq). Returns the new slot."""
+        k = self.key[slot]
+        if k is None:
+            return -1
+        sys = int(self.sys[slot])
+        self._free(slot)
+        new = self._alloc(k, t, avoid=slot)
+        if new >= 0:
+            self.sys[new] = sys
+            self.freq[new] = k[2]
+        return new
 
     def prune_stale(self, t: float) -> np.ndarray:
         """Free slots unseen for STALENESS_S; returns freed slot indices."""
@@ -190,7 +213,8 @@ class GnssPreprocessor:
 
     def __init__(self, anchor_ecef: np.ndarray, nb_capacity: int,
                  use_rtk=False, use_rtd=False, use_spp_phase=False,
-                 use_doppler=True, initial_deweight_epochs: int = 100):
+                 use_doppler=True, use_spp_correction=False,
+                 initial_deweight_epochs: int = 100):
         self.anchor = np.asarray(anchor_ecef, dtype=np.float64)
         self.anchor_llh = np.asarray(earth.ecef_to_geodetic(self.anchor))
         self.bias = PhaseBiasTable(nb_capacity)
@@ -198,6 +222,7 @@ class GnssPreprocessor:
         self.use_rtd = use_rtd
         self.use_spp_phase = use_spp_phase
         self.use_doppler = use_doppler
+        self.use_spp_correction = use_spp_correction
         self.epoch_count = 0
         self.initial_deweight_epochs = initial_deweight_epochs
 
@@ -258,6 +283,19 @@ class GnssPreprocessor:
                 if slot >= 0:
                     z = ep.cp[i] * lam[i] - r0[i] - sag0[i]
                     w = spp_cp_weight(el[i], ep.cp_std[i] * lam[i])
+                    add(1, SPP_CLOCK_SLOT + sysf, slot, i, z, w, new)
+            # --- SPP pseudorange-correction channel (USE_SPP_CORRECTION,
+            # swf_core.cpp:174-186: SppCarrierPhaseFactor reused with z =
+            # SPP_P0 and its own per-sat bias estimating the correction) ---
+            if (self.use_spp_correction and hasattr(ep, "pr0")
+                    and np.isfinite(getattr(ep, "pr0")[i])
+                    and int(ep.freq[i]) == 0):
+                slot, new = self.bias.lookup("cor", ep.sat_id[i], ep.freq[i],
+                                             ep.t, bool(ep.slip[i]),
+                                             int(ep.sys[i]))
+                if slot >= 0:
+                    z = ep.pr0[i] - r0[i] - sag0[i]
+                    w = spp_cp_weight(el[i], ep.pr_std[i])
                     add(1, SPP_CLOCK_SLOT + sysf, slot, i, z, w, new)
             # --- RB-SD pseudorange (RTD, dual frequency) ---
             if self.use_rtd and np.isfinite(ep.rtk_pr[i]):

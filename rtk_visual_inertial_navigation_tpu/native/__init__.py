@@ -1,0 +1,122 @@
+"""Native (C++) runtime components, bound via ctypes.
+
+The hot compute path is JAX/XLA; the runtime around it — here the GNSS
+epoch wire codec replacing the reference's memcpy-into-struct ingest
+(rvi/main3.cpp:154-168) — is C++.  The shared library is compiled on first
+use with g++ (cached next to the source; rebuilt when the source changes).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_SRC = Path(__file__).parent / "mea_codec.cpp"
+NFREQ = 2
+
+
+def _build() -> Path:
+    tag = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    out = Path(__file__).parent / f"_mea_codec_{tag}.so"
+    if out.exists():
+        return out
+    # clean superseded builds
+    for old in Path(__file__).parent.glob("_mea_codec_*.so"):
+        old.unlink(missing_ok=True)
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           str(_SRC), "-o", str(out)]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return out
+
+
+_lib = None
+
+
+def _get_lib():
+    global _lib
+    if _lib is None:
+        _lib = ctypes.CDLL(str(_build()))
+        _lib.mea_count_epochs.restype = ctypes.c_longlong
+        _lib.mea_count_epochs.argtypes = [ctypes.c_char_p, ctypes.c_longlong]
+        _lib.mea_decode.restype = ctypes.c_int
+        _lib.mea_encode_epoch.restype = ctypes.c_longlong
+    return _lib
+
+
+def _ptr(a):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def decode_epochs(buf: bytes, max_obs: int = 64) -> dict:
+    """Decode a wire-format byte stream into struct-of-arrays numpy dict."""
+    lib = _get_lib()
+    n = lib.mea_count_epochs(buf, len(buf))
+    if n < 0:
+        raise ValueError("mea wire format error")
+    E, O, F = int(n), max_obs, NFREQ
+    out = {
+        "ros_time": np.zeros(E), "base_xyz": np.zeros((E, 3)),
+        "br_time_diff": np.zeros(E), "obs_count": np.zeros(E, np.int32),
+        "sat": np.zeros((E, O), np.int32), "sys": np.zeros((E, O), np.int32),
+        "svh": np.zeros((E, O), np.int32),
+        "sat_pos": np.zeros((E, O, 3)), "sat_vel": np.zeros((E, O, 3)),
+        "el": np.zeros((E, O)), "sat_var": np.zeros((E, O)),
+        "ion_var": np.zeros((E, O)), "trop_var": np.zeros((E, O)),
+    }
+    for k in ("spp_p", "spp_l", "spp_d", "spp_pstd", "spp_lstd", "spp_dstd",
+              "rtk_p", "rtk_l", "rtk_pstd", "rtk_lstd", "spp_p0"):
+        out[k] = np.zeros((E, O, F))
+    for k in ("rtk_slip", "spp_slip", "half_flag"):
+        out[k] = np.zeros((E, O, F), np.int32)
+
+    rc = lib.mea_decode(
+        buf, len(buf), O,
+        _ptr(out["ros_time"]), _ptr(out["base_xyz"]),
+        _ptr(out["br_time_diff"]), _ptr(out["obs_count"]),
+        _ptr(out["sat"]), _ptr(out["sys"]), _ptr(out["svh"]),
+        _ptr(out["sat_pos"]), _ptr(out["sat_vel"]), _ptr(out["el"]),
+        _ptr(out["sat_var"]), _ptr(out["ion_var"]), _ptr(out["trop_var"]),
+        _ptr(out["spp_p"]), _ptr(out["spp_l"]), _ptr(out["spp_d"]),
+        _ptr(out["spp_pstd"]), _ptr(out["spp_lstd"]), _ptr(out["spp_dstd"]),
+        _ptr(out["rtk_p"]), _ptr(out["rtk_l"]), _ptr(out["rtk_pstd"]),
+        _ptr(out["rtk_lstd"]), _ptr(out["spp_p0"]), _ptr(out["rtk_slip"]),
+        _ptr(out["spp_slip"]), _ptr(out["half_flag"]))
+    if rc != 0:
+        raise ValueError("mea decode failed")
+    return out
+
+
+def encode_epoch(ros_time: float, base_xyz, br_time_diff: float,
+                 obs: dict) -> bytes:
+    """Encode one epoch. ``obs`` holds per-obs arrays matching decode's
+    per-(epoch,obs[,freq]) fields without the epoch axis."""
+    lib = _get_lib()
+    n = int(len(obs["sat"]))
+    cap = 64 + n * 400
+    out = np.zeros(cap, np.uint8)
+
+    def arr(name, dtype=np.float64):
+        return np.ascontiguousarray(obs[name], dtype=dtype)
+
+    written = lib.mea_encode_epoch(
+        ctypes.c_double(ros_time),
+        _ptr(np.ascontiguousarray(base_xyz, dtype=np.float64)),
+        ctypes.c_double(br_time_diff), ctypes.c_int(n),
+        _ptr(arr("sat", np.int32)), _ptr(arr("sys", np.int32)),
+        _ptr(arr("svh", np.int32)), _ptr(arr("sat_pos")),
+        _ptr(arr("sat_vel")), _ptr(arr("el")), _ptr(arr("sat_var")),
+        _ptr(arr("ion_var")), _ptr(arr("trop_var")), _ptr(arr("spp_p")),
+        _ptr(arr("spp_l")), _ptr(arr("spp_d")), _ptr(arr("spp_pstd")),
+        _ptr(arr("spp_lstd")), _ptr(arr("spp_dstd")), _ptr(arr("rtk_p")),
+        _ptr(arr("rtk_l")), _ptr(arr("rtk_pstd")), _ptr(arr("rtk_lstd")),
+        _ptr(arr("spp_p0")), _ptr(arr("rtk_slip", np.int32)),
+        _ptr(arr("spp_slip", np.int32)), _ptr(arr("half_flag", np.int32)),
+        _ptr(out), ctypes.c_longlong(cap))
+    if written < 0:
+        raise ValueError("encode buffer too small")
+    return bytes(out[:written].tobytes())

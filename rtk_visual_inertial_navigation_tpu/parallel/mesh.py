@@ -29,6 +29,7 @@ from ..factors.inertial import imu_factor_batch
 from ..factors.priors import MargPrior
 from ..factors.visual import projection_factor_batch
 from ..solver import DoglegConfig, assemble, dogleg_solve
+from ..solver.structured import projection_assemble
 from .problems import VIWindowProblem
 
 
@@ -44,10 +45,14 @@ def _solve_one(prob: VIWindowProblem, lay: TangentLayout,
     def eval_fn(state):
         b_imu = imu_factor_batch(state, prob.pre, pbg, g_world,
                                  prob.pre_valid, W=prob.imu_W)
+        cam_ids = jnp.zeros_like(prob.f_ids)
         b_proj = projection_factor_batch(
-            state, prob.f_ids, jnp.zeros_like(prob.f_ids), prob.l_ids,
+            state, prob.f_ids, cam_ids, prob.l_ids,
             prob.obs_xy, prob.obs_valid, pbg)
-        H, g, cost = assemble([b_proj], lay.dim)
+        # block-structured assembly: no large scatter (8x faster on TPU
+        # than the generic scatter-add; see solver/structured.py)
+        H, g, cost = projection_assemble(lay, prob.f_ids, cam_ids,
+                                         prob.l_ids, b_proj.res, b_proj.jac)
         if axis_name is not None:
             # factor-parallel reduction: every fp-peer holds a shard of the
             # projection factors; priors/IMU are added post-psum once.

@@ -1,0 +1,150 @@
+"""Checkpoint / resume for the sliding-window estimator.
+
+The reference has none (state lives in RAM; restart = re-run the bag,
+SURVEY.md §5.4).  Here the full estimator state — window pytree, prior,
+preintegrations, feature table, GNSS bias table, frame bookkeeping — is a
+flat dict of numpy arrays + a JSON-able header, written as one ``.npz``.
+Resuming mid-stream continues bit-identically (tested).
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.state import WindowState
+from ..factors.priors import MargPrior
+from ..preintegration import Preintegrated
+from ..gnss.preprocess import PreparedEpoch
+from .estimator import Estimator
+
+_FMT_VERSION = 1
+_PREP_FIELDS = ("kind", "clk_slot", "pb_slot", "r0_unit", "r0", "sat_xy",
+                "sat_vel", "z", "wavelength", "weight", "new_bias")
+
+
+def save_checkpoint(est: Estimator, path: str):
+    arrays: dict[str, np.ndarray] = {}
+
+    def put_tree(prefix, tree):
+        for i, leaf in enumerate(jax.tree.leaves(tree)):
+            arrays[f"{prefix}{i}"] = np.asarray(leaf)
+
+    put_tree("x_", est.x)
+    put_tree("priorJ_", est.prior.J)
+    put_tree("priorR_", est.prior.r0)
+    put_tree("priorx0_", est.prior.x0)
+    put_tree("priorV_", est.prior.valid_rows)
+    pre_mask = [p is not None for p in est.pre]
+    for k, p in enumerate(est.pre):
+        if p is not None:
+            put_tree(f"pre{k}_", p)
+
+    ft = est.features
+    arrays.update(
+        ft_obs_xy=ft.obs_xy, ft_obs_mask=ft.obs_mask, ft_active=ft.active,
+        ft_solved=ft.solved, ft_point=ft.point, ft_feature_id=ft.feature_id,
+        frame_is_gnss=est.frame_is_gnss, frame_mag=est.frame_mag,
+        frame_mag_valid=est.frame_mag_valid,
+    )
+    # per-frame prepared GNSS epochs (factor rows still in the window)
+    gs_mask = []
+    for f, prep in enumerate(est.gnss_store):
+        gs_mask.append(prep is not None)
+        if prep is None:
+            continue
+        for name in _PREP_FIELDS:
+            arrays[f"gs{f}_{name}"] = np.asarray(getattr(prep, name))
+    header = {
+        "version": _FMT_VERSION,
+        "gs_mask": gs_mask,
+        "gs_n_usable": [int(p.n_usable) for p in est.gnss_store
+                        if p is not None],
+        "frame_count": est.frame_count,
+        "frame_times": est.frame_times,
+        "initialized": est.initialized,
+        "pre_mask": pre_mask,
+        "rtk_fixed": bool(est.rtk_fixed),
+        "fix_streak": est._fix_streak,
+        "nofix_streak": est._nofix_streak,
+        "imu_buf": [[t, a.tolist(), g.tolist()] for t, a, g in
+                    zip(est._imu_t, est._imu_acc, est._imu_gyr)],
+    }
+    if est.gnss is not None:
+        b = est.gnss.bias
+        arrays.update(bias_active=b.active, bias_value=b.value,
+                      bias_cont=b.continuity, bias_seen=b.last_seen,
+                      bias_sys=b.sys, bias_freq=b.freq)
+        header["bias_keys"] = [list(k) if k else None for k in b.key]
+        header["gnss_epoch_count"] = est.gnss.epoch_count
+    arrays["header"] = np.frombuffer(
+        json.dumps(header).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **arrays)
+
+
+def load_checkpoint(est: Estimator, path: str):
+    """Restore into a freshly-constructed Estimator (same config)."""
+    z = np.load(path, allow_pickle=False)
+    header = json.loads(bytes(z["header"].tobytes()).decode())
+    if header["version"] != _FMT_VERSION:
+        raise ValueError(f"checkpoint version {header['version']}")
+
+    def get_tree(prefix, template):
+        leaves, treedef = jax.tree.flatten(template)
+        new = [jnp.asarray(z[f"{prefix}{i}"]) for i in range(len(leaves))]
+        return jax.tree.unflatten(treedef, new)
+
+    est.x = get_tree("x_", est.x)
+    est.prior = MargPrior(
+        J=jnp.asarray(z["priorJ_0"]), r0=jnp.asarray(z["priorR_0"]),
+        x0=get_tree("priorx0_", est.x), valid_rows=jnp.asarray(z["priorV_0"]))
+    est.pre = [None] * (est.cfg.nf - 1)
+    for k, present in enumerate(header["pre_mask"]):
+        if present:
+            est.pre[k] = get_tree(f"pre{k}_", est._dummy_pre())
+
+    ft = est.features
+    ft.obs_xy = z["ft_obs_xy"].copy()
+    ft.obs_mask = z["ft_obs_mask"].copy()
+    ft.active = z["ft_active"].copy()
+    ft.solved = z["ft_solved"].copy()
+    ft.point = z["ft_point"].copy()
+    ft.feature_id = z["ft_feature_id"].copy()
+    ft._id_to_slot = {int(fid): int(s)
+                      for s, fid in enumerate(ft.feature_id) if fid >= 0}
+    est.frame_is_gnss = z["frame_is_gnss"].copy()
+    est.frame_mag = z["frame_mag"].copy()
+    est.frame_mag_valid = z["frame_mag_valid"].copy()
+    est.gnss_store = [None] * est.cfg.nf
+    usable = iter(header.get("gs_n_usable", []))
+    for f, present in enumerate(header.get("gs_mask", [])):
+        if present:
+            fields = {name: z[f"gs{f}_{name}"].copy()
+                      for name in _PREP_FIELDS}
+            est.gnss_store[f] = PreparedEpoch(n_usable=next(usable), **fields)
+
+    est.frame_count = header["frame_count"]
+    est.frame_times = list(header["frame_times"])
+    est.initialized = header["initialized"]
+    est.rtk_fixed = header["rtk_fixed"]
+    est._fix_streak = header["fix_streak"]
+    est._nofix_streak = header["nofix_streak"]
+    est._imu_t = [b[0] for b in header["imu_buf"]]
+    est._imu_acc = [np.asarray(b[1]) for b in header["imu_buf"]]
+    est._imu_gyr = [np.asarray(b[2]) for b in header["imu_buf"]]
+
+    if est.gnss is not None and "bias_active" in z:
+        b = est.gnss.bias
+        b.active = z["bias_active"].copy()
+        b.value = z["bias_value"].copy()
+        b.continuity = z["bias_cont"].copy()
+        b.last_seen = z["bias_seen"].copy()
+        b.sys = z["bias_sys"].copy()
+        b.freq = z["bias_freq"].copy()
+        b.key = [tuple(k) if k else None for k in header["bias_keys"]]
+        b._map = {k: s for s, k in enumerate(b.key) if k is not None}
+        est.gnss.epoch_count = header["gnss_epoch_count"]
+    return est

@@ -97,6 +97,7 @@ class Estimator:
                 cfg.anchor_ecef, cfg.nb, use_rtk=cfg.use_rtk,
                 use_rtd=cfg.use_rtd, use_spp_phase=cfg.use_spp_phase,
                 use_doppler=cfg.use_doppler,
+                use_spp_correction=cfg.use_spp_correction,
                 initial_deweight_epochs=cfg.initial_gnss_boost_epochs)
 
         # magnetometer (MagProcess buffering, rvi/swf/swf_imu.cpp:219-252)
@@ -175,6 +176,7 @@ class Estimator:
         self._select_mag(fidx, ep.t)
         self.frame_is_gnss[fidx] = True
         self.gnss_store[fidx] = prep
+        self._detect_cycle_slips(fidx, prep)
         self._init_new_biases(fidx, prep)
         if self.frame_count >= 3:
             self._optimize()
@@ -199,6 +201,54 @@ class Estimator:
         else:
             self._marginalize_oldest()
         self._sync_prior_with_features()
+
+    def _rho_at(self, fidx: int, prep: PreparedEpoch, rows: np.ndarray):
+        """Reduced range Δρ + local Sagnac at the predicted state (host)."""
+        from ..geodesy.earth import CLIGHT, OMGE
+        x_e = np.asarray(self.cfg.enu_to_ecef) @ np.asarray(self.x.p[fidx])
+        proj = prep.r0_unit[rows] @ x_e
+        t_ = 2.0 * proj + (x_e @ x_e) / prep.r0[rows]
+        delta = t_ / (1.0 + np.sqrt(np.maximum(1.0 + t_ / prep.r0[rows],
+                                               1e-12)))
+        sag = OMGE * (prep.sat_xy[rows, 0] * x_e[1]
+                      - prep.sat_xy[rows, 1] * x_e[0]) / CLIGHT
+        return delta + sag
+
+    def _detect_cycle_slips(self, fidx: int, prep: PreparedEpoch):
+        """Median-residual cycle-slip / outlier test per (sys,freq) cohort
+        (rvi/swf/swf_gnss.cpp:333-430): carrier-phase residuals at the
+        predicted state, deviation beyond λ/2 (RTK) or λ (SPP) from the
+        cohort median -> allocate a fresh bias slot."""
+        if self.frame_count < 3 or self.gnss is None:
+            return
+        clk = np.asarray(self.x.clk[fidx])
+        pb = np.asarray(self.x.phase_bias)
+        cp_rows = np.flatnonzero((prep.kind == 1) | (prep.kind == 3))
+        cp_rows = cp_rows[~prep.new_bias[cp_rows]]
+        if len(cp_rows) < 3:
+            return
+        rho = self._rho_at(fidx, prep, cp_rows)
+        resid = (rho + clk[prep.clk_slot[cp_rows]]
+                 - pb[prep.pb_slot[cp_rows]] * prep.wavelength[cp_rows]
+                 - prep.z[cp_rows])
+        bias_tab = self.gnss.bias
+        # cohorts keyed by (kind, sys*2+freq-ish clock slot)
+        cohort = prep.kind[cp_rows] * 16 + prep.clk_slot[cp_rows]
+        for c in np.unique(cohort):
+            sel = cohort == c
+            if sel.sum() < 2:
+                continue
+            med = np.median(resid[sel])
+            lam = prep.wavelength[cp_rows[sel]]
+            is_rtk = prep.kind[cp_rows[sel][0]] == 3
+            thresh = lam * (0.5 if is_rtk else 1.0)
+            bad = np.abs(resid[sel] - med) > thresh
+            for r in cp_rows[sel][bad]:
+                old = prep.pb_slot[r]
+                new = bias_tab.reallocate(int(old), self.frame_times[fidx])
+                if new >= 0:
+                    prep.pb_slot[r] = new
+                    prep.new_bias[r] = True
 
     def _init_new_biases(self, fidx: int, prep: PreparedEpoch):
         """Closed-form init of freshly-allocated ambiguities so their first

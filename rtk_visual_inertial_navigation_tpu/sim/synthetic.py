@@ -158,12 +158,13 @@ def _trajectory(t, rng, yaw0=0.0):
 
 
 def gnss_epoch_of(sim: "SimData", ei: int, pr_std=0.8, cp_std=0.01,
-                  dopp_std=0.1):
+                  dopp_std=0.1, pr0=None):
     """Adapter: one SimData epoch -> gnss.preprocess.GnssEpoch."""
     from ..gnss.preprocess import GnssEpoch
 
     S = sim.cfg.n_sats
     return GnssEpoch(
+        pr0=pr0,
         t=float(sim.gnss_t[ei]),
         sat_id=np.arange(S),
         sys=np.zeros(S, dtype=np.int64),

@@ -1,0 +1,112 @@
+"""Parallel (associative-scan) elimination of IMU-GNSS chains.
+
+The reference hides dozens of GNSS frames between two visual keyframes
+behind one dense cost function by a *sequential* rolling block elimination
+(IMUGNSSBase::Evaluate -> MargPose1/MoveHessianData, 15x15 GEMMs one frame
+at a time; rvi/factor/gnss_imu_factor.cpp:403-489).  On TPU the same math is
+a parallel prefix: the Schur condensation of a chain segment onto its two
+endpoint states is an *associative* operation, so condensing an n-frame
+chain is an `lax.associative_scan` of depth O(log n) over batched 15x15
+block algebra — MXU-friendly and O(n) total work.
+
+Element of the monoid: the quadratic form of a segment [i..j] reduced onto
+its endpoints,
+      ½ [xi; xj]ᵀ [Hii Hij; Hijᵀ Hjj] [xi; xj] − [bi; bj]ᵀ [xi; xj]
+(plus an accumulated constant, dropped — only derivatives matter).
+Composing [i..k]∘[k..j] eliminates the shared state x_k:
+      M = L.Hjj + R.Hii   (information of x_k from both sides)
+      Hii' = L.Hii − L.Hij M⁻¹ L.Hijᵀ        bi' = L.bi − L.Hij M⁻¹ m
+      Hjj' = R.Hjj − R.Hijᵀ M⁻¹ R.Hij        bj' = R.bj − R.Hijᵀ M⁻¹ m
+      Hij' = −L.Hij M⁻¹ R.Hij                m  = L.bj + R.bi
+The result equals dense marginalization of all interior states (tested).
+
+Leaves: one element per IMU factor (interval i -> i+1), with each state's
+unary (GNSS-epoch prior) block folded into the right endpoint of its
+incoming interval (and state 0's into leaf 0's left endpoint).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class ChainElem(NamedTuple):
+    Hii: jnp.ndarray   # (..., d, d)
+    Hij: jnp.ndarray
+    Hjj: jnp.ndarray
+    bi: jnp.ndarray    # (..., d)
+    bj: jnp.ndarray
+
+
+def _combine(L: ChainElem, R: ChainElem) -> ChainElem:
+    """Eliminate the shared middle state of two adjacent segments."""
+    d = L.Hii.shape[-1]
+    M = L.Hjj + R.Hii + 1e-12 * jnp.eye(d, dtype=L.Hii.dtype)
+    m = L.bj + R.bi
+    # solve once against [L.Hijᵀ | R.Hij | m]
+    rhs = jnp.concatenate(
+        [jnp.swapaxes(L.Hij, -1, -2), R.Hij, m[..., None]], axis=-1)
+    sol = jnp.linalg.solve(M, rhs)
+    X_L = sol[..., :d]             # M⁻¹ L.Hijᵀ
+    X_R = sol[..., d:2 * d]        # M⁻¹ R.Hij
+    x_m = sol[..., 2 * d]          # M⁻¹ m
+    Hii = L.Hii - L.Hij @ X_L
+    Hjj = R.Hjj - jnp.swapaxes(R.Hij, -1, -2) @ X_R
+    Hij = -L.Hij @ X_R
+    bi = L.bi - jnp.einsum("...ij,...j->...i", L.Hij, x_m)
+    bj = R.bj - jnp.einsum("...ij,...j->...i",
+                           jnp.swapaxes(R.Hij, -1, -2), x_m)
+    return ChainElem(Hii, Hij, Hjj, bi, bj)
+
+
+def make_leaves(H_pair_ii, H_pair_ij, H_pair_jj, b_pair_i, b_pair_j,
+                H_unary, b_unary) -> ChainElem:
+    """Build scan leaves from n-1 binary factors and n unary blocks.
+
+    Args:
+      H_pair_*: (n-1, d, d) blocks of each consecutive-state factor
+        (e.g. whitened-IMU JᵀJ split into ii/ij/jj blocks); b_pair_*: (n-1,d).
+      H_unary: (n, d, d) per-state information (GNSS epoch priors);
+        b_unary: (n, d).
+    """
+    n1 = H_pair_ii.shape[0]
+    Hii = H_pair_ii.at[0].add(H_unary[0])
+    Hjj = H_pair_jj + H_unary[1:]
+    bi = b_pair_i.at[0].add(b_unary[0])
+    bj = b_pair_j + b_unary[1:]
+    return ChainElem(Hii, H_pair_ij, Hjj, bi, bj)
+
+
+def condense_chain(leaves: ChainElem) -> ChainElem:
+    """Reduce the whole chain onto its endpoints in O(log n) depth."""
+    scanned = jax.lax.associative_scan(_combine, leaves)
+    return jax.tree.map(lambda x: x[-1], scanned)
+
+
+def condense_chain_sequential(leaves: ChainElem) -> ChainElem:
+    """Reference implementation: sequential left fold (the IMUGNSSBase
+    ordering) — used to validate the parallel scan."""
+    n1 = leaves.Hii.shape[0]
+    acc = jax.tree.map(lambda x: x[0], leaves)
+    for k in range(1, n1):
+        acc = _combine(acc, jax.tree.map(lambda x: x[k], leaves))
+    return acc
+
+
+def dense_chain_hessian(leaves: ChainElem, n: int, d: int):
+    """Materialize the full (n·d, n·d) chain Hessian/rhs (test oracle)."""
+    H = jnp.zeros((n * d, n * d), dtype=leaves.Hii.dtype)
+    b = jnp.zeros((n * d,), dtype=leaves.Hii.dtype)
+    for k in range(n - 1):
+        sl_i = slice(k * d, (k + 1) * d)
+        sl_j = slice((k + 1) * d, (k + 2) * d)
+        H = H.at[sl_i, sl_i].add(leaves.Hii[k])
+        H = H.at[sl_i, sl_j].add(leaves.Hij[k])
+        H = H.at[sl_j, sl_i].add(leaves.Hij[k].T)
+        H = H.at[sl_j, sl_j].add(leaves.Hjj[k])
+        b = b.at[sl_i].add(leaves.bi[k])
+        b = b.at[sl_j].add(leaves.bj[k])
+    return H, b

@@ -1,0 +1,81 @@
+"""Timing / profiling utilities.
+
+TicToc mirrors the reference's inline wall-clock profiler
+(rvi/utility/tic_toc.h:9-27); StageTimer adds the structured per-stage
+aggregation the reference approximates with printf running averages
+(swf_core.cpp:404-413), with correct device synchronization for JAX stages
+(a stage is only "done" after block_until_ready) and optional
+jax.profiler trace annotations.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+from typing import Optional
+
+import jax
+
+
+class TicToc:
+    def __init__(self):
+        self.tic()
+
+    def tic(self):
+        self._t0 = time.perf_counter()
+
+    def toc(self) -> float:
+        """Elapsed milliseconds since tic()."""
+        return (time.perf_counter() - self._t0) * 1e3
+
+
+class StageTimer:
+    """Aggregated per-stage timing with device sync.
+
+    Usage:
+        timer = StageTimer()
+        with timer.stage("solve", sync=result):
+            result = solve(...)
+        print(timer.report())
+    """
+
+    def __init__(self, use_jax_profiler: bool = False):
+        self.total_ms = defaultdict(float)
+        self.count = defaultdict(int)
+        self.use_jax_profiler = use_jax_profiler
+
+    @contextlib.contextmanager
+    def stage(self, name: str, sync=None):
+        cm = (jax.profiler.TraceAnnotation(name)
+              if self.use_jax_profiler else contextlib.nullcontext())
+        t0 = time.perf_counter()
+        with cm:
+            yield
+            if sync is not None:
+                jax.block_until_ready(sync)
+        dt = (time.perf_counter() - t0) * 1e3
+        self.total_ms[name] += dt
+        self.count[name] += 1
+
+    def mean_ms(self, name: str) -> float:
+        return self.total_ms[name] / max(self.count[name], 1)
+
+    def report(self) -> str:
+        lines = []
+        for name in sorted(self.total_ms, key=self.total_ms.get,
+                           reverse=True):
+            lines.append(
+                f"{name:24s} {self.mean_ms(name):9.2f} ms/call "
+                f"x{self.count[name]:5d} = {self.total_ms[name]:10.1f} ms")
+        return "\n".join(lines)
+
+
+@contextlib.contextmanager
+def device_trace(path: str):
+    """Capture an xprof trace of the enclosed block (jax.profiler)."""
+    jax.profiler.start_trace(path)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -1,0 +1,101 @@
+"""Parallel chain condensation vs dense marginalization and the sequential
+fold (the IMUGNSSBase-equivalent ordering)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtk_visual_inertial_navigation_tpu.solver.chain import (
+    ChainElem, condense_chain, condense_chain_sequential,
+    dense_chain_hessian, make_leaves)
+
+
+def random_chain(rng, n, d):
+    def spd(k):
+        A = rng.normal(size=(k, d, d))
+        return A @ np.swapaxes(A, -1, -2) + 2.0 * np.eye(d)
+
+    # binary factors: JᵀJ of a (d x 2d) jacobian per interval -> PSD 2d block
+    J = rng.normal(size=(n - 1, d, 2 * d))
+    Hf = np.einsum("kri,krj->kij", J, J)
+    H_pair_ii = Hf[:, :d, :d]
+    H_pair_ij = Hf[:, :d, d:]
+    H_pair_jj = Hf[:, d:, d:]
+    b_pair = np.einsum("kri,kr->ki", J, rng.normal(size=(n - 1, d)))
+    b_pair_i = b_pair[:, :d]
+    b_pair_j = b_pair[:, d:]
+    H_unary = spd(n) * 0.1
+    b_unary = rng.normal(size=(n, d))
+    return make_leaves(jnp.asarray(H_pair_ii), jnp.asarray(H_pair_ij),
+                       jnp.asarray(H_pair_jj), jnp.asarray(b_pair_i),
+                       jnp.asarray(b_pair_j), jnp.asarray(H_unary),
+                       jnp.asarray(b_unary))
+
+
+def marg_interior_dense(H, b, n, d):
+    """Oracle: Schur-complement away states 1..n-2."""
+    keep = np.r_[np.arange(d), np.arange((n - 1) * d, n * d)]
+    drop = np.arange(d, (n - 1) * d)
+    H = np.asarray(H)
+    b = np.asarray(b)
+    Hkk = H[np.ix_(keep, keep)]
+    Hkd = H[np.ix_(keep, drop)]
+    Hdd = H[np.ix_(drop, drop)]
+    bd = b[drop]
+    sol = np.linalg.solve(Hdd, np.c_[Hkd.T, bd])
+    H_star = Hkk - Hkd @ sol[:, :-1]
+    b_star = b[keep] - Hkd @ sol[:, -1]
+    return H_star, b_star
+
+
+def test_condense_matches_dense_marginalization():
+    rng = np.random.default_rng(0)
+    n, d = 9, 5
+    leaves = random_chain(rng, n, d)
+    H, b = dense_chain_hessian(leaves, n, d)
+    H_star, b_star = marg_interior_dense(H, b, n, d)
+
+    out = condense_chain(leaves)
+    H_out = np.block([[np.asarray(out.Hii), np.asarray(out.Hij)],
+                      [np.asarray(out.Hij).T, np.asarray(out.Hjj)]])
+    b_out = np.concatenate([np.asarray(out.bi), np.asarray(out.bj)])
+    np.testing.assert_allclose(H_out, H_star, atol=1e-8)
+    np.testing.assert_allclose(b_out, b_star, atol=1e-8)
+
+
+def test_parallel_equals_sequential():
+    rng = np.random.default_rng(1)
+    n, d = 32, 15
+    leaves = random_chain(rng, n, d)
+    par = condense_chain(leaves)
+    seq = condense_chain_sequential(leaves)
+    for a, b in zip(par, seq):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_condense_preserves_solution():
+    """Solving the condensed endpoint system + back-substituting is not
+    needed for this check: the endpoint marginal solution must equal the
+    endpoint components of the full chain solve."""
+    rng = np.random.default_rng(2)
+    n, d = 17, 6
+    leaves = random_chain(rng, n, d)
+    H, b = dense_chain_hessian(leaves, n, d)
+    x_full = np.linalg.solve(np.asarray(H), np.asarray(b))
+    out = condense_chain(leaves)
+    H_out = np.block([[np.asarray(out.Hii), np.asarray(out.Hij)],
+                      [np.asarray(out.Hij).T, np.asarray(out.Hjj)]])
+    b_out = np.concatenate([np.asarray(out.bi), np.asarray(out.bj)])
+    x_ends = np.linalg.solve(H_out, b_out)
+    np.testing.assert_allclose(x_ends[:d], x_full[:d], atol=1e-8)
+    np.testing.assert_allclose(x_ends[d:], x_full[-d:], atol=1e-8)
+
+
+def test_jit_and_batch():
+    rng = np.random.default_rng(3)
+    leaves = random_chain(rng, 16, 15)
+    batched = jax.tree.map(lambda x: jnp.stack([x, x * 1.1]), leaves)
+    out = jax.jit(jax.vmap(condense_chain))(batched)
+    assert out.Hii.shape == (2, 15, 15)
+    single = condense_chain(leaves)
+    np.testing.assert_allclose(out.Hii[0], single.Hii, atol=1e-9)

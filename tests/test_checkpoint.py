@@ -1,0 +1,54 @@
+"""Checkpoint mid-replay, resume in a fresh Estimator, and match the
+uninterrupted run exactly."""
+
+import numpy as np
+
+from rtk_visual_inertial_navigation_tpu.pipeline import Estimator
+from rtk_visual_inertial_navigation_tpu.pipeline.checkpoint import (
+    load_checkpoint, save_checkpoint)
+from rtk_visual_inertial_navigation_tpu.sim import SimConfig, simulate
+from rtk_visual_inertial_navigation_tpu.sim.synthetic import gnss_epoch_of
+
+from test_pipeline_gnss import spp_cfg
+
+
+def drive(est, sim, i_range):
+    ids = np.arange(sim.landmarks.shape[0])
+    cam = {int(v): k for k, v in enumerate(sim.cam_idx)}
+    gns = {int(v): k for k, v in enumerate(sim.gnss_idx)}
+    for i in i_range:
+        t = sim.imu_t[i]
+        est.process_imu(t, sim.acc[i], sim.gyr[i])
+        if i in gns:
+            est.process_gnss(gnss_epoch_of(sim, gns[i]))
+        if i in cam:
+            vis = sim.obs_valid[cam[i]]
+            est.process_image(t, ids[vis], sim.obs_xy[cam[i]][vis])
+    return est
+
+
+def test_checkpoint_resume_bit_identical(tmp_path):
+    sim = simulate(SimConfig(duration=4.0, imu_rate=200.0, cam_rate=2.0,
+                             gnss_rate=2.0, n_landmarks=50, n_sats=10,
+                             seed=0))
+    n = len(sim.imu_t)
+    half = n // 2
+    cfg = spp_cfg(sim, use_spp_phase=True)
+
+    # uninterrupted
+    est_a = drive(Estimator(cfg), sim, range(n))
+
+    # interrupted + resumed
+    est_b1 = drive(Estimator(cfg), sim, range(half))
+    ckpt = str(tmp_path / "ckpt.npz")
+    save_checkpoint(est_b1, ckpt)
+    est_b2 = Estimator(cfg)
+    load_checkpoint(est_b2, ckpt)
+    est_b2 = drive(est_b2, sim, range(half, n))
+
+    np.testing.assert_allclose(np.asarray(est_b2.x.p),
+                               np.asarray(est_a.x.p), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(est_b2.x.phase_bias),
+                               np.asarray(est_a.x.phase_bias), atol=1e-9)
+    assert est_b2.frame_count == est_a.frame_count
+    assert est_b2.frame_times == est_a.frame_times

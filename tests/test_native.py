@@ -1,0 +1,72 @@
+"""C++ wire codec: build, round-trip, error handling."""
+
+import numpy as np
+import pytest
+
+from rtk_visual_inertial_navigation_tpu.native import (decode_epochs,
+                                                       encode_epoch)
+
+
+def make_obs(rng, n):
+    return {
+        "sat": rng.integers(1, 107, n),
+        "sys": rng.integers(0, 3, n),
+        "svh": np.zeros(n, np.int32),
+        "sat_pos": rng.normal(0, 2.6e7, (n, 3)),
+        "sat_vel": rng.normal(0, 3000, (n, 3)),
+        "el": rng.uniform(0.4, 1.5, n),
+        "sat_var": rng.uniform(0, 1, n),
+        "ion_var": rng.uniform(0, 1, n),
+        "trop_var": rng.uniform(0, 1, n),
+        **{k: rng.normal(0, 1e7, (n, 2)) for k in
+           ("spp_p", "spp_l", "spp_d", "spp_pstd", "spp_lstd", "spp_dstd",
+            "rtk_p", "rtk_l", "rtk_pstd", "rtk_lstd", "spp_p0")},
+        "rtk_slip": rng.integers(0, 5, (n, 2)),
+        "spp_slip": rng.integers(0, 5, (n, 2)),
+        "half_flag": rng.integers(0, 16, (n, 2)),
+    }
+
+
+def test_roundtrip_multiple_epochs():
+    rng = np.random.default_rng(0)
+    stream = b""
+    truth = []
+    for e in range(5):
+        n = int(rng.integers(4, 20))
+        obs = make_obs(rng, n)
+        base = rng.normal(0, 1e6, 3)
+        stream += encode_epoch(100.0 + e, base, 0.9, obs)
+        truth.append((100.0 + e, base, obs, n))
+
+    out = decode_epochs(stream, max_obs=64)
+    assert len(out["ros_time"]) == 5
+    for e, (t, base, obs, n) in enumerate(truth):
+        assert out["ros_time"][e] == t
+        np.testing.assert_allclose(out["base_xyz"][e], base)
+        assert out["obs_count"][e] == n
+        np.testing.assert_array_equal(out["sat"][e, :n], obs["sat"])
+        np.testing.assert_allclose(out["sat_pos"][e, :n], obs["sat_pos"])
+        np.testing.assert_allclose(out["rtk_l"][e, :n], obs["rtk_l"])
+        np.testing.assert_array_equal(out["half_flag"][e, :n],
+                                      obs["half_flag"])
+
+
+def test_max_obs_truncation():
+    rng = np.random.default_rng(1)
+    obs = make_obs(rng, 30)
+    stream = encode_epoch(1.0, np.zeros(3), 1.0, obs)
+    out = decode_epochs(stream, max_obs=8)
+    assert out["obs_count"][0] == 8
+    np.testing.assert_array_equal(out["sat"][0, :8], obs["sat"][:8])
+
+
+def test_garbage_rejected():
+    with pytest.raises(ValueError):
+        decode_epochs(b"not a valid stream at all................")
+
+
+def test_truncated_stream_rejected():
+    rng = np.random.default_rng(2)
+    stream = encode_epoch(1.0, np.zeros(3), 1.0, make_obs(rng, 5))
+    with pytest.raises(ValueError):
+        decode_epochs(stream[:-10])

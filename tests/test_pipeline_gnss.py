@@ -163,3 +163,68 @@ def test_mag_yaw_init_enables_gnss_with_yaw_offset():
     dth = np.asarray(_lie.quat_boxminus(
         jnp.asarray(np.asarray(est.x.q[fi])), jnp.asarray(sim2.q[i])))
     assert np.linalg.norm(dth) < 0.02, dth
+
+
+def test_cycle_slip_detection_recovers():
+    """An unflagged +5-cycle jump on one satellite mid-run must be caught by
+    the median-residual test (fresh bias allocated) and not corrupt the
+    trajectory (swf_gnss.cpp:333-499 semantics)."""
+    sim2 = simulate(SimConfig(duration=8.0, imu_rate=200.0, cam_rate=2.0,
+                              gnss_rate=2.0, n_landmarks=60, n_sats=10,
+                              seed=4))
+    # inject unflagged slip on satellite 3 from epoch 8 onward
+    sim2.cp_cycles[8:, 3] += 5.0
+    est = replay(sim2, spp_cfg(sim2, use_spp_phase=True))
+    errs = []
+    for (t, p, q, v) in est.trajectory:
+        i = np.argmin(np.abs(sim2.imu_t - t))
+        errs.append(np.linalg.norm(p - sim2.p[i]))
+    errs = np.asarray(errs)
+    assert errs[len(errs) // 2:].max() < 0.08, errs.max()
+    # the slipped satellite's bias must have been reallocated at least once
+    bias = est.gnss.bias
+    slot = bias._map.get(("spp", 3, 0))
+    assert slot is not None
+    # its current value reflects the slipped measurement: N_new = N_true - 5
+    est_N = float(np.asarray(est.x.phase_bias)[slot])
+    true_after_slip = sim2.ambiguities[3] - 5.0
+    assert abs(est_N - true_after_slip) < 0.1, (est_N, true_after_slip)
+
+
+def test_spp_correction_mode(sim):
+    """USE_SPP_CORRECTION: the SPP_P0 channel gets per-satellite correction
+    biases (SppCarrierPhaseFactor reuse, swf_core.cpp:174-186).  Feed
+    pr0 = pr + constant per-sat offset; the correction biases must absorb
+    the offsets without disturbing the position."""
+    rng = np.random.default_rng(7)
+    offsets = rng.uniform(-3, 3, sim.cfg.n_sats)
+    cfg = spp_cfg(sim, use_spp_correction=True)
+    est = Estimator(cfg)
+    ids = np.arange(sim.landmarks.shape[0])
+    cam_ptr, g_ptr = 0, 0
+    from rtk_visual_inertial_navigation_tpu.sim.synthetic import gnss_epoch_of as geo
+    for i, t in enumerate(sim.imu_t):
+        est.process_imu(t, sim.acc[i], sim.gyr[i])
+        if g_ptr < len(sim.gnss_idx) and sim.gnss_idx[g_ptr] == i:
+            est.process_gnss(geo(sim, g_ptr, pr0=sim.pr[g_ptr] + offsets))
+            g_ptr += 1
+        if cam_ptr < len(sim.cam_idx) and sim.cam_idx[cam_ptr] == i:
+            vis = sim.obs_valid[cam_ptr]
+            est.process_image(t, ids[vis], sim.obs_xy[cam_ptr][vis])
+            cam_ptr += 1
+    errs = np.asarray(
+        [np.linalg.norm(p - sim.p[np.argmin(np.abs(sim.imu_t - t))])
+         for (t, p, q, v) in est.trajectory])
+    assert errs[len(errs) // 2:].max() < 0.05, errs.max()
+    # correction biases absorbed the offsets:  -N*lam == offset (sign per
+    # the carrier-phase residual convention z = pr0, N enters with -lam)
+    bias = est.gnss.bias
+    got = 0
+    for s in range(cfg.nb):
+        if bias.active[s] and bias.key[s] and bias.key[s][0] == "cor":
+            sat = bias.key[s][1]
+            n_est = float(np.asarray(est.x.phase_bias)[s])
+            lam = 0.19029367279836487
+            np.testing.assert_allclose(-n_est * lam, offsets[sat], atol=0.05)
+            got += 1
+    assert got >= 6

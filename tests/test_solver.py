@@ -147,3 +147,37 @@ def test_schur_step_matches_dense():
     p_schur = _gn_step_schur(jnp.asarray(H), jnp.asarray(g), nl)
     np.testing.assert_allclose(np.asarray(p_schur), np.asarray(p_dense),
                                rtol=1e-9, atol=1e-9)
+
+
+def test_structured_projection_assembly_matches_generic():
+    import jax
+    from rtk_visual_inertial_navigation_tpu.core.state import TangentLayout
+    from rtk_visual_inertial_navigation_tpu.core import WindowState
+    from rtk_visual_inertial_navigation_tpu.factors.visual import (
+        projection_factor_batch)
+    from rtk_visual_inertial_navigation_tpu.solver.structured import (
+        projection_assemble)
+    rng = np.random.default_rng(11)
+    nf, nl = 4, 6
+    lay = TangentLayout(nf=nf, nl=nl, nb=2, nc=2)
+    state = WindowState.zeros(nf, nl, 2)
+    state = state._replace(
+        p=jnp.asarray(rng.normal(size=(nf, 3))),
+        landmarks=jnp.asarray(rng.normal(size=(nl, 3)) + [0, 0, 10.0]),
+        tic=jnp.asarray(rng.normal(size=(2, 3)) * 0.05))
+    B = 30
+    f_ids = jnp.asarray(rng.integers(0, nf, B), dtype=jnp.int32)
+    c_ids = jnp.asarray(rng.integers(0, 2, B), dtype=jnp.int32)
+    l_ids = jnp.asarray(rng.integers(0, nl, B), dtype=jnp.int32)
+    xy = jnp.asarray(rng.normal(size=(B, 2)) * 0.1)
+    valid = jnp.asarray(rng.random(B) > 0.25)
+    pbg = jnp.asarray([0.01, 0.0, 0.2])
+
+    batch = projection_factor_batch(state, f_ids, c_ids, l_ids, xy, valid,
+                                    pbg)
+    H1, g1, c1 = assemble([batch], lay.dim)
+    H2, g2, c2 = projection_assemble(lay, f_ids, c_ids, l_ids, batch.res,
+                                     batch.jac)
+    np.testing.assert_allclose(np.asarray(H2), np.asarray(H1), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-9)
+    np.testing.assert_allclose(float(c2), float(c1), atol=1e-12)

@@ -1,0 +1,103 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtk_visual_inertial_navigation_tpu.frontend.tracker import (
+    build_pyramid, lk_track, lk_track_fb, select_features,
+    shi_tomasi_response)
+
+
+def make_texture(rng, H=120, W=160, n_blobs=40):
+    """Smooth random blob texture with trackable structure."""
+    img = np.zeros((H, W))
+    ys = rng.uniform(10, H - 10, n_blobs)
+    xs = rng.uniform(10, W - 10, n_blobs)
+    amp = rng.uniform(0.5, 1.0, n_blobs)
+    sig = rng.uniform(2.0, 5.0, n_blobs)
+    yy, xx = np.mgrid[0:H, 0:W]
+    for y, x, a, s in zip(ys, xs, amp, sig):
+        img += a * np.exp(-((yy - y) ** 2 + (xx - x) ** 2) / (2 * s * s))
+    return img
+
+
+def shift_image(img, dx, dy):
+    """Bilinear shift: output(y,x) = img(y - dy, x - dx)."""
+    from jax.scipy.ndimage import map_coordinates
+    H, W = img.shape
+    yy, xx = jnp.mgrid[0:H, 0:W]
+    return np.asarray(map_coordinates(
+        jnp.asarray(img), [yy - dy, xx - dx], order=1, mode="nearest"))
+
+
+def test_shi_tomasi_finds_corners():
+    # a white square on black background: corners respond, edges less
+    img = np.zeros((80, 80))
+    img[30:50, 30:50] = 1.0
+    resp = np.asarray(shi_tomasi_response(jnp.asarray(img)))
+    # response at a corner should dominate response at edge midpoints
+    corner = resp[29:32, 29:32].max()
+    edge = resp[38:42, 29:32].max()
+    assert corner > 3 * max(edge, 1e-9)
+
+
+def test_select_features_min_dist():
+    rng = np.random.default_rng(0)
+    img = make_texture(rng)
+    resp = shi_tomasi_response(jnp.asarray(img))
+    pts, ok = select_features(resp, k=30, min_dist=12)
+    pts = np.asarray(pts)[np.asarray(ok)]
+    assert len(pts) >= 10
+    # pairwise min distance respected
+    d = np.linalg.norm(pts[None] - pts[:, None], axis=-1)
+    d[np.diag_indices_from(d)] = 1e9
+    assert d.min() > 12 - 1e-6
+
+
+def test_lk_tracks_pure_translation():
+    rng = np.random.default_rng(1)
+    img0 = make_texture(rng)
+    true_d = np.array([3.7, -2.3])
+    img1 = shift_image(img0, *true_d)
+    pyr0 = build_pyramid(jnp.asarray(img0), 3)
+    pyr1 = build_pyramid(jnp.asarray(img1), 3)
+    resp = shi_tomasi_response(jnp.asarray(img0))
+    pts, ok = select_features(resp, k=25, min_dist=10)
+    new, ok2 = lk_track(pyr0, pyr1, pts, ok, win=9, iters=15)
+    flows = np.asarray(new - pts)[np.asarray(ok2)]
+    assert len(flows) >= 8
+    err = np.linalg.norm(flows - true_d, axis=-1)
+    assert np.median(err) < 0.25, np.median(err)
+
+
+def test_fb_check_rejects_occluded():
+    rng = np.random.default_rng(2)
+    img0 = make_texture(rng)
+    img1 = np.array(shift_image(img0, 2.0, 1.0))
+    # occlude a region in img1: features there cannot track consistently
+    img1[40:80, 60:110] = 0.0
+    pyr0 = build_pyramid(jnp.asarray(img0), 3)
+    pyr1 = build_pyramid(jnp.asarray(np.asarray(img1)), 3)
+    resp = shi_tomasi_response(jnp.asarray(img0))
+    pts, ok = select_features(resp, k=30, min_dist=8)
+    new, ok_fb = lk_track_fb(pyr0, pyr1, pts, ok, win=9, iters=15)
+    pts_np = np.asarray(pts)
+    in_occ = ((pts_np[:, 0] > 62) & (pts_np[:, 0] < 108)
+              & (pts_np[:, 1] > 42) & (pts_np[:, 1] < 78))
+    kept = np.asarray(ok_fb)
+    # most occluded features rejected; most visible features kept
+    if in_occ.sum() >= 3:
+        assert kept[in_occ].mean() < 0.5
+    vis = ~in_occ & np.asarray(ok)
+    assert kept[vis].mean() > 0.6
+
+
+def test_jit_track():
+    rng = np.random.default_rng(3)
+    img0 = jnp.asarray(make_texture(rng))
+    img1 = jnp.asarray(shift_image(np.asarray(img0), 1.0, 1.0))
+    pyr0 = build_pyramid(img0, 2)
+    pyr1 = build_pyramid(img1, 2)
+    pts = jnp.asarray(rng.uniform(20, 100, (16, 2)))
+    f = jax.jit(lambda a, b, p: lk_track(a, b, p, jnp.ones(16, bool)))
+    new, ok = f(pyr0, pyr1, pts)
+    assert new.shape == (16, 2)

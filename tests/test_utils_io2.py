@@ -1,0 +1,42 @@
+"""Publisher, StageTimer, stats surfaces."""
+
+import numpy as np
+
+from rtk_visual_inertial_navigation_tpu.io.publish import Publisher
+from rtk_visual_inertial_navigation_tpu.utils import (RunningStats, StageTimer,
+                                                      TicToc)
+
+
+def test_publisher_roundtrip(tmp_path):
+    pub = Publisher()
+    for k in range(10):
+        pub.pub_odometry(k * 0.1, [k, 0, 0], [1, 0, 0, 0], [1, 0, 0])
+    pub.pub_point_cloud([3, 7], [[1.0, 2, 3], [4, 5, 6]])
+    path = tmp_path / "viz.npz"
+    pub.save(str(path))
+    z = np.load(path)
+    assert z["odom_p"].shape == (10, 3)
+    np.testing.assert_array_equal(z["point_ids"], [3, 7])
+    png = tmp_path / "viz.png"
+    pub.plot(str(png))
+    assert png.stat().st_size > 1000
+
+
+def test_stage_timer():
+    st = StageTimer()
+    with st.stage("a"):
+        sum(range(1000))
+    with st.stage("a"):
+        sum(range(1000))
+    assert st.count["a"] == 2
+    assert "a" in st.report()
+    tt = TicToc()
+    assert tt.toc() >= 0
+
+
+def test_running_stats():
+    rs = RunningStats()
+    for x in [1.0, 2.0, 3.0, 4.0]:
+        rs.add(x)
+    assert abs(rs.mean - 2.5) < 1e-12
+    assert abs(rs.std - np.std([1, 2, 3, 4], ddof=1)) < 1e-12

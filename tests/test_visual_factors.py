@@ -1,0 +1,115 @@
+"""Inverse-depth / stereo projection factor evaluators: residual zero at a
+consistent geometry, Jacobians vs central finite differences."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rtk_visual_inertial_navigation_tpu.factors.visual import (
+    _single_proj, _single_proj_invdepth, _single_proj_invdepth_stereo_cross,
+    _single_proj_invdepth_stereo_same)
+from rtk_visual_inertial_navigation_tpu.ops import lie
+
+
+def setup(seed=0):
+    rng = np.random.default_rng(seed)
+    p_i = jnp.asarray(rng.normal(size=3))
+    q_i = lie.quat_exp(jnp.asarray(rng.normal(size=3) * 0.3))
+    p_j = jnp.asarray(rng.normal(size=3) + np.array([1.0, 0, 0]))
+    q_j = lie.quat_exp(jnp.asarray(rng.normal(size=3) * 0.3))
+    tic = jnp.asarray([0.05, 0.01, -0.02])
+    qic = lie.quat_exp(jnp.asarray([0.01, -0.02, 0.015]))
+    tic2 = jnp.asarray([0.05, -0.09, -0.02])
+    qic2 = lie.quat_exp(jnp.asarray([-0.01, 0.01, 0.0]))
+    pbg = jnp.asarray([0.02, -0.01, 0.3])
+    return rng, p_i, q_i, p_j, q_j, tic, qic, tic2, qic2, pbg
+
+
+def consistent_obs(p_i, q_i, p_j, q_j, tic, qic, tic2, qic2, pbg, depth=6.0):
+    """Generate a point seen by host cam0@i and its projections."""
+    from rtk_visual_inertial_navigation_tpu.factors.visual import (
+        _invdepth_transform)
+    ray = jnp.asarray([0.2, -0.1, 1.0])
+    inv_dep = jnp.asarray(1.0 / depth)
+    pc_j = _invdepth_transform(p_i, q_i, p_j, q_j, tic, qic, tic, qic,
+                               inv_dep, ray, pbg)
+    xy_j = pc_j[:2] / pc_j[2]
+    pc_j2 = _invdepth_transform(p_i, q_i, p_j, q_j, tic, qic, tic2, qic2,
+                                inv_dep, ray, pbg)
+    xy_j2 = pc_j2[:2] / pc_j2[2]
+    return ray, inv_dep, xy_j, xy_j2
+
+
+def fd_check(res_fn_pair, dim, atol=2e-5):
+    """Compare analytic jacobian with central differences over the tangent."""
+    res0, jac = res_fn_pair(jnp.zeros(dim))
+    eps = 1e-6
+    for k in range(dim):
+        d = np.zeros(dim)
+        d[k] = eps
+        rp, _ = res_fn_pair(jnp.asarray(d))
+        rm, _ = res_fn_pair(jnp.asarray(-d))
+        fd = (np.asarray(rp) - np.asarray(rm)) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(jac)[:, k], fd, atol=atol,
+                                   err_msg=f"col {k}")
+
+
+def test_invdepth_two_frame_one_cam():
+    rng, p_i, q_i, p_j, q_j, tic, qic, tic2, qic2, pbg = setup(0)
+    ray, inv_dep, xy_j, _ = consistent_obs(p_i, q_i, p_j, q_j, tic, qic,
+                                           tic2, qic2, pbg)
+    res, jac = _single_proj_invdepth(p_i, q_i, p_j, q_j, tic, qic, inv_dep,
+                                     ray, xy_j, pbg, 460.0)
+    np.testing.assert_allclose(np.asarray(res), 0.0, atol=1e-10)
+    assert jac.shape == (2, 19)
+
+    # jacobian vs FD at a perturbed (non-zero-residual) configuration
+    def res_at(t):
+        t = jnp.asarray(t)
+        from rtk_visual_inertial_navigation_tpu.ops.lie import quat_boxplus
+        return _single_proj_invdepth(
+            p_i + t[0:3], quat_boxplus(q_i, t[3:6]),
+            p_j + t[6:9], quat_boxplus(q_j, t[9:12]),
+            tic + t[12:15], quat_boxplus(qic, t[15:18]),
+            inv_dep + t[18], ray, xy_j + 0.02, pbg, 460.0)
+
+    fd_check(res_at, 19)
+
+
+def test_invdepth_stereo_cross():
+    rng, p_i, q_i, p_j, q_j, tic, qic, tic2, qic2, pbg = setup(1)
+    ray, inv_dep, _, xy_j2 = consistent_obs(p_i, q_i, p_j, q_j, tic, qic,
+                                            tic2, qic2, pbg)
+    res, jac = _single_proj_invdepth_stereo_cross(
+        p_i, q_i, p_j, q_j, tic, qic, tic2, qic2, inv_dep, ray, xy_j2, pbg,
+        460.0)
+    np.testing.assert_allclose(np.asarray(res), 0.0, atol=1e-10)
+    assert jac.shape == (2, 25)
+
+
+def test_invdepth_stereo_same_frame():
+    rng, p_i, q_i, p_j, q_j, tic, qic, tic2, qic2, pbg = setup(2)
+    ray = jnp.asarray([0.1, 0.05, 1.0])
+    inv_dep = jnp.asarray(0.2)
+    pts_cam0 = ray / inv_dep
+    pts_imu = lie.quat_rotate(qic, pts_cam0) + tic
+    pc1 = lie.quat_rotate_inv(qic2, pts_imu - tic2)
+    xy1 = pc1[:2] / pc1[2]
+    res, jac = _single_proj_invdepth_stereo_same(
+        tic, qic, tic2, qic2, inv_dep, ray, xy1, 460.0)
+    np.testing.assert_allclose(np.asarray(res), 0.0, atol=1e-10)
+    assert jac.shape == (2, 13)
+
+
+def test_world_point_jacobian_fd():
+    rng, p_i, q_i, p_j, q_j, tic, qic, tic2, qic2, pbg = setup(3)
+    lm = jnp.asarray([2.0, -1.0, 8.0])
+
+    def res_at(t):
+        t = jnp.asarray(t)
+        from rtk_visual_inertial_navigation_tpu.ops.lie import quat_boxplus
+        return _single_proj(
+            p_j + t[0:3], quat_boxplus(q_j, t[3:6]),
+            tic + t[6:9], quat_boxplus(qic, t[9:12]),
+            lm + t[12:15], jnp.asarray([0.2, -0.1]), pbg, 460.0)
+
+    fd_check(res_at, 15)
