@@ -83,7 +83,7 @@ def spp_pseudorange_batch(state: WindowState, batch: GnssObsBatch,
                                   - row.z))[None]
 
         zero = jnp.zeros((4,), dtype=p.dtype)
-        return res_fn(zero), jax.jacfwd(res_fn)(zero)
+        return res_fn(zero), jax.jacrev(res_fn)(zero)
 
     res, jac = jax.vmap(one)(batch)
     gidx = jnp.concatenate([
@@ -112,7 +112,7 @@ def spp_carrier_phase_batch(state: WindowState, batch: GnssObsBatch,
                                   - row.z))[None]
 
         zero = jnp.zeros((5,), dtype=p.dtype)
-        return res_fn(zero), jax.jacfwd(res_fn)(zero)
+        return res_fn(zero), jax.jacrev(res_fn)(zero)
 
     res, jac = jax.vmap(one)(batch)
     gidx = jnp.concatenate([
@@ -166,7 +166,7 @@ def doppler_batch(state: WindowState, batch: GnssObsBatch, R_e) -> FactorBatch:
             return (row.weight * (rate + sag + drift + t[3] - row.z))[None]
 
         zero = jnp.zeros((7,), dtype=p.dtype)
-        return res_fn(zero), jax.jacfwd(res_fn)(zero)
+        return res_fn(zero), jax.jacrev(res_fn)(zero)
 
     res, jac = jax.vmap(one)(batch)
     gidx = jnp.concatenate([
@@ -200,7 +200,7 @@ def fixed_integer_batch(state: WindowState,
             return (w * ((Nj + t[0]) - (Nd + t[1]) - n_fixed))[None]
 
         zero = jnp.zeros((2,), dtype=state.phase_bias.dtype)
-        return res_fn(zero), jax.jacfwd(res_fn)(zero)
+        return res_fn(zero), jax.jacrev(res_fn)(zero)
 
     res, jac = jax.vmap(one)(batch.pb_slot, batch.datum_slot, batch.n_fixed,
                              batch.weight)

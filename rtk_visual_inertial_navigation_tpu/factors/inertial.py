@@ -46,7 +46,7 @@ def _single_imu(pre: Preintegrated, p_i, q_i, v_i, ba_i, bg_i,
         return W @ r
 
     zero = jnp.zeros((30,), dtype=p_i.dtype)
-    return res_fn(zero), jax.jacfwd(res_fn)(zero)
+    return res_fn(zero), jax.jacrev(res_fn)(zero)
 
 
 def imu_factor_batch(state: WindowState, pre: Preintegrated, pbg, g_world,

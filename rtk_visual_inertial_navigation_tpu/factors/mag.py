@@ -45,7 +45,7 @@ def mag_factor_batch(state: WindowState, frame_ids, mag_body, valid
             return (MAG_SQRT_INFO * mw[0] / horiz)[None]
 
         zero = jnp.zeros((6,), dtype=state.p.dtype)
-        return res_fn(zero), jax.jacfwd(res_fn)(zero)
+        return res_fn(zero), jax.jacrev(res_fn)(zero)
 
     res, jac = jax.vmap(one)(frame_ids, mag_body)
     # tangent = [frame attitude (3), mag bias (3)]; attitude slots are the

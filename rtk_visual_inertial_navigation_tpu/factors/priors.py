@@ -41,6 +41,30 @@ class MargPrior(NamedTuple):
         g = Jm.T @ r
         return H, g, 0.5 * jnp.sum(r * r)
 
+    def precompute(self):
+        """Constant information form for cheap per-iteration evaluation.
+
+        The prior is linear: r(x) = r₀ + J·(x ⊟ x₀), so within a solve
+        H = JᵀJ is CONSTANT and only g/cost depend on the state:
+            g(dx) = g₀ + H·dx,   2·cost(dx) = c₀ + 2 g₀ᵀdx + dxᵀH dx.
+        Computing JᵀJ once instead of per dogleg iteration removes a
+        (D×D)@(D×D) matmul from every relinearization.
+        """
+        Jm = self.J * self.valid_rows[:, None]
+        H0 = Jm.T @ Jm
+        g0 = Jm.T @ (self.r0 * self.valid_rows)
+        c0 = jnp.sum((self.r0 * self.valid_rows) ** 2)
+        x0 = self.x0
+
+        def contrib(state):
+            dx = window_boxminus(state, x0)
+            Hdx = H0 @ dx
+            g = g0 + Hdx
+            cost = 0.5 * (c0 + 2.0 * jnp.dot(g0, dx) + jnp.dot(dx, Hdx))
+            return H0, g, cost
+
+        return contrib
+
     @staticmethod
     def empty(dim: int, rows: int, x0: WindowState, dtype=jnp.float64):
         return MargPrior(

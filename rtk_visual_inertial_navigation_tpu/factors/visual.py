@@ -54,7 +54,7 @@ def _single_proj(p_f, q_f, tic, qic, lm, meas_xy, pbg, weight):
         return weight * (pc[0:2] / _safe_z(pc[2]) - meas_xy)
 
     zero = jnp.zeros((15,), dtype=p_f.dtype)
-    return res_fn(zero), jax.jacfwd(res_fn)(zero)
+    return res_fn(zero), jax.jacrev(res_fn)(zero)
 
 
 def projection_factor_batch(state: WindowState, frame_ids, cam_ids, lm_ids,
@@ -113,7 +113,7 @@ def _single_proj_invdepth(p_i, q_i, p_j, q_j, tic, qic, inv_dep,
         return weight * (pc[0:2] / _safe_z(pc[2]) - pts_j_xy)
 
     zero = jnp.zeros((19,), dtype=p_i.dtype)
-    return res_fn(zero), jax.jacfwd(res_fn)(zero)
+    return res_fn(zero), jax.jacrev(res_fn)(zero)
 
 
 def _single_proj_invdepth_stereo_cross(p_i, q_i, p_j, q_j, tic, qic,
@@ -134,7 +134,7 @@ def _single_proj_invdepth_stereo_cross(p_i, q_i, p_j, q_j, tic, qic,
         return weight * (pc[0:2] / _safe_z(pc[2]) - pts_j_xy)
 
     zero = jnp.zeros((25,), dtype=p_i.dtype)
-    return res_fn(zero), jax.jacfwd(res_fn)(zero)
+    return res_fn(zero), jax.jacrev(res_fn)(zero)
 
 
 def _single_proj_invdepth_stereo_same(tic, qic, tic2, qic2, inv_dep,
@@ -152,7 +152,7 @@ def _single_proj_invdepth_stereo_same(tic, qic, tic2, qic2, inv_dep,
         return weight * (pc[0:2] / _safe_z(pc[2]) - pts_j_xy)
 
     zero = jnp.zeros((13,), dtype=tic.dtype)
-    return res_fn(zero), jax.jacfwd(res_fn)(zero)
+    return res_fn(zero), jax.jacrev(res_fn)(zero)
 
 
 def invdepth_factor_batch(state: WindowState, host_ids, obs_ids, cam_ids,

@@ -1,0 +1,149 @@
+"""Batched small-matrix Cholesky solve as a Pallas TPU kernel.
+
+The reduced Gauss-Newton system is a batch of small SPD matrices
+(~120-240 per window).  XLA's generic `cholesky` lowers to a blocked
+algorithm with HBM round-trips per panel — profiled at ~60 ms for
+(256, 237, 237) f32 on v5e.  Here the whole factorization runs in VMEM:
+one grid step per matrix, a fori_loop of masked rank-1 updates on a scratch
+tile, then forward / backward substitution — no HBM traffic besides one
+load and one store per matrix.
+
+Mosaic constraints shape the implementation: no `dynamic_slice` on values
+(dynamic indexing happens on REFS with `pl.ds`), scalars are extracted with
+masked reductions, outer products use `dot_general` instead of transposes,
+and vectors ride in lane-width-padded scratch columns.
+
+STATUS: validated in interpret mode (tests); Mosaic additionally rejects
+dynamic *lane-dimension* ref slices ("index in dimension 1 must be a
+multiple of 128"), so the column-at-a-time formulation does not compile for
+real TPU yet.  The production solve path therefore stays on XLA's batched
+cholesky; the planned fix is a blocked variant — 8-row panels at
+`pl.multiple_of(8)` sublane offsets with rank-8 MXU trailing updates —
+which satisfies Mosaic's alignment rules and turns the trailing update into
+(128,8)x(8,128) matmuls.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _chol_solve_kernel(S_ref, rhs_ref, out_ref, A, V, *, n: int):
+    """Solve S x = rhs for one SPD tile, everything in VMEM scratch."""
+    n_pad = A.shape[0]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
+    rvec = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
+    cvec = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+
+    A[:, :] = S_ref[0]
+    V[:, :] = jnp.zeros_like(V)
+    V[:, 0:1] = rhs_ref[0][:, 0:1]
+
+    outer = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    # --- in-place right-looking Cholesky: A becomes L (lower) ---
+    def chol_step(j, _):
+        colj_full = A[:, pl.ds(j, 1)]                     # (n_pad, 1)
+        ajj = jnp.sum(jnp.where(rvec == j, colj_full, 0.0))
+        d = jax.lax.rsqrt(jnp.maximum(ajj, 1e-30))
+        colj = jnp.where(rvec >= j, colj_full * d, 0.0)
+        upd = outer(colj, colj)                           # (n_pad, n_pad)
+        Afull = A[:, :]
+        mask = (row_ids > j) & (col_ids > j)
+        Anew = Afull - jnp.where(mask, upd, 0.0)
+        Anew = jnp.where(col_ids == j, colj, Anew)
+        A[:, :] = Anew
+        return jnp.int32(0)
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), chol_step,
+                      jnp.int32(0))
+
+    # --- forward substitution: L y = b (b in V[:,0], y in V[:,1]) ---
+    def fwd_step(j, _):
+        Lrow = A[pl.ds(j, 1), :]                          # (1, n_pad)
+        ljj = jnp.sum(jnp.where(cvec == j, Lrow, 0.0))
+        bj = jnp.sum(jnp.where(rvec == j, V[:, 0:1], 0.0))
+        ycol = V[:, 1:2]
+        # dot(Lrow (1,n_pad), y (n_pad,1)): contract lane dim with sublane
+        acc = jax.lax.dot_general(
+            Lrow, jnp.where(rvec < j, ycol, 0.0),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)[0, 0]
+        yj = (bj - acc) / ljj
+        V[:, 1:2] = jnp.where(rvec == j, yj, ycol)
+        return jnp.int32(0)
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), fwd_step,
+                      jnp.int32(0))
+
+    # --- backward substitution: Lᵀ x = y (x in V[:,2]) ---
+    def bwd_step(k, _):
+        j = jnp.int32(n - 1) - k
+        colj = A[:, pl.ds(j, 1)]                          # L column j
+        ljj = jnp.sum(jnp.where(rvec == j, colj, 0.0))
+        yj = jnp.sum(jnp.where(rvec == j, V[:, 1:2], 0.0))
+        xcol = V[:, 2:3]
+        acc = jnp.sum(jnp.where(rvec > j, colj * xcol, 0.0))
+        xj = (yj - acc) / ljj
+        V[:, 2:3] = jnp.where(rvec == j, xj, xcol)
+        return jnp.int32(0)
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), bwd_step,
+                      jnp.int32(0))
+    out_ref[0] = V[:, :]
+
+
+def _pad_to(x, size, axis):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (0, pad)
+    return jnp.pad(x, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def chol_solve_batched(S, rhs, interpret: bool = False):
+    """Solve S[b] x[b] = rhs[b] for a batch of small SPD systems.
+
+    Args:
+      S: (B, n, n) SPD; rhs: (B, n).  n is padded up to a multiple of 128.
+    Returns x: (B, n).
+    """
+    B, n, _ = S.shape
+    n_pad = max(128, -(-n // 128) * 128)
+    Sp = _pad_to(_pad_to(S, n_pad, 1), n_pad, 2)
+    eye_pad = jnp.eye(n_pad, dtype=S.dtype) * (jnp.arange(n_pad) >= n)
+    Sp = Sp + eye_pad[None]
+    # rhs rides in column 0 of an (n_pad, 128) tile
+    rp = jnp.zeros((B, n_pad, 128), S.dtype).at[:, :, 0].set(
+        _pad_to(rhs, n_pad, 1))
+
+    out = pl.pallas_call(
+        functools.partial(_chol_solve_kernel, n=n),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, n_pad, n_pad), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_pad, 128), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, 128), S.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, n_pad), jnp.float32),
+            pltpu.VMEM((n_pad, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(Sp, rp)
+    return out[:, :n, 2]

@@ -41,6 +41,7 @@ def _solve_one(prob: VIWindowProblem, lay: TangentLayout,
     g_world = jnp.asarray([0.0, 0.0, 9.81], dtype=prob.state0.p.dtype)
     prior = MargPrior(J=prob.prior_J, r0=prob.prior_r0, x0=prob.prior_x0,
                       valid_rows=jnp.ones(prob.prior_r0.shape, dtype=bool))
+    prior_contrib = prior.precompute()
 
     def eval_fn(state):
         b_imu = imu_factor_batch(state, prob.pre, pbg, g_world,
@@ -60,7 +61,7 @@ def _solve_one(prob: VIWindowProblem, lay: TangentLayout,
             g = jax.lax.psum(g, axis_name)
             cost = jax.lax.psum(cost, axis_name)
         Hi, gi, ci = assemble([b_imu], lay.dim)
-        Hp, gp, cp = prior.hessian_contrib(state)
+        Hp, gp, cp = prior_contrib(state)
         return H + Hi + Hp, g + gi + gp, cost + ci + cp
 
     res = dogleg_solve(eval_fn, retract_window, prob.state0,

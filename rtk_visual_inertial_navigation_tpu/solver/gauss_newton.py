@@ -68,6 +68,11 @@ class DoglegConfig(NamedTuple):
     # number of leading landmark slots forming the 3x3-block-diagonal Schur
     # group 0 (the classic DENSE_SCHUR elimination; 0 = plain dense solve)
     schur_nl: int = 0
+    # static indices (within the reduced block, i.e. offset by 3*schur_nl)
+    # that can actually be nonzero; () = keep all.  Lets callers compile out
+    # structurally-empty slots (e.g. 13*NF unused clock entries in VI mode)
+    # from the Cholesky: cost scales with |keep|^3.
+    reduced_keep: tuple = ()
 
 
 class SolveResult(NamedTuple):
@@ -115,7 +120,7 @@ def _gn_step_dense(H, g):
     return -s * jax.scipy.linalg.cho_solve((L, True), s * g)
 
 
-def _gn_step_schur(H, g, nl: int):
+def _gn_step_schur(H, g, nl: int, reduced_keep: tuple = ()):
     """Gauss-Newton step eliminating the leading 3x3-block-diagonal landmark
     group first (DENSE_SCHUR semantics; group 0 of MyOrdering,
     rvi/swf/swf_gnss.cpp:629-783).  Cost drops from O(D³) to
@@ -136,20 +141,31 @@ def _gn_step_schur(H, g, nl: int):
     S = H[n3:, n3:] - jnp.einsum("lir,lik->rk", Hlr3, HinvHlr)
     Hinv_gl = jnp.einsum("lij,lj->li", Hll_inv, gl)  # (nl,3)
     rhs = gr - jnp.einsum("lir,li->r", Hlr3, Hinv_gl)
-    s = _jacobi_scale(S)
-    Ss = S * s[:, None] * s[None, :]
-    L = jnp.linalg.cholesky(Ss)
-    dr = -s * jax.scipy.linalg.cho_solve((L, True), s * rhs)
+    if reduced_keep:
+        # compile out structurally-empty reduced slots (their rows are unit
+        # diagonal with zero rhs after apply_free_mask, so dr=0 there)
+        keep = jnp.asarray(reduced_keep, dtype=jnp.int32)
+        Sk = S[keep][:, keep]
+        rk = rhs[keep]
+        sk = _jacobi_scale(Sk)
+        Lk = jnp.linalg.cholesky(Sk * sk[:, None] * sk[None, :])
+        drk = -sk * jax.scipy.linalg.cho_solve((Lk, True), sk * rk)
+        dr = jnp.zeros_like(rhs).at[keep].set(drk)
+    else:
+        s = _jacobi_scale(S)
+        Ss = S * s[:, None] * s[None, :]
+        L = jnp.linalg.cholesky(Ss)
+        dr = -s * jax.scipy.linalg.cho_solve((L, True), s * rhs)
     # back-substitute: dl = -Hll⁻¹ (gl + Hlr dr)
     dl = -(Hinv_gl + jnp.einsum("lir,r->li", HinvHlr, dr))
     return jnp.concatenate([dl.reshape(-1), dr])
 
 
-def _dogleg_step(H, g, radius, schur_nl: int = 0):
+def _dogleg_step(H, g, radius, schur_nl: int = 0, reduced_keep: tuple = ()):
     """Powell dogleg step for min ½ pᵀHp + gᵀp s.t. |p| ≤ radius."""
     # Gauss-Newton step (H is regularized SPD by apply_free_mask)
     if schur_nl > 0:
-        p_gn = _gn_step_schur(H, g, schur_nl)
+        p_gn = _gn_step_schur(H, g, schur_nl, reduced_keep)
     else:
         p_gn = _gn_step_dense(H, g)
     gn_norm = jnp.linalg.norm(p_gn)
@@ -198,7 +214,7 @@ def dogleg_solve(eval_fn: Callable, retract_fn: Callable, state0,
     def body(_, carry: SolveResult):
         state, H, g, cost, radius, n_acc = carry
         Hm, gm, _ = apply_free_mask(H, g, free_mask)
-        p = _dogleg_step(Hm, gm, radius, cfg.schur_nl)
+        p = _dogleg_step(Hm, gm, radius, cfg.schur_nl, cfg.reduced_keep)
         pred = -(gm @ p + 0.5 * p @ (Hm @ p))
         cand = retract_fn(state, p)
         Hc, gc, costc = eval_fn(cand)

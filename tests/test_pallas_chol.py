@@ -1,0 +1,39 @@
+"""Pallas batched Cholesky solve vs jnp reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtk_visual_inertial_navigation_tpu.ops.pallas_chol import (
+    chol_solve_batched)
+
+
+def make_spd(rng, B, n, dtype=np.float32):
+    A = rng.normal(size=(B, n, 3 * n)).astype(dtype)
+    S = A @ np.swapaxes(A, -1, -2) / n + 0.5 * np.eye(n, dtype=dtype)
+    return S
+
+
+def test_matches_jnp_solve_small():
+    rng = np.random.default_rng(0)
+    B, n = 4, 24
+    S = make_spd(rng, B, n)
+    rhs = rng.normal(size=(B, n)).astype(np.float32)
+    x = chol_solve_batched(jnp.asarray(S), jnp.asarray(rhs), interpret=True)
+    ref = np.linalg.solve(S.astype(np.float64), rhs.astype(np.float64)[..., None])[..., 0]
+    np.testing.assert_allclose(np.asarray(x), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_matches_jnp_solve_120():
+    rng = np.random.default_rng(1)
+    B, n = 3, 120
+    S = make_spd(rng, B, n)
+    rhs = rng.normal(size=(B, n)).astype(np.float32)
+    x = chol_solve_batched(jnp.asarray(S), jnp.asarray(rhs), interpret=True)
+    ref = np.linalg.solve(S.astype(np.float64), rhs.astype(np.float64)[..., None])[..., 0]
+    err = np.abs(np.asarray(x) - ref).max()
+    assert err < 5e-2, err  # f32 unpreconditioned; cohort-level accuracy
+    # relative residual is the honest metric
+    r = np.einsum("bij,bj->bi", S, np.asarray(x, dtype=np.float64)) - rhs
+    rel = np.linalg.norm(r, axis=1) / np.linalg.norm(rhs, axis=1)
+    assert rel.max() < 1e-4, rel

@@ -39,7 +39,7 @@ def replay(sim, cfg):
 def spp_cfg(sim, **kw):
     q_ic = np.asarray(lie.rot_to_quat(jnp.asarray(sim.cfg.r_ic)))
     return EstimatorConfig(
-        nf=10, nl=80, nb=32, max_obs=400, imu_capacity=128, average_imu=40,
+        nf=10, nl=48, nb=32, max_obs=256, imu_capacity=128, average_imu=40,
         qic=np.tile(q_ic, (2, 1)), tic=np.tile(sim.cfg.t_ic, (2, 1)),
         use_gnss=True, use_doppler=True,
         anchor_ecef=sim.anchor_ecef, enu_to_ecef=sim.enu_to_ecef,

@@ -38,7 +38,7 @@ def replay(sim, cfg):
 
 
 def test_vi_golden_trajectory(sim):
-    cfg = cfg_for(sim, nf=8, nl=80, nb=1, max_obs=512,
+    cfg = cfg_for(sim, nf=8, nl=48, nb=1, max_obs=320,
                   imu_capacity=64, average_imu=40)
     est = replay(sim, cfg)
     assert est.initialized
@@ -57,7 +57,7 @@ def test_vi_golden_trajectory(sim):
 
 
 def test_vi_velocity_and_gravity_consistency(sim):
-    cfg = cfg_for(sim, nf=8, nl=80, nb=1, max_obs=512,
+    cfg = cfg_for(sim, nf=8, nl=48, nb=1, max_obs=320,
                   imu_capacity=64, average_imu=40)
     est = replay(sim, cfg)
     verrs = []

@@ -181,3 +181,32 @@ def test_structured_projection_assembly_matches_generic():
     np.testing.assert_allclose(np.asarray(H2), np.asarray(H1), atol=1e-9)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-9)
     np.testing.assert_allclose(float(c2), float(c1), atol=1e-12)
+
+
+def test_schur_reduced_keep_matches_full():
+    from rtk_visual_inertial_navigation_tpu.solver.gauss_newton import (
+        _gn_step_schur)
+    rng = np.random.default_rng(12)
+    nl, live, dead = 4, 9, 6          # reduced block: 9 live + 6 empty slots
+    D = 3 * nl + live + dead
+    A = rng.normal(size=(3 * D, 3 * nl + live))
+    Hc = A.T @ A + 0.3 * np.eye(3 * nl + live)
+    H = np.zeros((D, D))
+    idx = np.r_[np.arange(3 * nl), 3 * nl + np.arange(live)]
+    H[np.ix_(idx, idx)] = Hc
+    # block-diagonalize the landmark part
+    for i in range(nl):
+        for j in range(nl):
+            if i != j:
+                H[3 * i:3 * i + 3, 3 * j:3 * j + 3] = 0.0
+    # empty slots: unit diagonal (as apply_free_mask leaves them)
+    for k in range(dead):
+        H[3 * nl + live + k, 3 * nl + live + k] = 1.0
+    g = np.zeros(D)
+    g[idx] = rng.normal(size=len(idx))
+
+    p_full = _gn_step_schur(jnp.asarray(H), jnp.asarray(g), nl)
+    p_keep = _gn_step_schur(jnp.asarray(H), jnp.asarray(g), nl,
+                            tuple(range(live)))
+    np.testing.assert_allclose(np.asarray(p_keep), np.asarray(p_full),
+                               rtol=1e-9, atol=1e-9)
