@@ -26,9 +26,12 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--batch", type=int, default=0)
-    ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--f64", action="store_true",
+                    help="full-f64 solve (validation; ~18x slower on TPU)")
+    ap.add_argument("--f32", action="store_true", help="(default)")
     ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
+    args.f32 = not args.f64
 
     import jax
 
@@ -49,7 +52,7 @@ def main():
 
     dtype = jnp.float32 if args.f32 else jnp.float64
     nf, nl, nobs, nsamp = 8, 64, 448, 16
-    B = args.batch or (8 if args.smoke else 128)
+    B = args.batch or (8 if args.smoke else 256)
     lay = TangentLayout(nf=nf, nl=nl, nb=1, nc=2)
     # only the frame states are live in the reduced block (clk/pb/ext/mag
     # slots are structurally empty in VI problems) — compile them out of

@@ -1,0 +1,199 @@
+"""Blocked batched Cholesky solve — Mosaic-legal Pallas TPU kernel.
+
+Strategy (dictated by Mosaic's rule that lane-dimension slices must be
+128-aligned: you can never dynamically select a column subset):
+
+  - the matrix lives in a (128,128) VMEM scratch at FULL WIDTH; any
+    "column panel" is represented as the full-width matrix with other
+    columns masked to zero (elementwise iota compares against dynamic
+    scalars are legal and cheap);
+  - per 8-row panel: the 8x8 diagonal block is factored with 8 unrolled
+    masked steps; the trailing-row panel solve is a full-width MXU matmul
+    against a masked embedding of L_diag^{-T}; the trailing Schur update is
+    ``dot_general(Lp, Lp, contract lanes)`` — an outer product that needs
+    no transpose;
+  - forward/backward substitution run column-at-a-time with masked
+    extraction (O(n²) VPU work, negligible next to the factorization).
+
+One grid step per matrix; everything stays in VMEM.
+
+MEASURED (v5e, B=256, n=120, f32): compiles and runs on real TPU;
+max error 7.0e-7 vs f64 reference (XLA's batched cholesky: 9.6e-7), but
+179 ms vs XLA's 53 ms — each grid step factors ONE matrix serially while
+XLA vectorizes across the batch.  The winning layout (planned) is
+batch-in-lanes: hold 128 matrices as an (n, n, 128) VMEM tile and run the
+scalar Cholesky recurrence once, vectorized over the lane dimension —
+n³/3 lane-parallel ops ≈ 0.4 ms for this shape.  Kept as a correct,
+TPU-verified baseline for that rewrite.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PANEL = 8
+
+
+def _blocked_kernel(S_ref, rhs_ref, out_ref, A, V, *, n: int, n_pad: int):
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
+    rvec = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
+    cvec = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+
+    A[:, :] = S_ref[0]
+    V[:, :] = jnp.zeros_like(V)
+    V[:, 0:1] = rhs_ref[0][:, 0:1]
+
+    n_panels = n_pad // PANEL
+
+    def panel_step(k, _):
+        base = k * PANEL
+        Afull = A[:, :]
+
+        # ---- factor the 8x8 diagonal block with unrolled masked steps ----
+        # Dblk holds the evolving panel block, full width, masked elsewhere.
+        in_panel_col = (col_ids >= base) & (col_ids < base + PANEL)
+        in_panel_row = (row_ids >= base) & (row_ids < base + PANEL)
+        Dblk = jnp.where(in_panel_col & in_panel_row, Afull, 0.0)
+        Ldiag = jnp.zeros_like(Afull)
+
+        for i in range(PANEL):
+            ci = base + i
+            dii = jnp.sum(jnp.where((row_ids == ci) & (col_ids == ci),
+                                    Dblk, 0.0))
+            inv_sq = jax.lax.rsqrt(jnp.maximum(dii, 1e-30))
+            # column i of the block (rows of the panel), scaled
+            coli = jnp.sum(jnp.where(col_ids == ci, Dblk, 0.0),
+                           axis=1, keepdims=True) * inv_sq     # (n_pad,1)
+            coli = jnp.where((rvec >= ci) & (rvec < base + PANEL), coli, 0.0)
+            # write L column i
+            Ldiag = Ldiag + jnp.where(col_ids == ci, coli, 0.0)
+            # rank-1 update of the remaining block
+            upd = jax.lax.dot_general(
+                coli, coli, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            Dblk = Dblk - jnp.where((col_ids > ci) & (row_ids > ci), upd, 0.0)
+
+        # ---- trailing panel solve, column-by-column of the panel ----
+        # (materializing inv(Ldiag)^T would need a transpose, which Mosaic
+        # dislikes; 8 masked AXPY chains are cheap):
+        # for each panel column i ascending:
+        #   Lcol_i = (Acol_i - sum_{t<i} Lcol_t * Ldiag[i,t]) / Ldiag[i,i]
+        trail = rvec >= base + PANEL
+        Lcols = jnp.zeros_like(Afull)      # trailing L columns, full width
+        for i in range(PANEL):
+            ci = base + i
+            acol = jnp.sum(jnp.where(col_ids == ci, Afull, 0.0),
+                           axis=1, keepdims=True)               # (n_pad,1)
+            acc = jnp.zeros_like(acol)
+            for t in range(i):
+                ct = base + t
+                lit = jnp.sum(jnp.where((row_ids == ci) & (col_ids == ct),
+                                        Ldiag, 0.0))
+                acc = acc + jnp.sum(jnp.where(col_ids == ct, Lcols, 0.0),
+                                    axis=1, keepdims=True) * lit
+            lii = jnp.sum(jnp.where((row_ids == ci) & (col_ids == ci),
+                                    Ldiag, 0.0))
+            lcol = jnp.where(trail, (acol - acc) / lii, 0.0)
+            Lcols = Lcols + jnp.where(col_ids == ci, lcol, 0.0)
+
+        # ---- assemble the new panel into A ----
+        Anew = jnp.where(in_panel_col & trail, Lcols, Afull)
+        Anew = jnp.where(in_panel_col & in_panel_row, Ldiag, Anew)
+
+        # ---- trailing Schur update: A_trail -= Lp Lpᵀ (MXU, no transpose)
+        Lp = jnp.where(in_panel_col, Anew, 0.0)
+        Lp = jnp.where(rvec >= base, Lp, 0.0)
+        upd = jax.lax.dot_general(
+            Lp, Lp, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        trail_mask = (row_ids >= base + PANEL) & (col_ids >= base + PANEL)
+        A[:, :] = Anew - jnp.where(trail_mask, upd, 0.0)
+        return jnp.int32(0)
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32((n + PANEL - 1) // PANEL),
+                      panel_step, jnp.int32(0))
+
+    # ---- forward substitution: L y = b ----
+    def fwd_step(j, _):
+        L = A[:, :]
+        ljj = jnp.sum(jnp.where((row_ids == j) & (col_ids == j), L, 0.0))
+        Lrow = jnp.sum(jnp.where(row_ids == j, L, 0.0), axis=0,
+                       keepdims=True)                          # (1,n_pad)
+        bj = jnp.sum(jnp.where(rvec == j, V[:, 0:1], 0.0))
+        ycol = V[:, 1:2]
+        acc = jax.lax.dot_general(
+            Lrow, jnp.where(rvec < j, ycol, 0.0),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)[0, 0]
+        yj = (bj - acc) / ljj
+        V[:, 1:2] = jnp.where(rvec == j, yj, ycol)
+        return jnp.int32(0)
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), fwd_step, jnp.int32(0))
+
+    # ---- backward substitution: Lᵀ x = y ----
+    def bwd_step(kk, _):
+        j = jnp.int32(n - 1) - kk
+        L = A[:, :]
+        ljj = jnp.sum(jnp.where((row_ids == j) & (col_ids == j), L, 0.0))
+        Lcol = jnp.sum(jnp.where(col_ids == j, L, 0.0), axis=1,
+                       keepdims=True)                          # (n_pad,1)
+        yj = jnp.sum(jnp.where(rvec == j, V[:, 1:2], 0.0))
+        xcol = V[:, 2:3]
+        acc = jnp.sum(jnp.where(rvec > j, Lcol * xcol, 0.0))
+        xj = (yj - acc) / ljj
+        V[:, 2:3] = jnp.where(rvec == j, xj, xcol)
+        return jnp.int32(0)
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), bwd_step, jnp.int32(0))
+    out_ref[0] = V[:, :]
+
+
+def _pad_to(x, size, axis):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (0, pad)
+    return jnp.pad(x, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def chol_solve_blocked(S, rhs, interpret: bool = False):
+    """Solve S[b] x[b] = rhs[b] for batched small SPD systems (TPU kernel)."""
+    B, n, _ = S.shape
+    n_pad = max(128, -(-n // 128) * 128)
+    Sp = _pad_to(_pad_to(S, n_pad, 1), n_pad, 2)
+    eye_pad = jnp.eye(n_pad, dtype=S.dtype) * (jnp.arange(n_pad) >= n)
+    Sp = Sp + eye_pad[None]
+    rp = jnp.zeros((B, n_pad, 128), S.dtype).at[:, :, 0].set(
+        _pad_to(rhs, n_pad, 1))
+
+    # trace the kernel with x64 disabled: under jax_enable_x64 stray i64
+    # scalars leak into loop carries and Mosaic cannot legalize them
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(_blocked_kernel, n=n, n_pad=n_pad),
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, n_pad, n_pad), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_pad, 128), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, n_pad, 128), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, n_pad, 128), S.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((n_pad, n_pad), jnp.float32),
+                pltpu.VMEM((n_pad, 128), jnp.float32),
+            ],
+            interpret=interpret,
+        )(Sp, rp)
+    return out[:, :n, 2]

@@ -37,3 +37,18 @@ def test_matches_jnp_solve_120():
     r = np.einsum("bij,bj->bi", S, np.asarray(x, dtype=np.float64)) - rhs
     rel = np.linalg.norm(r, axis=1) / np.linalg.norm(rhs, axis=1)
     assert rel.max() < 1e-4, rel
+
+
+def test_blocked_matches_reference():
+    from rtk_visual_inertial_navigation_tpu.ops.pallas_chol_blocked import (
+        chol_solve_blocked)
+    rng = np.random.default_rng(2)
+    B, n = 3, 120
+    S = make_spd(rng, B, n)
+    rhs = rng.normal(size=(B, n)).astype(np.float32)
+    x = chol_solve_blocked(jnp.asarray(S), jnp.asarray(rhs), interpret=True)
+    ref = np.linalg.solve(S.astype(np.float64),
+                          rhs.astype(np.float64)[..., None])[..., 0]
+    r = np.einsum("bij,bj->bi", S, np.asarray(x, dtype=np.float64)) - rhs
+    rel = np.linalg.norm(r, axis=1) / np.linalg.norm(rhs, axis=1)
+    assert rel.max() < 1e-4, rel
