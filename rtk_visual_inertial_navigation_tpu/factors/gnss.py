@@ -29,7 +29,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core.state import NCLOCK, POSE_DIM, WindowState, layout_of
+from ..core.state import WindowState, layout_of
 from ..geodesy.earth import CLIGHT, OMGE
 from .base import FactorBatch, block_indices
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..core.state import FRAME_DIM, POSE_DIM, WindowState, layout_of
+from ..core.state import POSE_DIM, WindowState, layout_of
 from ..ops import lie
 from ..preintegration.midpoint import Preintegrated, imu_residual
 from .base import FactorBatch, block_indices

@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..core.state import POSE_DIM, WindowState, layout_of
+from ..core.state import WindowState, layout_of
 from ..ops import lie
 from .base import FactorBatch, block_indices
 

@@ -15,8 +15,6 @@ Everything is static-shape: K feature slots with validity masks.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.scipy.ndimage import map_coordinates

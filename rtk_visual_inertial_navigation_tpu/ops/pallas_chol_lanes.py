@@ -1,0 +1,131 @@
+"""Batch-in-lanes Cholesky solve — the TPU-shaped formulation.
+
+Insight from the failed per-matrix kernels (pallas_chol*.py): Mosaic
+forbids dynamic lane slicing and a serial per-matrix factorization wastes
+the vector unit.  The fix is to turn the BATCH into the lane dimension:
+hold 128 matrices as an (n, n, 128) VMEM tile and run the scalar Cholesky
+recurrence ONCE with every operation vectorized across the 128 lanes.
+All row/column indices become STATIC (the recurrence is unrolled over the
+matrix dimension), so no Mosaic restriction applies, and the trailing
+update at step j is a single (n-j-1, n-j-1, 128) broadcast-multiply —
+pure VPU work at full lane occupancy.
+
+The input tile is aliased to an output so the factorization is in-place:
+one ~7 MB buffer for n=120 instead of input + scratch copies.
+
+MEASURED (v5e, B=256, n=120, f32): 85 ms vs XLA's batched cholesky 37 ms,
+max err 1.3e-6.  The unrolled column recurrence is VPU-bound (440 MFLOP of
+elementwise outer products per 128-batch); XLA's blocked factorization
+runs its rank-k trailing updates on the MXU, which this lanes layout
+cannot reach (lane-batched matmuls would relayout).  Conclusion recorded
+for the framework: for these sizes XLA's cholesky is already within ~2x of
+the VPU roofline and is kept as the production path; the three kernel
+variants in ops/pallas_chol*.py document the exploration (per-matrix
+serial, blocked-panel masked, batch-in-lanes) with their Mosaic
+constraints and measurements.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _lanes_kernel(S_ref, rhs_ref, A_out, x_out, y_scr, *, n: int):
+    """Factor + solve 128 systems at once; batch rides in the lane dim.
+
+    All vector updates go through refs with STATIC row indices (value-level
+    ``.at[].set`` lowers to an unsupported scatter in Mosaic).
+    """
+    A_out[0] = S_ref[0]
+    # zero-init: masked reads below multiply by 0.0, and uninitialized VMEM
+    # could hold NaN bit patterns (NaN*0 = NaN)
+    y_scr[:, :] = jnp.zeros((n, LANES), jnp.float32)
+    x_out[0] = jnp.zeros((n, LANES), jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    # ---- Cholesky, unrolled over columns; batch vectorized in lanes.
+    # Uniform full-tile masked ops (ragged (n-j, n-j) slices force Mosaic
+    # relayouts; full tiles stay in native layout) ----
+    for j in range(n):
+        d = jax.lax.rsqrt(jnp.maximum(A_out[0, j, j, :], 1e-30))  # (128,)
+        colf = A_out[0, :, j, :] * d[None, :]                 # (n, 128)
+        colf = jnp.where(rows >= j, colf, 0.0)
+        A_out[0, :, j, :] = colf
+        if j + 1 < n:
+            tail = jnp.where(rows > j, colf, 0.0)
+            A_out[0] = A_out[0] - tail[:, None, :] * tail[None, :, :]
+
+    # NOTE: the trailing update above also touches columns <= j, but `tail`
+    # is zero on rows <= j and the product only lands where BOTH row and
+    # col > j... columns <= j of rows > j WOULD be corrupted; restore them:
+    # instead mask the update to columns > j via the second factor:
+    # (handled by using `tail` for both factors: entry (r,c) gets
+    # tail[r]*tail[c], zero unless r>j AND c>j — correct.)
+
+    # ---- forward substitution: L y = b ----
+    for j in range(n):
+        mask = (rows < j).astype(jnp.float32)
+        acc = jnp.sum(A_out[0, j, :, :] * (y_scr[:, :] * mask), axis=0)
+        y_scr[j, :] = (rhs_ref[0, j, :] - acc) / A_out[0, j, j, :]
+
+    # ---- backward substitution: Lᵀ x = y ----
+    for j in range(n - 1, -1, -1):
+        mask = (rows > j).astype(jnp.float32)
+        acc = jnp.sum(A_out[0, :, j, :] * (x_out[0, :, :] * mask), axis=0)
+        x_out[0, j, :] = (y_scr[j, :] - acc) / A_out[0, j, j, :]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def chol_solve_lanes(S, rhs, interpret: bool = False):
+    """Solve S[b] x[b] = rhs[b], batched small SPD systems, TPU-native.
+
+    Args:
+      S: (B, n, n) SPD float32; rhs: (B, n).  B is padded to a multiple of
+      128 (identity systems); n must be a multiple of 8.
+    """
+    B, n, _ = S.shape
+    assert n % 8 == 0, "n must be a multiple of 8 (sublane tiling)"
+    Bp = -(-B // LANES) * LANES
+    if Bp != B:
+        pad = Bp - B
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=S.dtype), (pad, n, n))
+        S = jnp.concatenate([S, eye], axis=0)
+        rhs = jnp.concatenate([rhs, jnp.zeros((pad, n), rhs.dtype)], axis=0)
+    G = Bp // LANES
+    # (G, 128, n, n) -> (G, n, n, 128): batch into lanes
+    S_t = S.reshape(G, LANES, n, n).transpose(0, 2, 3, 1)
+    r_t = rhs.reshape(G, LANES, n).transpose(0, 2, 1)
+
+    with jax.enable_x64(False):
+        A_out, x_out = pl.pallas_call(
+            functools.partial(_lanes_kernel, n=n),
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((1, n, n, LANES), lambda g: (g, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n, LANES), lambda g: (g, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, n, n, LANES), lambda g: (g, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n, LANES), lambda g: (g, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((G, n, n, LANES), S.dtype),
+                jax.ShapeDtypeStruct((G, n, LANES), S.dtype),
+            ),
+            scratch_shapes=[pltpu.VMEM((n, LANES), jnp.float32)],
+            input_output_aliases={0: 0},
+            interpret=interpret,
+        )(S_t, r_t)
+    x = x_out.transpose(0, 2, 1).reshape(Bp, n)
+    return x[:B]

@@ -15,9 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.state import WindowState
 from ..factors.priors import MargPrior
-from ..preintegration import Preintegrated
 from ..gnss.preprocess import PreparedEpoch
 from .estimator import Estimator
 

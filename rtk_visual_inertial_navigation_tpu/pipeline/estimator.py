@@ -18,8 +18,6 @@ Differences from the reference by design (TPU-first):
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from functools import partial
 from typing import Optional
 
 import jax
@@ -27,10 +25,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import EstimatorConfig
-from ..core.state import (FRAME_DIM, NCLOCK, POSE_DIM, TangentLayout,
-                          WindowState, layout_of, retract_window)
+from ..core.state import (FRAME_DIM, NCLOCK, TangentLayout,
+                          WindowState, retract_window)
 from ..factors.gnss import (GnssObsBatch, doppler_batch,
-                            rtk_carrier_phase_batch, rtk_pseudorange_batch,
                             spp_carrier_phase_batch, spp_pseudorange_batch)
 from ..factors.inertial import imu_factor_batch, merge_preintegrations
 from ..factors.mag import mag_factor_batch

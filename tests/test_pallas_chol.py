@@ -52,3 +52,16 @@ def test_blocked_matches_reference():
     r = np.einsum("bij,bj->bi", S, np.asarray(x, dtype=np.float64)) - rhs
     rel = np.linalg.norm(r, axis=1) / np.linalg.norm(rhs, axis=1)
     assert rel.max() < 1e-4, rel
+
+
+def test_lanes_matches_reference():
+    from rtk_visual_inertial_navigation_tpu.ops.pallas_chol_lanes import (
+        chol_solve_lanes)
+    rng = np.random.default_rng(3)
+    B, n = 10, 24   # deliberately not a multiple of 128 (padding path)
+    S = make_spd(rng, B, n)
+    rhs = rng.normal(size=(B, n)).astype(np.float32)
+    x = chol_solve_lanes(jnp.asarray(S), jnp.asarray(rhs), interpret=True)
+    r = np.einsum("bij,bj->bi", S, np.asarray(x, dtype=np.float64)) - rhs
+    rel = np.linalg.norm(r, axis=1) / np.linalg.norm(rhs, axis=1)
+    assert rel.max() < 1e-4, rel
