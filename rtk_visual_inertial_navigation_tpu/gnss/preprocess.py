@@ -52,6 +52,7 @@ class GnssEpoch:
     slip: np.ndarray          # (S,) bool receiver cycle-slip flag
     br_time_diff: float = 1.0  # rover-base age [s] (RTK weighting)
     pr0: Optional[np.ndarray] = None  # (S,) SPP_P0 correction channel [m]
+    svh: Optional[np.ndarray] = None  # (S,) satellite health (0 = healthy)
 
 
 class PhaseBiasTable:
@@ -238,7 +239,9 @@ class GnssPreprocessor:
             self.anchor_llh, -r0_unit))[..., 1]
         lam = earth.WAVELENGTHS[np.clip(ep.sys, 0, 2), np.clip(ep.freq, 0, 1)]
 
-        vis = el >= AZELMIN
+        healthy = (np.ones(S, dtype=bool) if ep.svh is None
+                   else np.asarray(ep.svh) == 0)
+        vis = (el >= AZELMIN) & healthy
         usable = vis & np.isfinite(ep.pr)
         n_usable = int(usable.sum())
         self.epoch_count += 1
@@ -267,10 +270,10 @@ class GnssPreprocessor:
             if not vis[i]:
                 continue
             sysf = int(ep.sys[i]) * 2 + int(ep.freq[i])
-            # --- SPP pseudorange: only without a base, frequency 0 only
-            # (swf_core.cpp:140-146: d->SPP_P[0], !have_base) ---
+            # --- SPP pseudorange: only without a base, frequency 0 only,
+            # std gate (swf_core.cpp:140-146: SPP_P[0], Pstd<2, !have_base)
             if (np.isfinite(ep.pr[i]) and not have_base
-                    and int(ep.freq[i]) == 0):
+                    and int(ep.freq[i]) == 0 and ep.pr_std[i] < 2.0):
                 z = ep.pr[i] - r0[i] - sag0[i]
                 w = spp_pr_weight(el[i], ep.pr_std[i], boost=boost)
                 add(0, SPP_CLOCK_SLOT + sysf, -1, i, z, w)
@@ -297,8 +300,10 @@ class GnssPreprocessor:
                     z = ep.pr0[i] - r0[i] - sag0[i]
                     w = spp_cp_weight(el[i], ep.pr_std[i])
                     add(1, SPP_CLOCK_SLOT + sysf, slot, i, z, w, new)
-            # --- RB-SD pseudorange (RTD, dual frequency) ---
-            if self.use_rtd and np.isfinite(ep.rtk_pr[i]):
+            # --- RB-SD pseudorange (RTD, dual frequency; Pstd gate,
+            # swf_core.cpp:127) ---
+            if (self.use_rtd and np.isfinite(ep.rtk_pr[i])
+                    and ep.pr_std[i] < 2.0):
                 # z' = P_sd − (r0_rover − r_base): base==anchor ⇒ r0−r_base=0
                 # (general base handled by passing true base ranges in)
                 z = ep.rtk_pr[i]

@@ -457,8 +457,11 @@ class Estimator:
         pre_stack = _stack_pre([
             self.pre[k] if self.pre[k] is not None else self._dummy_pre()
             for k in range(cfg.nf - 1)])
+        # interval exists, inside the window, and not overlong
+        # (IMUINTEGRATIONTIMEMAX = 10 s, rvi/parameter/parameters.h:11)
         pre_valid = jnp.asarray(np.array(
             [self.pre[k] is not None and k + 1 < self.frame_count
+             and float(np.asarray(self.pre[k].sum_dt)) < 10.0
              for k in range(cfg.nf - 1)]))
         f_ids, l_ids, xy, valid = self.features.observation_batch(cfg.max_obs)
         # keep only frames inside the current window

@@ -31,6 +31,8 @@ class SimConfig:
     gnss_rate: float = 10.0
     n_landmarks: int = 80
     n_sats: int = 12
+    n_systems: int = 1           # GPS / +BDS / +GAL (round-robin over sats)
+    dual_freq: bool = False      # add an f1 channel per satellite
     seed: int = 0
     g: float = 9.81
     # noise (0 = noiseless golden data); IMU noise in continuous-time units
@@ -91,12 +93,15 @@ class SimData:
     rtk_cp: np.ndarray    # (E,S) RB-SD carrier phase [cycle]
     ambiguities: np.ndarray  # (S,) integer ambiguities [cycle] (rover)
     rtk_ambiguities: np.ndarray  # (S,) RB-SD integer ambiguities
-    sat_valid: np.ndarray  # (E,S)
-    wavelength: np.ndarray  # (S,)
+    sat_valid: np.ndarray  # (E,C) channel validity
+    wavelength: np.ndarray  # (C,) per channel
     anchor_ecef: np.ndarray  # (3,) base/anchor position (local frame origin)
     enu_to_ecef: np.ndarray  # (3,3) rotation from local(ENU) to ECEF
     clk: np.ndarray       # (E,) true clock offsets [m]
     clk_drift: float
+    ch_sat: Optional[np.ndarray] = None   # (C,) satellite id per channel
+    ch_sys: Optional[np.ndarray] = None   # (C,) system per channel
+    ch_freq: Optional[np.ndarray] = None  # (C,) frequency per channel
 
 
 def _envelope(t, t0=1.0, ramp=3.0):
@@ -162,24 +167,29 @@ def gnss_epoch_of(sim: "SimData", ei: int, pr_std=0.8, cp_std=0.01,
     """Adapter: one SimData epoch -> gnss.preprocess.GnssEpoch."""
     from ..gnss.preprocess import GnssEpoch
 
-    S = sim.cfg.n_sats
+    ch_sat = sim.ch_sat if sim.ch_sat is not None \
+        else np.arange(sim.cfg.n_sats)
+    ch_sys = sim.ch_sys if sim.ch_sys is not None \
+        else np.zeros_like(ch_sat)
+    ch_freq = sim.ch_freq if sim.ch_freq is not None \
+        else np.zeros_like(ch_sat)
     return GnssEpoch(
         pr0=pr0,
         t=float(sim.gnss_t[ei]),
-        sat_id=np.arange(S),
-        sys=np.zeros(S, dtype=np.int64),
-        freq=np.zeros(S, dtype=np.int64),
-        sat_pos=sim.sat_pos[ei],
-        sat_vel=sim.sat_vel[ei],
+        sat_id=ch_sat,
+        sys=ch_sys.astype(np.int64),
+        freq=ch_freq.astype(np.int64),
+        sat_pos=sim.sat_pos[ei][ch_sat],
+        sat_vel=sim.sat_vel[ei][ch_sat],
         pr=sim.pr[ei],
         cp=sim.cp_cycles[ei],
         dopp=sim.dopp[ei],
         rtk_pr=sim.rtk_pr[ei],
         rtk_cp=sim.rtk_cp[ei],
-        pr_std=np.full(S, pr_std),
-        cp_std=np.full(S, cp_std),
-        dopp_std=np.full(S, dopp_std),
-        slip=np.zeros(S, dtype=bool),
+        pr_std=np.full(len(ch_sat), pr_std),
+        cp_std=np.full(len(ch_sat), cp_std),
+        dopp_std=np.full(len(ch_sat), dopp_std),
+        slip=np.zeros(len(ch_sat), dtype=bool),
         br_time_diff=1.0,
     )
 
@@ -274,22 +284,30 @@ def simulate(cfg: SimConfig) -> SimData:
         for ei, te in enumerate(gnss_t):
             sat_pos[ei, s] = pos0 + sat_vel[ei, s] * te
 
-    lam = np.full(S, earth.WAVELENGTHS[0, 0])
-    ambiguities = rng.integers(-50, 50, S).astype(float)
-    rtk_ambiguities = rng.integers(-30, 30, S).astype(float)
+    # channels: one per (satellite, frequency); systems round-robin
+    sat_sys = np.arange(S) % max(cfg.n_systems, 1)
+    n_freq = 2 if cfg.dual_freq else 1
+    ch_sat = np.tile(np.arange(S), n_freq)
+    ch_sys = np.tile(sat_sys, n_freq)
+    ch_freq = np.repeat(np.arange(n_freq), S)
+    C = S * n_freq
+    lam = earth.WAVELENGTHS[ch_sys, ch_freq]
+    ambiguities = rng.integers(-50, 50, C).astype(float)
+    rtk_ambiguities = rng.integers(-30, 30, C).astype(float)
 
-    pr = np.zeros((E, S))
-    cp_cycles = np.zeros((E, S))
-    dopp = np.zeros((E, S))
-    rtk_pr = np.zeros((E, S))
-    rtk_cp = np.zeros((E, S))
-    sat_valid = np.ones((E, S), dtype=bool)
+    pr = np.zeros((E, C))
+    cp_cycles = np.zeros((E, C))
+    dopp = np.zeros((E, C))
+    rtk_pr = np.zeros((E, C))
+    rtk_cp = np.zeros((E, C))
+    sat_valid = np.ones((E, C), dtype=bool)
     clk = cfg.clk0 + cfg.clk_drift * gnss_t
 
     for ei, ni in enumerate(gnss_idx):
         rr_ecef = anchor_ecef + enu_to_ecef @ p[ni]
         vr_ecef = enu_to_ecef @ v[ni]
-        for s in range(S):
+        for c in range(C):
+            s = int(ch_sat[c])
             r, e = earth.sagnac_range(jnp.asarray(rr_ecef),
                                       jnp.asarray(sat_pos[ei, s]))
             r = float(r)
@@ -302,12 +320,12 @@ def simulate(cfg: SimConfig) -> SimData:
             # carrier-phase sign convention follows the reference residual
             # ρ + dt − N·λ − L·λ = 0 (gnss_factor.cpp:57,119): the ambiguity
             # enters the modeled phase with a MINUS sign.
-            pr[ei, s] = r + clk[ei] + rng.normal(0, cfg.pr_noise)
-            cp_cycles[ei, s] = ((r + clk[ei]) / lam[s] - ambiguities[s]
+            pr[ei, c] = r + clk[ei] + rng.normal(0, cfg.pr_noise)
+            cp_cycles[ei, c] = ((r + clk[ei]) / lam[c] - ambiguities[c]
                                 + rng.normal(0, cfg.cp_noise))
-            dopp[ei, s] = float(rate) + cfg.clk_drift + rng.normal(0, cfg.dop_noise)
-            rtk_pr[ei, s] = r - rb + rng.normal(0, cfg.pr_noise * 0.5)
-            rtk_cp[ei, s] = ((r - rb) / lam[s] - rtk_ambiguities[s]
+            dopp[ei, c] = float(rate) + cfg.clk_drift + rng.normal(0, cfg.dop_noise)
+            rtk_pr[ei, c] = r - rb + rng.normal(0, cfg.pr_noise * 0.5)
+            rtk_cp[ei, c] = ((r - rb) / lam[c] - rtk_ambiguities[c]
                              + rng.normal(0, cfg.cp_noise * 0.5))
 
     return SimData(
@@ -317,5 +335,6 @@ def simulate(cfg: SimConfig) -> SimData:
         gnss_t=gnss_t, gnss_idx=gnss_idx, sat_pos=sat_pos, sat_vel=sat_vel,
         pr=pr, cp_cycles=cp_cycles, dopp=dopp, rtk_pr=rtk_pr, rtk_cp=rtk_cp,
         ambiguities=ambiguities, rtk_ambiguities=rtk_ambiguities,
-        sat_valid=sat_valid, wavelength=lam, anchor_ecef=anchor_ecef,
+        sat_valid=sat_valid, wavelength=lam, ch_sat=ch_sat, ch_sys=ch_sys,
+        ch_freq=ch_freq, anchor_ecef=anchor_ecef,
         enu_to_ecef=enu_to_ecef, clk=clk, clk_drift=cfg.clk_drift)

@@ -36,10 +36,10 @@ def replay(sim, cfg):
     return est
 
 
-def spp_cfg(sim, **kw):
+def spp_cfg(sim, nb=32, **kw):
     q_ic = np.asarray(lie.rot_to_quat(jnp.asarray(sim.cfg.r_ic)))
     return EstimatorConfig(
-        nf=10, nl=48, nb=32, max_obs=256, imu_capacity=128, average_imu=40,
+        nf=10, nl=48, nb=nb, max_obs=256, imu_capacity=128, average_imu=40,
         qic=np.tile(q_ic, (2, 1)), tic=np.tile(sim.cfg.t_ic, (2, 1)),
         use_gnss=True, use_doppler=True,
         anchor_ecef=sim.anchor_ecef, enu_to_ecef=sim.enu_to_ecef,
@@ -228,3 +228,57 @@ def test_spp_correction_mode(sim):
             np.testing.assert_allclose(-n_est * lam, offsets[sat], atol=0.05)
             got += 1
     assert got >= 6
+
+
+def test_rtk_multiconstellation_dual_freq():
+    """3 systems x 2 frequencies: separate dtur clock slots per (sys,freq)
+    and per-group DD fixing must all work (the reference's GPS+BDS+GAL
+    dual-frequency RTK configuration)."""
+    sim2 = simulate(SimConfig(duration=8.0, imu_rate=200.0, cam_rate=2.0,
+                              gnss_rate=2.0, n_landmarks=60, n_sats=12,
+                              n_systems=3, dual_freq=True, seed=6))
+    est = replay(sim2, spp_cfg(sim2, use_rtk=True, use_rtd=True,
+                               use_n_resolve=True, min_fix_continuity=1,
+                               fix_continue_threshold=3, nb=64))
+    errs = np.asarray(
+        [np.linalg.norm(p - sim2.p[np.argmin(np.abs(sim2.imu_t - t))])
+         for (t, p, q, v) in est.trajectory])
+    assert errs[len(errs) // 2:].max() < 0.02, errs.max()
+    assert est.rtk_fixed
+    # fixed DD integers exact per channel
+    bias = est.gnss.bias
+    checked = 0
+    for (slot_i, slot_r, n) in est._last_fix:
+        ki, kr = bias.key[slot_i], bias.key[slot_r]
+        assert ki[2] == kr[2], "DD must pair same frequency"
+        # channel index: sat + freq*n_sats
+        ci = ki[1] + ki[2] * sim2.cfg.n_sats
+        cr = kr[1] + kr[2] * sim2.cfg.n_sats
+        true_dd = sim2.rtk_ambiguities[ci] - sim2.rtk_ambiguities[cr]
+        assert n == int(true_dd), (n, true_dd)
+        checked += 1
+    assert checked >= 4
+    # bias table groups span multiple systems
+    systems = {bias.sys[s] for s in range(est.cfg.nb) if bias.active[s]}
+    assert len(systems) == 3
+
+
+def test_unhealthy_satellites_excluded(sim):
+    """SVH != 0 satellites must not produce factor rows (swf_core gating)."""
+    from rtk_visual_inertial_navigation_tpu.gnss.preprocess import (
+        GnssPreprocessor)
+    pp = GnssPreprocessor(sim.anchor_ecef, 32, use_doppler=True)
+    ep = gnss_epoch_of(sim, 0)
+    ep.svh = np.zeros(len(ep.sat_id), dtype=np.int64)
+    ep.svh[:3] = 1   # three unhealthy
+    prep = pp.prepare(ep)
+    assert prep.n_usable == len(ep.sat_id) - 3
+    used_sats = set()
+    # rows reference geometry of healthy sats only: compare against r0 of
+    # unhealthy ones
+    d0 = sim.anchor_ecef[None] - ep.sat_pos
+    r0_all = np.linalg.norm(d0, axis=-1)
+    for r0 in prep.r0:
+        k = int(np.argmin(np.abs(r0_all - r0)))
+        used_sats.add(k)
+    assert used_sats.isdisjoint({0, 1, 2})
