@@ -36,10 +36,10 @@ def replay(sim, cfg):
     return est
 
 
-def spp_cfg(sim, nb=32, **kw):
+def spp_cfg(sim, nb=32, nf=10, **kw):
     q_ic = np.asarray(lie.rot_to_quat(jnp.asarray(sim.cfg.r_ic)))
     return EstimatorConfig(
-        nf=10, nl=48, nb=nb, max_obs=256, imu_capacity=128, average_imu=40,
+        nf=nf, nl=48, nb=nb, max_obs=256, imu_capacity=128, average_imu=40,
         qic=np.tile(q_ic, (2, 1)), tic=np.tile(sim.cfg.t_ic, (2, 1)),
         use_gnss=True, use_doppler=True,
         anchor_ecef=sim.anchor_ecef, enu_to_ecef=sim.enu_to_ecef,
@@ -282,3 +282,24 @@ def test_unhealthy_satellites_excluded(sim):
         k = int(np.argmin(np.abs(r0_all - r0)))
         used_sats.add(k)
     assert used_sats.isdisjoint({0, 1, 2})
+
+
+def test_rtk_reference_rates_noisy():
+    """Reference-like sensor mix (IMU 200 Hz, camera 5 Hz, GNSS 10 Hz) with
+    realistic noise and true IMU biases: RTK must hold cm-level accuracy
+    with a high fix rate — the reference's headline operating point."""
+    sim2 = simulate(SimConfig(duration=10.0, imu_rate=200.0, cam_rate=5.0,
+                              gnss_rate=10.0, n_landmarks=60, n_sats=10,
+                              seed=9, pix_noise=1.0 / 460, acc_noise=0.02,
+                              gyr_noise=0.002, pr_noise=0.5, cp_noise=0.01,
+                              dop_noise=0.1, ba=np.array([0.03, -0.02, 0.05]),
+                              bg=np.array([0.002, -0.001, 0.002])))
+    est = replay(sim2, spp_cfg(sim2, use_rtk=True, use_rtd=True,
+                               use_n_resolve=True, min_fix_continuity=1,
+                               fix_continue_threshold=5, nf=12))
+    errs = np.asarray(
+        [np.linalg.norm(p - sim2.p[np.argmin(np.abs(sim2.imu_t - t))])
+         for (t, p, q, v) in est.trajectory])
+    half = errs[len(errs) // 2:]
+    assert half.mean() < 0.05, half.mean()
+    assert est.rtk_fixed
