@@ -210,3 +210,29 @@ def test_schur_reduced_keep_matches_full():
                             tuple(range(live)))
     np.testing.assert_allclose(np.asarray(p_keep), np.asarray(p_full),
                                rtol=1e-9, atol=1e-9)
+
+
+def test_fixed_integer_factor_batch():
+    from rtk_visual_inertial_navigation_tpu.core import WindowState
+    from rtk_visual_inertial_navigation_tpu.core.state import layout_of
+    from rtk_visual_inertial_navigation_tpu.factors.gnss import (
+        FixedIntegerBatch, fixed_integer_batch)
+    state = WindowState.zeros(2, 2, 6)
+    state = state._replace(
+        phase_bias=jnp.asarray([10.2, 3.1, 7.0, 0.0, 0.0, 0.0]))
+    lay = layout_of(state)
+    batch = FixedIntegerBatch(
+        pb_slot=jnp.asarray([0, 1], dtype=jnp.int32),
+        datum_slot=jnp.asarray([2, 2], dtype=jnp.int32),
+        n_fixed=jnp.asarray([3.0, -4.0]),
+        weight=jnp.asarray([1 / 0.03, 1 / 0.03]),
+        valid=jnp.asarray([True, True]))
+    fb = fixed_integer_batch(state, batch)
+    # r = w*((N_j - N_datum) - n): (10.2-7.0-3)=0.2 ; (3.1-7.0+4)=0.1
+    np.testing.assert_allclose(np.asarray(fb.res[:, 0]) * 0.03, [0.2, 0.1],
+                               atol=1e-9)
+    # jacobian: +w on pb, -w on datum
+    np.testing.assert_allclose(np.asarray(fb.jac[0, 0]), [1 / 0.03, -1 / 0.03],
+                               atol=1e-9)
+    np.testing.assert_array_equal(
+        np.asarray(fb.gidx[0]), [lay.pb_idx(0), lay.pb_idx(2)])
