@@ -1,0 +1,83 @@
+"""Image-in, features-out frontend: the USE_FEATURE=0 path.
+
+Combines the JAX tracker kernels (Shi-Tomasi + pyramidal LK + FB check,
+`frontend.tracker`) with the host-side id management the reference does in
+FeatureTracker::trackImage (rvi/feature/feature_tracker.cpp:75-230):
+track existing features forward, drop failures, re-detect into freed slots
+with suppression disks around live tracks, undistort through the camera
+model, and emit (ids, unit-plane xy) for `Estimator.process_image`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.cameras import PinholeCamera
+from .tracker import (build_pyramid, lk_track_fb, select_features,
+                      shi_tomasi_response)
+
+
+class TrackerFrontend:
+    def __init__(self, camera: PinholeCamera, max_cnt: int = 80,
+                 min_dist: int = 12, levels: int = 3, win: int = 9,
+                 iters: int = 12, fb_thresh: float = 0.75):
+        self.cam = camera
+        self.max_cnt = max_cnt
+        self.min_dist = min_dist
+        self.levels = levels
+        self.win = win
+        self.iters = iters
+        self.fb_thresh = fb_thresh
+
+        self.pts = np.zeros((max_cnt, 2))
+        self.ok = np.zeros(max_cnt, dtype=bool)
+        self.ids = np.full(max_cnt, -1, dtype=np.int64)
+        self._next_id = 0
+        self._pyr_prev = None
+
+    def process(self, img: np.ndarray):
+        """Track one frame. Returns (ids (M,), unit_plane_xy (M,2))."""
+        pyr = build_pyramid(jnp.asarray(img, dtype=jnp.float32), self.levels)
+
+        if self._pyr_prev is not None and self.ok.any():
+            new, ok = lk_track_fb(self._pyr_prev, pyr, jnp.asarray(self.pts),
+                                  jnp.asarray(self.ok), self.win, self.iters,
+                                  self.fb_thresh)
+            self.pts = np.array(new)
+            self.ok = np.array(ok)
+            self.ids[~self.ok] = -1
+
+        # refill dead slots by re-detection with suppression around live pts
+        n_live = int(self.ok.sum())
+        if n_live < self.max_cnt:
+            resp = shi_tomasi_response(pyr[0])
+            H, W = img.shape
+            mask = np.ones((H, W), dtype=bool)
+            yy, xx = np.mgrid[0:H, 0:W]
+            for p in self.pts[self.ok]:
+                mask &= ((yy - p[1]) ** 2 + (xx - p[0]) ** 2) \
+                    > self.min_dist ** 2
+            fresh, fok = select_features(resp, self.max_cnt, self.min_dist,
+                                         mask=jnp.asarray(mask))
+            fresh = np.asarray(fresh)
+            fok = np.asarray(fok)
+            fi = 0
+            for slot in np.flatnonzero(~self.ok):
+                while fi < self.max_cnt and not fok[fi]:
+                    fi += 1
+                if fi >= self.max_cnt:
+                    break
+                self.pts[slot] = fresh[fi]
+                self.ok[slot] = True
+                self.ids[slot] = self._next_id
+                self._next_id += 1
+                fi += 1
+
+        self._pyr_prev = pyr
+        live = self.ok & (self.ids >= 0)
+        rays = np.asarray(self.cam.lift_projective(
+            jnp.asarray(self.pts[live])))
+        return self.ids[live], rays[:, :2]

@@ -1,0 +1,65 @@
+"""Images -> TrackerFrontend -> Estimator: the USE_FEATURE=0 path
+end-to-end on rendered synthetic frames."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtk_visual_inertial_navigation_tpu.config import EstimatorConfig
+from rtk_visual_inertial_navigation_tpu.frontend.tracker_frontend import (
+    TrackerFrontend)
+from rtk_visual_inertial_navigation_tpu.models import PinholeCamera
+from rtk_visual_inertial_navigation_tpu.ops import lie
+from rtk_visual_inertial_navigation_tpu.pipeline import Estimator
+from rtk_visual_inertial_navigation_tpu.sim import SimConfig, simulate
+
+H, W, F = 240, 320, 160.0
+
+
+def render(sim, fi):
+    """Gaussian blob image of the visible landmarks at camera frame fi."""
+    img = np.zeros((H, W))
+    yy, xx = np.mgrid[0:H, 0:W]
+    for l in range(sim.landmarks.shape[0]):
+        if not sim.obs_valid[fi, l]:
+            continue
+        u = F * sim.obs_xy[fi, l, 0] + W / 2
+        v = F * sim.obs_xy[fi, l, 1] + H / 2
+        if 5 < u < W - 5 and 5 < v < H - 5:
+            img += np.exp(-((yy - v) ** 2 + (xx - u) ** 2) / (2 * 2.0 ** 2))
+    return img
+
+
+@pytest.mark.slow
+def test_images_to_trajectory():
+    sim = simulate(SimConfig(duration=6.0, imu_rate=200.0, cam_rate=10.0,
+                             n_landmarks=50, n_sats=4, seed=5))
+    cam = PinholeCamera(fx=F, fy=F, cx=W / 2, cy=H / 2)
+    fe = TrackerFrontend(cam, max_cnt=48, min_dist=10)
+    q_ic = np.asarray(lie.rot_to_quat(jnp.asarray(sim.cfg.r_ic)))
+    cfg = EstimatorConfig(nf=8, nl=64, nb=1, max_obs=320, imu_capacity=64,
+                          average_imu=40, qic=np.tile(q_ic, (2, 1)),
+                          tic=np.tile(sim.cfg.t_ic, (2, 1)))
+    est = Estimator(cfg)
+
+    cam_ptr = 0
+    for i, t in enumerate(sim.imu_t):
+        est.process_imu(t, sim.acc[i], sim.gyr[i])
+        if cam_ptr < len(sim.cam_idx) and sim.cam_idx[cam_ptr] == i:
+            ids, xy = fe.process(render(sim, cam_ptr))
+            if len(ids) >= 5:
+                est.process_image(t, ids, xy)
+            cam_ptr += 1
+
+    assert est.initialized
+    errs = np.asarray(
+        [np.linalg.norm(p - sim.p[np.argmin(np.abs(sim.imu_t - t))])
+         for (t, p, q, v) in est.trajectory])
+    # This validates the WIRING (real id churn, refills, track failures)
+    # rather than metric accuracy: the blob renderer has unmodelled
+    # appearance (overlaps, clipping) that biases LK centroids, so the
+    # VI-only drift is meter-class here.  The precomputed-feature path
+    # (USE_FEATURE=1 analog) covers metric accuracy in test_pipeline_vi.
+    assert errs[-1] < 1.5, errs[-1]
+    assert np.median(errs) < 0.8, np.median(errs)
+    assert len(est.trajectory) > 30
