@@ -70,6 +70,11 @@ class PhaseBiasTable:
         self.last_seen = np.full(capacity, -np.inf)
         self.sys = np.zeros(capacity, dtype=np.int64)
         self.freq = np.zeros(capacity, dtype=np.int64)
+        # allocation generation per slot: rows captured inside condensed
+        # chains record the generation of the ambiguity they reference, so a
+        # recycled slot (slip/staleness/eviction) invalidates stale chain
+        # rows instead of corrupting the new ambiguity
+        self.generation = np.zeros(capacity, dtype=np.int64)
         self._map: dict[tuple, int] = {}
 
     def lookup(self, kind: str, sat: int, freq: int, t: float,
@@ -120,6 +125,7 @@ class PhaseBiasTable:
         self.value[slot] = 0.0
         self.continuity[slot] = 0
         self.last_seen[slot] = t
+        self.generation[slot] += 1
         self._map[k] = slot
         return slot
 
@@ -207,6 +213,7 @@ class PreparedEpoch:
     weight: np.ndarray
     new_bias: np.ndarray    # (N,) bool: pb_slot needs value initialization
     n_usable: int           # healthy SPP sat count (epoch gating)
+    gen: Optional[np.ndarray] = None  # (N,) bias-slot allocation generation
 
 
 class GnssPreprocessor:
@@ -251,12 +258,14 @@ class GnssPreprocessor:
 
         rows = {k: [] for k in ("kind", "clk_slot", "pb_slot", "r0_unit",
                                 "r0", "sat_xy", "sat_vel", "z", "wavelength",
-                                "weight", "new_bias")}
+                                "weight", "new_bias", "gen")}
 
         def add(kind, clk, pb, i, z, w, new_bias=False):
             rows["kind"].append(kind)
             rows["clk_slot"].append(clk)
             rows["pb_slot"].append(max(pb, 0))
+            rows["gen"].append(int(self.bias.generation[pb]) if pb >= 0
+                               else 0)
             rows["r0_unit"].append(r0_unit[i])
             rows["r0"].append(r0[i])
             rows["sat_xy"].append(ep.sat_pos[i, :2])

@@ -1,0 +1,257 @@
+"""Host-side bookkeeping of condensed IMU-GNSS chains.
+
+The estimator moves runs of GNSS frames that lie between two visual frames
+out of the sliding window and into `ChainRecord`s (the reference removes
+them from the outer ceres::Problem into an IMUGNSSBase cost function,
+SetLastImuFactor, rvi/factor/gnss_imu_factor.cpp:109-117; chain growth on
+second-new frame drops mirrors ResetImuGnssFactor/UpdateImuGnssFactor,
+rvi/swf/swf.cpp:578-616,669-730).
+
+Records hold numpy state; `chain_device_inputs` packs every record into the
+fixed-capacity ChainHidden/ChainStatic pytrees consumed by the jitted solve.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.state import NCLOCK
+from ..solver.chain_factors import ChainHidden, ChainRows, ChainStatic
+
+# PreparedEpoch kind -> chain row kind (0 pseudorange, 1 carrier, 2 doppler)
+_KIND_MAP = {0: 0, 2: 0, 1: 1, 3: 1, 4: 2}
+
+_ROW_FIELDS = ("kind", "clk_slot", "pb_slot", "r0_unit", "r0", "sat_xy",
+               "sat_vel", "z", "wavelength", "weight", "gen")
+
+
+@dataclass
+class ChainRecord:
+    """One condensed run of GNSS epochs between window frames left/right."""
+
+    left: int
+    right: int
+    # hidden interior states, one row per epoch (numpy)
+    p: np.ndarray            # (n_hidden, 3)
+    q: np.ndarray            # (n_hidden, 4)
+    v: np.ndarray
+    ba: np.ndarray
+    bg: np.ndarray
+    clk: np.ndarray          # (n_hidden, NCLOCK)
+    pres: list               # n_hidden+1 numpy Preintegrated pytrees
+    rows: dict               # flat arrays over all epochs, + "state_idx"
+
+    @property
+    def n_hidden(self) -> int:
+        return self.p.shape[0]
+
+    @property
+    def n_leaves(self) -> int:
+        return self.n_hidden + 1
+
+
+def prepared_to_chain_rows(prep, state_idx: int) -> dict:
+    """Convert a PreparedEpoch's rows to chain-row arrays at ``state_idx``."""
+    kind = np.asarray([_KIND_MAP[int(k)] for k in prep.kind],
+                      dtype=np.int32)
+    n = len(kind)
+    gen = (prep.gen if prep.gen is not None and len(prep.gen) == n
+           else np.zeros(n, dtype=np.int64))
+    return dict(
+        state_idx=np.full(n, state_idx, dtype=np.int32),
+        kind=kind,
+        clk_slot=prep.clk_slot.astype(np.int32),
+        pb_slot=prep.pb_slot.astype(np.int32),
+        r0_unit=np.asarray(prep.r0_unit, dtype=np.float64).reshape(n, 3),
+        r0=np.asarray(prep.r0, dtype=np.float64),
+        sat_xy=np.asarray(prep.sat_xy, dtype=np.float64).reshape(n, 2),
+        sat_vel=np.asarray(prep.sat_vel, dtype=np.float64).reshape(n, 3),
+        z=np.asarray(prep.z, dtype=np.float64),
+        wavelength=np.asarray(prep.wavelength, dtype=np.float64),
+        weight=np.asarray(prep.weight, dtype=np.float64),
+        gen=np.asarray(gen, dtype=np.int64),
+    )
+
+
+def merge_rows(parts: list[dict]) -> dict:
+    keys = ("state_idx",) + _ROW_FIELDS
+    if not parts:
+        return {k: np.zeros((0, 3) if k in ("r0_unit", "sat_vel") else
+                            ((0, 2) if k == "sat_xy" else (0,)),
+                            dtype=np.float64) for k in keys}
+    return {k: np.concatenate([p[k] for p in parts]) for k in keys}
+
+
+def concat_records(rec_l: ChainRecord, mid_state: dict,
+                   rec_r: Optional[ChainRecord],
+                   mid_pre, right: int) -> ChainRecord:
+    """Merge chain(a,d) + state d (+ chain(d,b)) into chain(a,b) when frame
+    d is dropped from the window (ResetImuGnssFactor merge semantics)."""
+    parts_state = [dict(p=rec_l.p, q=rec_l.q, v=rec_l.v, ba=rec_l.ba,
+                        bg=rec_l.bg, clk=rec_l.clk), mid_state]
+    pres = list(rec_l.pres)
+    rows_parts = [rec_l.rows]
+    off = rec_l.n_hidden + 1          # state index of d in the merged chain
+    if rec_r is not None:
+        parts_state.append(dict(p=rec_r.p, q=rec_r.q, v=rec_r.v,
+                                ba=rec_r.ba, bg=rec_r.bg, clk=rec_r.clk))
+        pres += list(rec_r.pres)
+        r = dict(rec_r.rows)
+        r["state_idx"] = r["state_idx"] + off
+        rows_parts.append(r)
+    else:
+        pres.append(mid_pre)
+    cat = lambda k: np.concatenate(
+        [np.asarray(s[k]).reshape((-1,) + np.shape(s[k])[-1:]
+                                  if np.ndim(s[k]) > 1 else (-1,))
+         for s in parts_state])
+    stacked = {k: np.concatenate([np.atleast_2d(np.asarray(s[k]))
+                                  if np.ndim(s[k]) == 1 else np.asarray(s[k])
+                                  for s in parts_state])
+               for k in ("p", "q", "v", "ba", "bg", "clk")}
+    return ChainRecord(
+        left=rec_l.left, right=right,
+        p=stacked["p"], q=stacked["q"], v=stacked["v"], ba=stacked["ba"],
+        bg=stacked["bg"], clk=stacked["clk"],
+        pres=pres, rows=merge_rows(rows_parts))
+
+
+def chain_device_inputs(records: list[ChainRecord], nch: int, cap: int,
+                        crows: int, bias_table, dummy_pre,
+                        left_mask: Optional[np.ndarray] = None):
+    """Pack chain records into (ChainHidden, ChainStatic) batched pytrees.
+
+    Rows referencing a recycled ambiguity slot (allocation generation
+    mismatch, or slot inactive) are masked out.  ``dummy_pre`` pads unused
+    leaf slots; ``left_mask`` optionally restricts active to given lefts.
+    """
+    m = cap - 1
+
+    def pad2(a, n_rows, width=None):
+        a = np.asarray(a, dtype=np.float64)
+        shape = (n_rows,) + a.shape[1:] if width is None else (n_rows, width)
+        out = np.zeros(shape)
+        k = min(len(a), n_rows)
+        out[:k] = a[:k]
+        return out
+
+    hid_p = np.zeros((nch, m, 3))
+    hid_q = np.zeros((nch, m, 4))
+    hid_q[..., 0] = 1.0
+    hid_v = np.zeros((nch, m, 3))
+    hid_ba = np.zeros((nch, m, 3))
+    hid_bg = np.zeros((nch, m, 3))
+    hid_clk = np.zeros((nch, m, NCLOCK))
+    left = np.zeros(nch, dtype=np.int32)
+    right = np.ones(nch, dtype=np.int32)
+    n_leaves = np.ones(nch, dtype=np.int32)
+    active = np.zeros(nch, dtype=bool)
+    pre_valid = np.zeros((nch, cap), dtype=bool)
+    pres_all = []
+    rows_np = {k: [] for k in ("state_idx",) + _ROW_FIELDS}
+    rows_valid = []
+
+    for ci in range(nch):
+        if ci < len(records):
+            r = records[ci]
+            nh = min(r.n_hidden, m)
+            hid_p[ci, :nh] = r.p[:nh]
+            hid_q[ci, :nh] = r.q[:nh]
+            hid_v[ci, :nh] = r.v[:nh]
+            hid_ba[ci, :nh] = r.ba[:nh]
+            hid_bg[ci, :nh] = r.bg[:nh]
+            hid_clk[ci, :nh] = r.clk[:nh]
+            left[ci] = r.left
+            right[ci] = r.right
+            n_leaves[ci] = min(r.n_leaves, cap)
+            active[ci] = True
+            if left_mask is not None and not left_mask[ci]:
+                active[ci] = False
+            pres = list(r.pres)[:cap]
+            pres += [dummy_pre] * (cap - len(pres))
+            pre_valid[ci, :min(r.n_leaves, cap)] = True
+            pres_all.append(pres)
+            # rows: mask stale bias references
+            rw = r.rows
+            n = len(rw["kind"])
+            keep = np.ones(n, dtype=bool)
+            is_cp = rw["kind"] == 1
+            slots = rw["pb_slot"].astype(int)
+            cur_gen = bias_table.generation[slots] if bias_table is not None \
+                else rw["gen"]
+            cur_act = bias_table.active[slots] if bias_table is not None \
+                else np.ones(n, dtype=bool)
+            keep &= ~is_cp | ((rw["gen"] == cur_gen) & cur_act)
+            keep &= rw["state_idx"] <= n_leaves[ci] - 1
+            nkeep = min(int(keep.sum()), crows)
+            sel = np.flatnonzero(keep)[:nkeep]
+            for k in rows_np:
+                arr = np.zeros((crows,) + np.shape(rw[k])[1:])
+                arr[:nkeep] = rw[k][sel]
+                rows_np[k].append(arr)
+            rv = np.zeros(crows, dtype=bool)
+            rv[:nkeep] = True
+            rows_valid.append(rv)
+        else:
+            pres_all.append([dummy_pre] * cap)
+            for k in rows_np:
+                shape = {"r0_unit": (crows, 3), "sat_vel": (crows, 3),
+                         "sat_xy": (crows, 2)}.get(k, (crows,))
+                rows_np[k].append(np.zeros(shape))
+            rows_valid.append(np.zeros(crows, dtype=bool))
+
+    pre_stack = jax.tree.map(
+        lambda *x: jnp.stack(x),
+        *[jax.tree.map(lambda *y: jnp.stack(y), *pres)
+          for pres in pres_all])
+
+    r0 = np.stack(rows_np["r0"])
+    r0 = r0 + (r0 == 0) * 2.6e7
+    lam = np.stack(rows_np["wavelength"])
+    lam = lam + (lam == 0)
+    rows = ChainRows(
+        state_idx=jnp.asarray(np.maximum(np.stack(rows_np["state_idx"]), 1)
+                              .astype(np.int32)),
+        kind=jnp.asarray(np.stack(rows_np["kind"]).astype(np.int32)),
+        clk_slot=jnp.asarray(np.stack(rows_np["clk_slot"]).astype(np.int32)),
+        pb_slot=jnp.asarray(np.stack(rows_np["pb_slot"]).astype(np.int32)),
+        r0_unit=jnp.asarray(np.stack(rows_np["r0_unit"])),
+        r0=jnp.asarray(r0),
+        sat_xy=jnp.asarray(np.stack(rows_np["sat_xy"])),
+        sat_vel=jnp.asarray(np.stack(rows_np["sat_vel"])),
+        z=jnp.asarray(np.stack(rows_np["z"])),
+        wavelength=jnp.asarray(lam),
+        weight=jnp.asarray(np.stack(rows_np["weight"])),
+        valid=jnp.asarray(np.stack(rows_valid)),
+    )
+    hid = ChainHidden(p=jnp.asarray(hid_p), q=jnp.asarray(hid_q),
+                      v=jnp.asarray(hid_v), ba=jnp.asarray(hid_ba),
+                      bg=jnp.asarray(hid_bg), clk=jnp.asarray(hid_clk))
+    st = ChainStatic(left=jnp.asarray(left), right=jnp.asarray(right),
+                     n_leaves=jnp.asarray(n_leaves),
+                     active=jnp.asarray(active), pre=pre_stack,
+                     pre_valid=jnp.asarray(pre_valid), rows=rows)
+    return hid, st
+
+
+def writeback_hidden(records: list[ChainRecord], hid: ChainHidden):
+    """Persist optimized hidden states back into the host records."""
+    p = np.asarray(hid.p)
+    q = np.asarray(hid.q)
+    v = np.asarray(hid.v)
+    ba = np.asarray(hid.ba)
+    bg = np.asarray(hid.bg)
+    clk = np.asarray(hid.clk)
+    for ci, r in enumerate(records):
+        nh = r.n_hidden
+        r.p = p[ci, :nh].copy()
+        r.q = q[ci, :nh].copy()
+        r.v = v[ci, :nh].copy()
+        r.ba = ba[ci, :nh].copy()
+        r.bg = bg[ci, :nh].copy()
+        r.clk = clk[ci, :nh].copy()

@@ -110,3 +110,212 @@ def dense_chain_hessian(leaves: ChainElem, n: int, d: int):
         b = b.at[sl_i].add(leaves.bi[k])
         b = b.at[sl_j].add(leaves.bj[k])
     return H, b
+
+
+# ---------------------------------------------------------------------------
+# Chain condensation WITH a global tail block (the ambiguity vector N).
+#
+# The reference's IMUGNSSBase eliminates hidden GNSS-frame states in the
+# fixed order Pose0|Pose1|Pose2|N (HessianOrder, rvi/factor/
+# gnss_imu_factor.h:8-15): the ambiguity block N is shared by every epoch in
+# the chain and is never eliminated — the condensed cost function keeps
+# (pose_i, bias_i, pose_j, bias_j, N...) as its parameters
+# (UpdateSchurComponent, gnss_imu_factor.cpp:454-489).  The monoid below is
+# the same algebra as ChainElem extended with a tail: a segment [i..j]
+# reduced onto (x_i, x_j, N).  Composing two segments eliminates the shared
+# state x_k; the tail blocks are additive across segments and receive the
+# usual Schur correction through x_k's coupling.
+# ---------------------------------------------------------------------------
+
+
+class ChainTailElem(NamedTuple):
+    """Quadratic form of a chain segment over (x_i, x_j, N).
+
+    ½ [xi;xj;N]ᵀ [Hii Hij HiN; · Hjj HjN; · · HNN] [xi;xj;N]
+      − [bi;bj;bN]ᵀ [xi;xj;N]   (constant term dropped).
+    """
+
+    Hii: jnp.ndarray   # (..., d, d)
+    Hij: jnp.ndarray   # (..., d, d)
+    Hjj: jnp.ndarray   # (..., d, d)
+    HiN: jnp.ndarray   # (..., d, dn)
+    HjN: jnp.ndarray   # (..., d, dn)
+    HNN: jnp.ndarray   # (..., dn, dn)
+    bi: jnp.ndarray    # (..., d)
+    bj: jnp.ndarray    # (..., d)
+    bN: jnp.ndarray    # (..., dn)
+
+
+def _combine_tail(L: ChainTailElem, R: ChainTailElem) -> ChainTailElem:
+    """Eliminate the shared middle state x_k of two adjacent segments.
+
+    x_k couples to x_i through L.Hijᵀ, to x_j through R.Hij, to N through
+    L.HjN + R.HiN, with information M = L.Hjj + R.Hii and rhs m = L.bj+R.bi.
+    One factorization of M serves every Schur correction.
+    """
+    d = L.Hii.shape[-1]
+    dn = L.HNN.shape[-1]
+    M = L.Hjj + R.Hii + 1e-12 * jnp.eye(d, dtype=L.Hii.dtype)
+    m = L.bj + R.bi
+    C_N = L.HjN + R.HiN                       # (d, dn) coupling x_k ↔ N
+    rhs = jnp.concatenate(
+        [jnp.swapaxes(L.Hij, -1, -2), R.Hij, C_N, m[..., None]], axis=-1)
+    sol = jnp.linalg.solve(M, rhs)
+    X_i = sol[..., :d]                        # M⁻¹ L.Hijᵀ
+    X_j = sol[..., d:2 * d]                   # M⁻¹ R.Hij
+    X_N = sol[..., 2 * d:2 * d + dn]          # M⁻¹ C_N
+    x_m = sol[..., 2 * d + dn]                # M⁻¹ m
+    LH = L.Hij                                # (i,k) block
+    RHt = jnp.swapaxes(R.Hij, -1, -2)         # (j,k) block
+    mv = lambda A, x: jnp.einsum("...ij,...j->...i", A, x)
+    return ChainTailElem(
+        Hii=L.Hii - LH @ X_i,
+        Hij=-LH @ X_j,
+        Hjj=R.Hjj - RHt @ X_j,
+        HiN=L.HiN - LH @ X_N,
+        HjN=R.HjN - RHt @ X_N,
+        HNN=L.HNN + R.HNN - jnp.swapaxes(C_N, -1, -2) @ X_N,
+        bi=L.bi - mv(LH, x_m),
+        bj=R.bj - mv(RHt, x_m),
+        bN=L.bN + R.bN - mv(jnp.swapaxes(C_N, -1, -2), x_m),
+    )
+
+
+def make_tail_leaves(H_pair_ii, H_pair_ij, H_pair_jj, b_pair_i, b_pair_j,
+                     H_unary, H_uN, H_NN, b_unary, b_N) -> ChainTailElem:
+    """Scan leaves from n-1 binary factors + n unary blocks coupling to N.
+
+    Args:
+      H_pair_*: (n-1, d, d) / b_pair_*: (n-1, d) — consecutive-state factors
+        (whitened-IMU JᵀJ blocks).
+      H_unary: (n, d, d), H_uN: (n, d, dn), H_NN: (n, dn, dn),
+        b_unary: (n, d), b_N: (n, dn) — per-state condensed GNSS epoch
+        information (clock-eliminated), coupling state k with the tail.
+    State 0's unary folds into leaf 0's i-side; state k≥1's into leaf k-1's
+    j-side — so a prefix [0..k] always carries exactly the information of
+    factors and unaries it spans.
+    """
+    Hii = H_pair_ii.at[0].add(H_unary[0])
+    Hjj = H_pair_jj + H_unary[1:]
+    bi = b_pair_i.at[0].add(b_unary[0])
+    bj = b_pair_j + b_unary[1:]
+    dn = H_uN.shape[-1]
+    n1 = H_pair_ii.shape[0]
+    dtype = H_pair_ii.dtype
+    HiN = jnp.zeros((n1, H_pair_ii.shape[-1], dn), dtype).at[0].set(H_uN[0])
+    HjN = H_uN[1:]
+    HNNl = jnp.zeros((n1, dn, dn), dtype).at[0].add(H_NN[0])
+    HNNl = HNNl + H_NN[1:]
+    bNl = jnp.zeros((n1, dn), dtype).at[0].add(b_N[0])
+    bNl = bNl + b_N[1:]
+    return ChainTailElem(Hii, H_pair_ij, Hjj, HiN, HjN, HNNl, bi, bj, bNl)
+
+
+def condense_chain_tail(leaves: ChainTailElem,
+                        n_leaves=None) -> ChainTailElem:
+    """Reduce onto (x_0, x_last, N) in O(log n) depth.
+
+    ``n_leaves``: dynamic number of real leaves (prefix scan result is read
+    at index n_leaves-1, so capacity padding beyond never contaminates the
+    answer).  None = use all leaves.
+    """
+    scanned = jax.lax.associative_scan(_combine_tail, leaves)
+    if n_leaves is None:
+        return jax.tree.map(lambda x: x[-1], scanned)
+    return jax.tree.map(
+        lambda x: jnp.take(x, n_leaves - 1, axis=0, mode="clip"), scanned)
+
+
+def dense_chain_tail_hessian(leaves: ChainTailElem, n: int, d: int, dn: int):
+    """Materialize the (n·d + dn) chain system (test oracle)."""
+    D = n * d + dn
+    H = jnp.zeros((D, D), dtype=leaves.Hii.dtype)
+    b = jnp.zeros((D,), dtype=leaves.Hii.dtype)
+    tN = slice(n * d, D)
+    for k in range(n - 1):
+        sl_i = slice(k * d, (k + 1) * d)
+        sl_j = slice((k + 1) * d, (k + 2) * d)
+        H = H.at[sl_i, sl_i].add(leaves.Hii[k])
+        H = H.at[sl_i, sl_j].add(leaves.Hij[k])
+        H = H.at[sl_j, sl_i].add(leaves.Hij[k].T)
+        H = H.at[sl_j, sl_j].add(leaves.Hjj[k])
+        H = H.at[sl_i, tN].add(leaves.HiN[k])
+        H = H.at[tN, sl_i].add(leaves.HiN[k].T)
+        H = H.at[sl_j, tN].add(leaves.HjN[k])
+        H = H.at[tN, sl_j].add(leaves.HjN[k].T)
+        H = H.at[tN, tN].add(leaves.HNN[k])
+        b = b.at[sl_i].add(leaves.bi[k])
+        b = b.at[sl_j].add(leaves.bj[k])
+        b = b.at[tN].add(leaves.bN[k])
+    return H, b
+
+
+def solve_chain_interior(leaves: ChainTailElem, n_leaves, dx_i, dx_j, dx_N,
+                         cap: int):
+    """Back-substitute the hidden interior states (UpdateHiddenState
+    semantics, rvi/factor/gnss_imu_factor.cpp:601-632).
+
+    Given endpoint increments dx_i (state 0), dx_j (state n-1) and tail
+    increment dx_N, solve the block-tridiagonal interior system for the
+    increments of states 1..n-2.  Fixed capacity ``cap`` = max leaves
+    (interior slots = cap-1); masked dense Cholesky keeps it simple and
+    batch-friendly (interior dim ≤ (cap-1)·d — small).
+
+    Returns (cap-1, d) increments for interior states 1..cap-1 (zeros
+    beyond the real interior).
+    """
+    d = leaves.Hii.shape[-1]
+    m = cap - 1                               # interior capacity
+    dtype = leaves.Hii.dtype
+    k = jnp.arange(cap)
+    n = n_leaves                              # states = n+1, interior = n-1
+    # interior state s (1-based) is active iff s <= n-1
+    s_idx = jnp.arange(1, cap)                # candidate interior states
+    active = s_idx <= n - 1
+
+    # assemble interior H: diagonal block of state s = Hjj[s-1] + Hii[s]
+    # (Hii[s] only if leaf s is real, i.e. s <= n-1)
+    leaf_real = k < n                         # (cap,)
+    Hjj_part = leaves.Hjj[:cap]               # leaf s-1 for state s: Hjj[s-1]
+    Hii_part = jnp.where(leaf_real[1:, None, None], leaves.Hii[1:cap], 0.0)
+    diag_blocks = Hjj_part[:m] + Hii_part     # (m, d, d) for states 1..cap-1
+    # off-diagonal between interior states s, s+1: Hij[s] (real iff s+1<=n-1)
+    off_real = (s_idx[:-1] + 1) <= n - 1
+    off_blocks = jnp.where(off_real[:, None, None], leaves.Hij[1:m], 0.0)
+
+    rhs = leaves.bj[:m] + jnp.where(leaf_real[1:, None],
+                                    leaves.bi[1:cap], 0.0)
+    # endpoint couplings: state 1 ↔ x_0 through Hij[0]ᵀ; state n-1 ↔ x_j
+    # through Hij[n-1] (leaf n-1 connects state n-1 to state n = endpoint j)
+    rhs = rhs.at[0].add(-jnp.swapaxes(leaves.Hij[0], -1, -2) @ dx_i)
+    lastHij = jnp.take(leaves.Hij, n - 1, axis=0, mode="clip")
+    rhs_last = -(lastHij @ dx_j)
+    rhs = rhs + jnp.where((s_idx == n - 1)[:, None],
+                          rhs_last[None, :], 0.0)
+    # tail coupling of state s: HjN[s-1] + HiN[s]
+    HiN_part = jnp.where(leaf_real[1:, None, None], leaves.HiN[1:cap], 0.0)
+    C_N = leaves.HjN[:m] + HiN_part           # (m, d, dn)
+    rhs = rhs - jnp.einsum("sdk,k->sd", C_N, dx_N)
+
+    # dense masked system
+    D = m * d
+    H = jnp.zeros((D, D), dtype)
+    ar = jnp.arange(m)
+    H = H.at[(ar[:, None, None] * d + jnp.arange(d)[None, :, None]),
+             (ar[:, None, None] * d + jnp.arange(d)[None, None, :])].set(
+                 diag_blocks)
+    if m > 1:
+        r_idx = ar[:-1]
+        H = H.at[(r_idx[:, None, None] * d + jnp.arange(d)[None, :, None]),
+                 ((r_idx + 1)[:, None, None] * d
+                  + jnp.arange(d)[None, None, :])].set(off_blocks)
+        H = H.at[((r_idx + 1)[:, None, None] * d
+                  + jnp.arange(d)[None, :, None]),
+                 (r_idx[:, None, None] * d + jnp.arange(d)[None, None, :])
+                 ].set(jnp.swapaxes(off_blocks, -1, -2))
+    mask = jnp.repeat(active, d)
+    Hm = H * mask[:, None] * mask[None, :] + jnp.diag(
+        jnp.where(mask, 0.0, 1.0).astype(dtype))
+    rv = rhs.reshape(-1) * mask
+    sol = jnp.linalg.solve(Hm, rv)
+    return (sol.reshape(m, d) * active[:, None]).astype(dtype)

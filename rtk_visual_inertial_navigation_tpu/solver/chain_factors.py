@@ -1,0 +1,317 @@
+"""IMU-GNSS chain factors: hidden GNSS epochs between keyframes.
+
+The reference hides runs of GNSS frames between consecutive visual keyframes
+inside one cost function (IMUGNSSBase, rvi/factor/gnss_imu_factor.cpp):
+per-epoch GNSS priors with clocks eliminated (the marg_info_gnss sparse_set
+mechanism, rvi/swf/swf_gnss.cpp:504-532 + marginalization_factor.cpp:153-228
+— clocks are scalar-independent so their block is diagonal), IMU factors
+chaining the hidden states, a rolling elimination in the fixed order
+Pose0|Pose1|Pose2|N, and hidden-state back-substitution after each accepted
+step (UpdateHiddenState, gnss_imu_factor.cpp:601-632).
+
+TPU-native equivalent (this module):
+  - hidden states live in a fixed-capacity pytree (`ChainHidden`) optimized
+    jointly with the window by the same dogleg loop;
+  - every solve iteration RE-evaluates all chain factors at the current
+    hidden linearization (relinearize-always — recompute beats bookkeeping
+    on TPU; the reference approximates with first-order residual updates);
+  - per-epoch clock elimination is a masked diagonal Schur step;
+  - the chain condenses onto (frame_i 15, frame_j 15, N) via the O(log n)
+    associative scan in solver.chain (ChainTailElem);
+  - back-substitution solves the block-tridiagonal interior exactly given
+    the endpoint/tail increments.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.state import FRAME_DIM, NCLOCK, WindowState
+from ..factors.gnss import _ecef_local, _rho_reduced
+from ..factors.inertial import _single_imu, sqrt_info_of_cov
+from ..geodesy.earth import CLIGHT, OMGE
+from ..ops import lie
+from ..preintegration import Preintegrated
+from .chain import (ChainTailElem, condense_chain_tail, solve_chain_interior)
+
+D = FRAME_DIM            # 15: per-state tangent [p3, th3, v3, ba3, bg3]
+NCLK = NCLOCK            # 13 per-epoch clock slots
+
+
+class ChainRows(NamedTuple):
+    """Flattened GNSS observation rows of one chain (capacity CR).
+
+    One row = one (hidden-epoch, satellite, frequency) channel.  ``kind``:
+    0 = pseudorange (SPP or RB-SD), 1 = carrier phase (SPP-CP or RTK),
+    2 = doppler.  Geometry fields as factors.gnss.GnssObsBatch.
+    """
+
+    state_idx: jnp.ndarray   # (CR,) int32 chain state position (1..CAP-1)
+    kind: jnp.ndarray        # (CR,) int32
+    clk_slot: jnp.ndarray    # (CR,) int32 0..12 (doppler rows use 12)
+    pb_slot: jnp.ndarray     # (CR,) int32 global phase-bias slot
+    r0_unit: jnp.ndarray     # (CR,3)
+    r0: jnp.ndarray          # (CR,)
+    sat_xy: jnp.ndarray      # (CR,2)
+    sat_vel: jnp.ndarray     # (CR,3)
+    z: jnp.ndarray           # (CR,) reduced measurement
+    wavelength: jnp.ndarray  # (CR,)
+    weight: jnp.ndarray      # (CR,)
+    valid: jnp.ndarray       # (CR,) bool
+
+
+class ChainHidden(NamedTuple):
+    """Hidden interior states of one chain (positions 1..CAP-1); optimized
+    alongside the window state (capacity CAP-1 slots)."""
+
+    p: jnp.ndarray           # (CAP-1, 3)
+    q: jnp.ndarray           # (CAP-1, 4)
+    v: jnp.ndarray           # (CAP-1, 3)
+    ba: jnp.ndarray          # (CAP-1, 3)
+    bg: jnp.ndarray          # (CAP-1, 3)
+    clk: jnp.ndarray         # (CAP-1, NCLK)
+
+
+class ChainStatic(NamedTuple):
+    """Per-chain data that is constant during one solve."""
+
+    left: jnp.ndarray        # () int32 window frame id of state 0
+    right: jnp.ndarray       # () int32 window frame id of state n
+    n_leaves: jnp.ndarray    # () int32 (#states - 1), >= 1
+    active: jnp.ndarray      # () bool
+    pre: Preintegrated       # (CAP, ...) per-leaf preintegrations
+    pre_valid: jnp.ndarray   # (CAP,) bool
+    rows: ChainRows
+
+
+def _gather_seq(win: WindowState, hid: ChainHidden, st: ChainStatic,
+                cap: int):
+    """Chain state sequence arrays of length cap+1: position 0 = window
+    frame ``left``, positions 1..cap-1 = hidden, position n = window frame
+    ``right`` (written at the dynamic index n)."""
+    def seq(w_arr, h_arr):
+        s = jnp.concatenate([w_arr[st.left][None], h_arr], axis=0)
+        s = jnp.concatenate([s, h_arr[-1:]], axis=0)          # slot cap
+        return s.at[st.n_leaves].set(w_arr[st.right])
+    return (seq(win.p, hid.p), seq(win.q, hid.q), seq(win.v, hid.v),
+            seq(win.ba, hid.ba), seq(win.bg, hid.bg))
+
+
+def _gnss_row_eval(hid: ChainHidden, phase_bias, rows: ChainRows, R_e):
+    """(res, jac8) per row at the hidden linearization.
+
+    Compact per-row tangent t = [dp(3), dv(3), dclk(1), dN(1)].
+    """
+    def one(row: ChainRows):
+        s = row.state_idx - 1                     # hidden slot
+        p = hid.p[s]
+        v = hid.v[s]
+        clk = hid.clk[s, row.clk_slot]
+        N = phase_bias[row.pb_slot]
+
+        def res_fn(t):
+            x_e = _ecef_local(p + t[0:3], R_e)
+            rho = _rho_reduced(x_e, row)
+            r_pr = rho + clk + t[6] - row.z
+            r_cp = rho + clk + t[6] - (N + t[7]) * row.wavelength - row.z
+            v_e = _ecef_local(v + t[3:6], R_e)
+            num = row.r0_unit * row.r0 + x_e
+            e = num / (row.r0 + rho)
+            rate = jnp.sum(e * (v_e - row.sat_vel))
+            sag = (OMGE / CLIGHT) * (
+                row.sat_vel[1] * x_e[0] + row.sat_xy[1] * v_e[0]
+                - row.sat_vel[0] * x_e[1] - row.sat_xy[0] * v_e[1])
+            r_do = rate + sag + clk + t[6] - row.z
+            r = jnp.where(row.kind == 0, r_pr,
+                          jnp.where(row.kind == 1, r_cp, r_do))
+            return (row.weight * r)[None]
+
+        zero = jnp.zeros((8,), dtype=p.dtype)
+        return res_fn(zero), jax.jacrev(res_fn)(zero)
+
+    return jax.vmap(one)(rows)
+
+
+def _epoch_unaries(hid: ChainHidden, phase_bias, rows: ChainRows, R_e,
+                   cap: int, dn: int):
+    """Per-hidden-state GNSS information with clocks eliminated.
+
+    Returns:
+      H_u:  (cap-1, D+dn, D+dn) unary information over [state15 | N]
+      g_u:  (cap-1, D+dn) gradient (Jᵀr convention)
+      clk_aux: (w_c, cols, g_c) for clock back-substitution —
+        w_c (cap-1, NCLK) inverse clock diagonals, cols (cap-1, D+dn, NCLK)
+        cross blocks, g_c (cap-1, NCLK) clock gradients
+      cost: scalar ½Σr²
+    """
+    m = cap - 1
+    S = D + NCLK + dn
+    dtype = hid.p.dtype
+    res, jac = _gnss_row_eval(hid, phase_bias, rows, R_e)
+    vm = rows.valid.astype(dtype)
+    res = res * vm[:, None]
+    jac = jac * vm[:, None, None]
+
+    # per-row scatter indices into the per-state S-dim tangent
+    # [p(0:3) v(6:9)] live inside the 15-dim state block; clk at D+slot;
+    # N at D+NCLK+pb_slot
+    zero3 = jnp.arange(3, dtype=jnp.int32)
+    idx = jnp.concatenate([
+        jnp.broadcast_to(zero3, rows.kind.shape + (3,)),
+        jnp.broadcast_to(zero3 + 6, rows.kind.shape + (3,)),
+        (D + rows.clk_slot)[:, None],
+        (D + NCLK + rows.pb_slot)[:, None],
+    ], axis=-1)                                   # (CR, 8)
+    si = jnp.clip(rows.state_idx - 1, 0, m - 1)
+
+    JJ = jnp.einsum("bri,brj->bij", jac, jac)     # (CR, 8, 8)
+    Jr = jnp.einsum("bri,br->bi", jac, res)       # (CR, 8)
+    H = jnp.zeros((m, S, S), dtype)
+    g = jnp.zeros((m, S), dtype)
+    H = H.at[si[:, None, None], idx[:, :, None], idx[:, None, :]].add(JJ)
+    g = g.at[si[:, None], idx].add(Jr)
+    cost = 0.5 * jnp.sum(res * res)
+
+    # eliminate the NCLK clock slots (diagonal block: every row touches
+    # exactly one clock slot — the sparse_set property)
+    sn = jnp.concatenate([jnp.arange(D), jnp.arange(D + NCLK, S)])
+    d_c = H[:, jnp.arange(D, D + NCLK), jnp.arange(D, D + NCLK)]  # (m, NCLK)
+    w_c = jnp.where(d_c > 1e-12, 1.0 / jnp.maximum(d_c, 1e-12), 0.0)
+    cols = H[:, sn[:, None], jnp.arange(D, D + NCLK)[None, :]]    # (m,S',13)
+    g_c = g[:, D:D + NCLK]
+    H_u = (H[:, sn[:, None], sn[None, :]]
+           - jnp.einsum("sik,sk,sjk->sij", cols, w_c, cols))
+    g_u = g[:, sn] - jnp.einsum("sik,sk->si", cols, w_c * g_c)
+    return H_u, g_u, (w_c, cols, g_c), cost
+
+
+def _imu_pair_blocks(win: WindowState, hid: ChainHidden, st: ChainStatic,
+                     pbg, g_world, cap: int):
+    """Whitened-IMU H blocks per leaf + gradient + cost (leaves masked by
+    pre_valid & k < n_leaves)."""
+    seq_p, seq_q, seq_v, seq_ba, seq_bg = _gather_seq(win, hid, st, cap)
+    W = jax.vmap(sqrt_info_of_cov)(st.pre.covariance)
+    ks = jnp.arange(cap)
+
+    def one(k, w):
+        pr = jax.tree.map(lambda x: x[k], st.pre)
+        return _single_imu(pr, seq_p[k], seq_q[k], seq_v[k], seq_ba[k],
+                           seq_bg[k], seq_p[k + 1], seq_q[k + 1],
+                           seq_v[k + 1], seq_ba[k + 1], seq_bg[k + 1],
+                           pbg, g_world, w)
+
+    res, jac = jax.vmap(one)(ks, W)               # (cap,15) (cap,15,30)
+    valid = st.pre_valid & (ks < st.n_leaves) & st.active
+    vm = valid.astype(res.dtype)
+    res = res * vm[:, None]
+    jac = jac * vm[:, None, None]
+    Hf = jnp.einsum("kri,krj->kij", jac, jac)     # (cap,30,30)
+    gf = jnp.einsum("kri,kr->ki", jac, res)       # (cap,30)
+    cost = 0.5 * jnp.sum(res * res)
+    return (Hf[:, :D, :D], Hf[:, :D, D:], Hf[:, D:, D:],
+            gf[:, :D], gf[:, D:], cost)
+
+
+def chain_leaves(win: WindowState, hid: ChainHidden, st: ChainStatic,
+                 R_e, pbg, g_world, cap: int, dn: int):
+    """Build the ChainTailElem leaves of ONE chain at the current
+    linearization.  Returns (leaves, clk_aux, cost).
+
+    b-convention: leaves carry b = −g (minimizer of ½xᵀHx − bᵀx), matching
+    solver.chain.
+    """
+    Hii, Hij, Hjj, gi, gj, cost_imu = _imu_pair_blocks(
+        win, hid, st, pbg, g_world, cap)
+    H_u, g_u, clk_aux, cost_gnss = _epoch_unaries(
+        hid, win.phase_bias, st.rows, R_e, cap, dn)
+    am = st.active.astype(H_u.dtype)
+    H_u = H_u * am
+    g_u = g_u * am
+    # pad unaries to cap (state cap has none; the dynamic right endpoint's
+    # unary is structurally zero because rows are masked to
+    # state_idx <= n_leaves-1)
+    zH = jnp.zeros((1,) + H_u.shape[1:], H_u.dtype)
+    zg = jnp.zeros((1,) + g_u.shape[1:], g_u.dtype)
+    H_up = jnp.concatenate([H_u, zH])             # (cap, D+dn, D+dn)
+    g_up = jnp.concatenate([g_u, zg])
+    # fold state k+1's unary into leaf k's j-side
+    leaves = ChainTailElem(
+        Hii=Hii,
+        Hij=Hij,
+        Hjj=Hjj + H_up[:, :D, :D],
+        HiN=jnp.zeros(Hii.shape[:-1] + (dn,), Hii.dtype),
+        HjN=H_up[:, :D, D:],
+        HNN=H_up[:, D:, D:],
+        bi=-gi,
+        bj=-(gj + g_up[:, :D]),
+        bN=-g_up[:, D:],
+    )
+    return leaves, clk_aux, (cost_imu + cost_gnss) * am
+
+
+def chain_contrib(win: WindowState, hids: ChainHidden, sts: ChainStatic,
+                  lay, R_e, pbg, g_world, cap: int):
+    """Condensed contribution of ALL chains (batched leading dim NCH).
+
+    Returns (H_blocks (NCH, 30+dn, 30+dn), g_blocks (NCH, 30+dn),
+    gidx (NCH, 30+dn), cost) to scatter-add into the outer dense system.
+    """
+    dn = lay.nb
+
+    def one(hid, st):
+        leaves, _, cost = chain_leaves(win, hid, st, R_e, pbg, g_world,
+                                       cap, dn)
+        c = condense_chain_tail(leaves, st.n_leaves)
+        am = st.active.astype(c.Hii.dtype)
+        Hb = jnp.block([
+            [c.Hii, c.Hij, c.HiN],
+            [c.Hij.T, c.Hjj, c.HjN],
+            [c.HiN.T, c.HjN.T, c.HNN]]) * am
+        gb = -jnp.concatenate([c.bi, c.bj, c.bN]) * am
+        return Hb, gb, cost
+
+    Hb, gb, cost = jax.vmap(one)(hids, sts)
+    d_off = jnp.arange(D, dtype=jnp.int32)
+    gidx = jnp.concatenate([
+        (lay.frame_off + D * sts.left)[:, None] + d_off[None, :],
+        (lay.frame_off + D * sts.right)[:, None] + d_off[None, :],
+        jnp.broadcast_to(lay.pb_off + jnp.arange(dn, dtype=jnp.int32),
+                         (Hb.shape[0], dn)),
+    ], axis=-1)
+    return Hb, gb, gidx, jnp.sum(cost)
+
+
+def chain_retract(win: WindowState, hids: ChainHidden, sts: ChainStatic,
+                  dx, lay, R_e, pbg, g_world, cap: int) -> ChainHidden:
+    """Back-substitute hidden states + clocks given the outer step ``dx``
+    (UpdateHiddenState semantics)."""
+    dn = lay.nb
+    d_off = jnp.arange(D, dtype=jnp.int32)
+    dx_N = jax.lax.dynamic_slice(dx, (lay.pb_off,), (dn,))
+
+    def one(hid, st):
+        leaves, (w_c, cols, g_c), _ = chain_leaves(
+            win, hid, st, R_e, pbg, g_world, cap, dn)
+        dx_i = dx[lay.frame_off + D * st.left + d_off]
+        dx_j = dx[lay.frame_off + D * st.right + d_off]
+        interior = solve_chain_interior(leaves, st.n_leaves, dx_i, dx_j,
+                                        dx_N, cap)          # (cap-1, D)
+        am = st.active.astype(interior.dtype)
+        interior = interior * am
+        # clock back-substitution: dclk = −w ⊙ (g_c + colsᵀ [dx_s | dx_N])
+        dx_sn = jnp.concatenate(
+            [interior, jnp.broadcast_to(dx_N, (cap - 1, dn))], axis=-1)
+        dclk = -w_c * (g_c + jnp.einsum("sik,si->sk", cols, dx_sn)) * am
+        return ChainHidden(
+            p=hid.p + interior[:, 0:3],
+            q=lie.quat_boxplus(hid.q, interior[:, 3:6]),
+            v=hid.v + interior[:, 6:9],
+            ba=hid.ba + interior[:, 9:12],
+            bg=hid.bg + interior[:, 12:15],
+            clk=hid.clk + dclk,
+        )
+
+    return jax.vmap(one)(hids, sts)

@@ -1,0 +1,332 @@
+"""Chain factor condensation vs a dense oracle.
+
+Oracle: put left + hidden + right states into one BIG window, evaluate the
+same IMU/GNSS factors with the production window batches, Schur-marginalize
+the hidden poses and clocks (solver.marginalization), and compare against
+chain_contrib's condensed (H, g) over (left, right, N).  Also checks
+hidden-state back-substitution (chain_retract) against the dense
+conditional solve.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtk_visual_inertial_navigation_tpu.core.state import (
+    FRAME_DIM, NCLOCK, TangentLayout, WindowState)
+from rtk_visual_inertial_navigation_tpu.factors.gnss import (
+    GnssObsBatch, doppler_batch, spp_carrier_phase_batch,
+    spp_pseudorange_batch)
+from rtk_visual_inertial_navigation_tpu.factors.inertial import (
+    imu_factor_batch)
+from rtk_visual_inertial_navigation_tpu.ops import lie
+from rtk_visual_inertial_navigation_tpu.preintegration import (
+    ImuNoise, preintegrate)
+from rtk_visual_inertial_navigation_tpu.solver.chain_factors import (
+    ChainHidden, ChainRows, ChainStatic, chain_contrib, chain_retract)
+from rtk_visual_inertial_navigation_tpu.solver.gauss_newton import assemble
+from rtk_visual_inertial_navigation_tpu.solver.marginalization import (
+    _masked_schur)
+
+NOISE = ImuNoise(0.05, 0.005, 5e-4, 5e-5)
+PBG = jnp.asarray([0.1, -0.05, 0.2])
+GW = jnp.asarray([0.0, 0.0, 9.81])
+R_E = jnp.eye(3)
+
+
+def _rand_quat(rng, n):
+    q = rng.normal(size=(n, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    q[:, 0] = np.abs(q[:, 0])
+    return q
+
+
+def _random_states(rng, n, nl, nb):
+    st = WindowState.zeros(n, nl, nb)
+    return st._replace(
+        p=jnp.asarray(rng.normal(size=(n, 3)) * 5.0),
+        q=jnp.asarray(_rand_quat(rng, n)),
+        v=jnp.asarray(rng.normal(size=(n, 3))),
+        ba=jnp.asarray(rng.normal(size=(n, 3)) * 0.05),
+        bg=jnp.asarray(rng.normal(size=(n, 3)) * 0.01),
+        clk=jnp.asarray(rng.normal(size=(n, NCLOCK)) * 2.0),
+        phase_bias=jnp.asarray(rng.normal(size=(nb,)) * 3.0),
+    )
+
+
+def _random_pre(rng, key_i):
+    nsamp = 12
+    dts = np.zeros(nsamp)
+    dts[1:] = 0.01
+    accs = rng.normal(size=(nsamp, 3)) * 0.5 + np.array([0, 0, 9.81])
+    gyrs = rng.normal(size=(nsamp, 3)) * 0.1
+    valid = np.ones(nsamp, dtype=bool)
+    return preintegrate(jnp.asarray(dts), jnp.asarray(accs),
+                        jnp.asarray(gyrs), jnp.asarray(valid),
+                        jnp.zeros(3), jnp.zeros(3), NOISE)
+
+
+def _random_rows(rng, n_rows, state_lo, state_hi):
+    """Random GNSS rows touching states in [state_lo, state_hi]."""
+    kind = rng.integers(0, 3, size=n_rows)          # 0 pr, 1 cp, 2 dopp
+    clk_slot = np.where(kind == 2, 12, rng.integers(0, 12, size=n_rows))
+    pb_slot = rng.integers(0, 6, size=n_rows)
+    u = rng.normal(size=(n_rows, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    return dict(
+        state=rng.integers(state_lo, state_hi + 1, size=n_rows),
+        kind=kind.astype(np.int32),
+        clk_slot=clk_slot.astype(np.int32),
+        pb_slot=pb_slot.astype(np.int32),
+        r0_unit=u,
+        r0=rng.uniform(2.2e7, 2.8e7, size=n_rows),
+        sat_xy=rng.normal(size=(n_rows, 2)) * 1.5e7,
+        sat_vel=rng.normal(size=(n_rows, 3)) * 3e3,
+        z=rng.normal(size=n_rows) * 10.0,
+        wavelength=np.full(n_rows, 0.1903),
+        weight=rng.uniform(0.5, 3.0, size=n_rows),
+    )
+
+
+def _win_batch(rows, cap, kinds):
+    """Window-side GnssObsBatch for the big window (frame id = state id)."""
+    sel = np.isin(rows["kind"], kinds)
+    n = int(sel.sum())
+    out = {}
+    pad = lambda a: np.concatenate(
+        [a[sel], np.zeros((cap - n,) + a.shape[1:], a.dtype)])
+    return GnssObsBatch(
+        frame_ids=jnp.asarray(pad(rows["state"].astype(np.int32))),
+        clk_slot=jnp.asarray(pad(rows["clk_slot"])),
+        drift_slot=jnp.asarray(pad(np.full_like(rows["clk_slot"], 12))),
+        pb_slot=jnp.asarray(pad(rows["pb_slot"])),
+        r0_unit=jnp.asarray(pad(rows["r0_unit"])),
+        r0=jnp.asarray(pad(rows["r0"]) + (pad(rows["r0"]) == 0) * 2.6e7),
+        sat_xy=jnp.asarray(pad(rows["sat_xy"])),
+        sat_vel=jnp.asarray(pad(rows["sat_vel"])),
+        z=jnp.asarray(pad(rows["z"])),
+        wavelength=jnp.asarray(pad(rows["wavelength"]) +
+                               (pad(rows["wavelength"]) == 0)),
+        weight=jnp.asarray(pad(rows["weight"])),
+        valid=jnp.asarray(np.arange(cap) < n),
+    )
+
+
+def _chain_rows(rows, cr):
+    n = len(rows["kind"])
+    pad = lambda a: np.concatenate(
+        [a, np.zeros((cr - n,) + a.shape[1:], a.dtype)])
+    return ChainRows(
+        state_idx=jnp.asarray(pad(rows["state"].astype(np.int32))
+                              + (np.arange(cr) >= n)),  # pad -> state 1
+        kind=jnp.asarray(pad(rows["kind"])),
+        clk_slot=jnp.asarray(pad(rows["clk_slot"])),
+        pb_slot=jnp.asarray(pad(rows["pb_slot"])),
+        r0_unit=jnp.asarray(pad(rows["r0_unit"])),
+        r0=jnp.asarray(pad(rows["r0"]) + (pad(rows["r0"]) == 0) * 2.6e7),
+        sat_xy=jnp.asarray(pad(rows["sat_xy"])),
+        sat_vel=jnp.asarray(pad(rows["sat_vel"])),
+        z=jnp.asarray(pad(rows["z"])),
+        wavelength=jnp.asarray(pad(rows["wavelength"]) +
+                               (pad(rows["wavelength"]) == 0)),
+        weight=jnp.asarray(pad(rows["weight"])),
+        valid=jnp.asarray(np.arange(cr) < n),
+    )
+
+
+def _setup(rng, n_hidden=3, cap=8, nb=6, nl=2):
+    nfb = n_hidden + 2
+    big = _random_states(rng, nfb, nl, nb)
+    pres = [_random_pre(rng, k) for k in range(nfb - 1)]
+    pre_stack = jax.tree.map(lambda *x: jnp.stack(x), *pres)
+    rows = _random_rows(rng, 24, 1, n_hidden)       # hidden states only
+    lay_b = TangentLayout(nf=nfb, nl=nl, nb=nb, nc=2)
+
+    # ---- dense oracle over the big window
+    b_pr = _win_batch(rows, 32, (0,))
+    b_cp = _win_batch(rows, 32, (1,))
+    b_do = _win_batch(rows, 32, (2,))
+    batches = [
+        imu_factor_batch(big, pre_stack, PBG, GW,
+                         jnp.ones(nfb - 1, dtype=bool)),
+        spp_pseudorange_batch(big, b_pr, R_E),
+        spp_carrier_phase_batch(big, b_cp, R_E),
+        doppler_batch(big, b_do, R_E),
+    ]
+    H_b, g_b, cost_b = assemble(batches, lay_b.dim)
+
+    # ---- chain side: outer window = frames {0, nfb-1} of the big window
+    lay_o = TangentLayout(nf=2, nl=nl, nb=nb, nc=2)
+    outer = WindowState.zeros(2, nl, nb)
+    outer = outer._replace(
+        p=big.p[jnp.asarray([0, nfb - 1])],
+        q=big.q[jnp.asarray([0, nfb - 1])],
+        v=big.v[jnp.asarray([0, nfb - 1])],
+        ba=big.ba[jnp.asarray([0, nfb - 1])],
+        bg=big.bg[jnp.asarray([0, nfb - 1])],
+        clk=big.clk[jnp.asarray([0, nfb - 1])],
+        phase_bias=big.phase_bias,
+    )
+    hid = ChainHidden(
+        p=jnp.concatenate([big.p[1:nfb - 1],
+                           jnp.zeros((cap - 1 - n_hidden, 3))]),
+        q=jnp.concatenate([big.q[1:nfb - 1],
+                           lie.quat_identity((cap - 1 - n_hidden,))]),
+        v=jnp.concatenate([big.v[1:nfb - 1],
+                           jnp.zeros((cap - 1 - n_hidden, 3))]),
+        ba=jnp.concatenate([big.ba[1:nfb - 1],
+                            jnp.zeros((cap - 1 - n_hidden, 3))]),
+        bg=jnp.concatenate([big.bg[1:nfb - 1],
+                            jnp.zeros((cap - 1 - n_hidden, 3))]),
+        clk=jnp.concatenate([big.clk[1:nfb - 1],
+                             jnp.zeros((cap - 1 - n_hidden, NCLOCK))]),
+    )
+    dummy = _random_pre(rng, 99)
+    pre_pad = jax.tree.map(
+        lambda *x: jnp.stack(x),
+        *(pres + [dummy] * (cap - len(pres))))
+    st = ChainStatic(
+        left=jnp.asarray(0, jnp.int32),
+        right=jnp.asarray(1, jnp.int32),
+        n_leaves=jnp.asarray(nfb - 1, jnp.int32),
+        active=jnp.asarray(True),
+        pre=pre_pad,
+        pre_valid=jnp.asarray(np.arange(cap) < nfb - 1),
+        rows=_chain_rows(rows, 64),
+    )
+    hids = jax.tree.map(lambda x: x[None], hid)
+    sts = jax.tree.map(lambda x: x[None], st)
+    return (big, lay_b, H_b, g_b, cost_b, outer, lay_o, hids, sts, cap,
+            nfb, nb, nl)
+
+
+def _hidden_mask(lay_b, nfb, H_b=None):
+    """Hidden poses always; hidden clock slots only where observed (zero-
+    information slots are structurally absent — marginalizing them is a
+    no-op, and including them makes the dense pivot singular)."""
+    m = np.zeros(lay_b.dim, dtype=bool)
+    diag = None if H_b is None else np.asarray(jnp.diag(H_b))
+    for f in range(1, nfb - 1):
+        m[lay_b.pose_idx(f):lay_b.pose_idx(f) + FRAME_DIM] = True
+        c0 = lay_b.clk_idx(f)
+        for s in range(NCLOCK):
+            if diag is None or diag[c0 + s] > 0:
+                m[c0 + s] = True
+    return m
+
+
+def _pick(lay_b, nfb, nb):
+    """Indices of [left15 | right15 | N] in the big layout."""
+    return np.r_[
+        np.arange(lay_b.pose_idx(0), lay_b.pose_idx(0) + FRAME_DIM),
+        np.arange(lay_b.pose_idx(nfb - 1), lay_b.pose_idx(nfb - 1)
+                  + FRAME_DIM),
+        np.arange(lay_b.pb_off, lay_b.pb_off + nb)]
+
+
+def test_chain_contrib_matches_dense_marginalization():
+    rng = np.random.default_rng(7)
+    (big, lay_b, H_b, g_b, cost_b, outer, lay_o, hids, sts, cap, nfb, nb,
+     nl) = _setup(rng)
+
+    H_star, g_star = _masked_schur(H_b, g_b, jnp.asarray(
+        _hidden_mask(lay_b, nfb, H_b)), jitter=0.0)
+    pick = _pick(lay_b, nfb, nb)
+    H_ref = np.asarray(H_star)[np.ix_(pick, pick)]
+    g_ref = np.asarray(g_star)[pick]
+
+    Hb, gb, gidx, cost = jax.jit(
+        lambda o, h, s: chain_contrib(o, h, s, lay_o, R_E, PBG, GW, cap)
+    )(outer, hids, sts)
+    # scatter into the outer dense layout, then pick the same block
+    Ho = np.zeros((lay_o.dim, lay_o.dim))
+    go = np.zeros(lay_o.dim)
+    gi = np.asarray(gidx[0])
+    Ho[np.ix_(gi, gi)] += np.asarray(Hb[0])
+    go[gi] += np.asarray(gb[0])
+    pick_o = np.r_[
+        np.arange(lay_o.pose_idx(0), lay_o.pose_idx(0) + FRAME_DIM),
+        np.arange(lay_o.pose_idx(1), lay_o.pose_idx(1) + FRAME_DIM),
+        np.arange(lay_o.pb_off, lay_o.pb_off + nb)]
+    H_out = Ho[np.ix_(pick_o, pick_o)]
+    g_out = go[pick_o]
+
+    scale = max(1.0, np.abs(H_ref).max())
+    np.testing.assert_allclose(H_out, H_ref, atol=3e-6 * scale)
+    np.testing.assert_allclose(g_out, g_ref,
+                               atol=3e-6 * max(1.0, np.abs(g_ref).max()))
+    np.testing.assert_allclose(float(cost), float(cost_b), rtol=1e-9)
+
+
+def test_chain_retract_matches_conditional_solve():
+    rng = np.random.default_rng(8)
+    (big, lay_b, H_b, g_b, cost_b, outer, lay_o, hids, sts, cap, nfb, nb,
+     nl) = _setup(rng)
+
+    # outer step: random increments on endpoints and biases
+    dx = np.zeros(lay_o.dim)
+    pick_o = np.r_[
+        np.arange(lay_o.pose_idx(0), lay_o.pose_idx(0) + FRAME_DIM),
+        np.arange(lay_o.pose_idx(1), lay_o.pose_idx(1) + FRAME_DIM),
+        np.arange(lay_o.pb_off, lay_o.pb_off + nb)]
+    dx[pick_o] = rng.normal(size=len(pick_o)) * 1e-3
+
+    # oracle: conditional solve of the hidden block in the BIG system
+    hm = _hidden_mask(lay_b, nfb, H_b)
+    d_idx = np.flatnonzero(hm)
+    dx_b = np.zeros(lay_b.dim)
+    pick_b = _pick(lay_b, nfb, nb)
+    dx_b[pick_b] = dx[pick_o]
+    Hb_np, gb_np = np.asarray(H_b), np.asarray(g_b)
+    Hdd = Hb_np[np.ix_(d_idx, d_idx)]
+    # unobserved hidden clock slots have zero information: regularize to
+    # identity (their increment is then 0, matching the chain's w_c=0 skip)
+    zero_diag = np.diag(Hdd) == 0
+    Hdd = Hdd + np.diag(zero_diag.astype(float))
+    rhs = -gb_np[d_idx] - Hb_np[np.ix_(d_idx, np.arange(lay_b.dim))] @ dx_b
+    u = np.linalg.solve(Hdd, rhs)
+
+    hid2 = jax.jit(
+        lambda o, h, s, d: chain_retract(o, h, s, d, lay_o, R_E, PBG, GW,
+                                         cap)
+    )(outer, hids, sts, jnp.asarray(dx))
+
+    # scatter the solved increments back to a dense (frame, 28) table
+    # (zero-information clock slots were excluded from d_idx -> du = 0)
+    du_full = np.zeros(lay_b.dim)
+    du_full[d_idx] = u
+    for k in range(nfb - 2):
+        f = k + 1
+        du = np.r_[du_full[lay_b.pose_idx(f):lay_b.pose_idx(f) + FRAME_DIM],
+                   du_full[lay_b.clk_idx(f):lay_b.clk_idx(f) + NCLOCK]]
+        np.testing.assert_allclose(
+            np.asarray(hid2.p[0, k]), np.asarray(big.p[k + 1]) + du[0:3],
+            atol=1e-9)
+        q_ref = np.asarray(lie.quat_boxplus(big.q[k + 1],
+                                            jnp.asarray(du[3:6])))
+        np.testing.assert_allclose(np.asarray(hid2.q[0, k]), q_ref,
+                                   atol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(hid2.v[0, k]), np.asarray(big.v[k + 1]) + du[6:9],
+            atol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(hid2.ba[0, k]), np.asarray(big.ba[k + 1]) + du[9:12],
+            atol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(hid2.bg[0, k]), np.asarray(big.bg[k + 1]) + du[12:15],
+            atol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(hid2.clk[0, k]),
+            np.asarray(big.clk[k + 1]) + du[15:28], atol=1e-9)
+
+
+def test_inactive_chain_contributes_nothing():
+    rng = np.random.default_rng(9)
+    (big, lay_b, H_b, g_b, cost_b, outer, lay_o, hids, sts, cap, nfb, nb,
+     nl) = _setup(rng)
+    sts = sts._replace(active=jnp.asarray([False]))
+    Hb, gb, gidx, cost = chain_contrib(outer, hids, sts, lay_o, R_E, PBG,
+                                       GW, cap)
+    assert float(jnp.abs(Hb).max()) == 0.0
+    assert float(jnp.abs(gb).max()) == 0.0
+    assert float(cost) == 0.0

@@ -1,0 +1,147 @@
+"""Chain condensation WITH ambiguity tail (the IMUGNSSBase Pose|N ordering,
+rvi/factor/gnss_imu_factor.h:8-15) vs dense marginalization, plus interior
+back-substitution (UpdateHiddenState, gnss_imu_factor.cpp:601-632)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtk_visual_inertial_navigation_tpu.solver.chain import (
+    ChainTailElem, condense_chain_tail, dense_chain_tail_hessian,
+    make_tail_leaves, solve_chain_interior)
+
+
+def random_tail_chain(rng, n, d, dn, cap=None):
+    """Random chain of n states (n-1 real leaves) padded to ``cap`` leaves."""
+    J = rng.normal(size=(n - 1, d, 2 * d))
+    Hf = np.einsum("kri,krj->kij", J, J) + 0.5 * np.eye(2 * d)
+    b_pair = np.einsum("kri,kr->ki", J, rng.normal(size=(n - 1, d)))
+    # unaries coupling (x_k, N): J_u (r x (d+dn)) per state
+    Ju = rng.normal(size=(n, d, d + dn)) * 0.4
+    Hu = np.einsum("kri,krj->kij", Ju, Ju)
+    bu = np.einsum("kri,kr->ki", Ju, rng.normal(size=(n, d)))
+    leaves = make_tail_leaves(
+        jnp.asarray(Hf[:, :d, :d]), jnp.asarray(Hf[:, :d, d:]),
+        jnp.asarray(Hf[:, d:, d:]), jnp.asarray(b_pair[:, :d]),
+        jnp.asarray(b_pair[:, d:]), jnp.asarray(Hu[:, :d, :d]),
+        jnp.asarray(Hu[:, :d, d:]), jnp.asarray(Hu[:, d:, d:]),
+        jnp.asarray(bu[:, :d]), jnp.asarray(bu[:, d:]))
+    if cap is not None and cap > n - 1:
+        pad = cap - (n - 1)
+        leaves = jax.tree.map(
+            lambda x: jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]), leaves)
+    return leaves
+
+
+def marg_interior_dense(H, b, n, d, dn):
+    keep = np.r_[np.arange(d), np.arange((n - 1) * d, n * d),
+                 np.arange(n * d, n * d + dn)]
+    drop = np.arange(d, (n - 1) * d)
+    H, b = np.asarray(H), np.asarray(b)
+    Hkd = H[np.ix_(keep, drop)]
+    sol = np.linalg.solve(H[np.ix_(drop, drop)], np.c_[Hkd.T, b[drop]])
+    return (H[np.ix_(keep, keep)] - Hkd @ sol[:, :-1],
+            b[keep] - Hkd @ sol[:, -1])
+
+
+def blocks_to_dense(out: ChainTailElem):
+    Hii, Hij, Hjj = map(np.asarray, (out.Hii, out.Hij, out.Hjj))
+    HiN, HjN, HNN = map(np.asarray, (out.HiN, out.HjN, out.HNN))
+    H = np.block([[Hii, Hij, HiN], [Hij.T, Hjj, HjN], [HiN.T, HjN.T, HNN]])
+    b = np.concatenate([np.asarray(out.bi), np.asarray(out.bj),
+                        np.asarray(out.bN)])
+    return H, b
+
+
+def test_tail_condense_matches_dense_marginalization():
+    rng = np.random.default_rng(0)
+    n, d, dn = 9, 5, 4
+    leaves = random_tail_chain(rng, n, d, dn)
+    H, b = dense_chain_tail_hessian(leaves, n, d, dn)
+    H_star, b_star = marg_interior_dense(H, b, n, d, dn)
+    H_out, b_out = blocks_to_dense(condense_chain_tail(leaves))
+    np.testing.assert_allclose(H_out, H_star, atol=1e-8)
+    np.testing.assert_allclose(b_out, b_star, atol=1e-8)
+
+
+def test_tail_condense_dynamic_length_padding():
+    """Prefix read at n_leaves-1 must ignore capacity padding."""
+    rng = np.random.default_rng(1)
+    n, d, dn, cap = 7, 4, 3, 16
+    padded = random_tail_chain(rng, n, d, dn, cap=cap)
+    exact = jax.tree.map(lambda x: x[:n - 1], padded)
+    out_pad = jax.jit(
+        lambda l: condense_chain_tail(l, n_leaves=jnp.asarray(n - 1)))(padded)
+    out_ref = condense_chain_tail(exact)
+    for a, b in zip(out_pad, out_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+
+
+def test_tail_solution_matches_full_solve():
+    """Endpoint+tail marginal solution == those components of the full
+    chain solve; interior back-substitution recovers the hidden states."""
+    rng = np.random.default_rng(2)
+    n, d, dn = 11, 6, 5
+    cap = 16
+    leaves = random_tail_chain(rng, n, d, dn, cap=cap)
+    exact = jax.tree.map(lambda x: x[:n - 1], leaves)
+    H, b = dense_chain_tail_hessian(exact, n, d, dn)
+    x_full = np.linalg.solve(np.asarray(H), np.asarray(b))
+
+    out = condense_chain_tail(leaves, n_leaves=jnp.asarray(n - 1))
+    H_out, b_out = blocks_to_dense(out)
+    x_red = np.linalg.solve(H_out, b_out)
+    np.testing.assert_allclose(x_red[:d], x_full[:d], atol=1e-8)
+    np.testing.assert_allclose(x_red[d:2 * d], x_full[(n - 1) * d:n * d],
+                               atol=1e-8)
+    np.testing.assert_allclose(x_red[2 * d:], x_full[n * d:], atol=1e-8)
+
+    interior = jax.jit(
+        lambda l, dxi, dxj, dxN: solve_chain_interior(
+            l, jnp.asarray(n - 1), dxi, dxj, dxN, cap))(
+        leaves, jnp.asarray(x_red[:d]), jnp.asarray(x_red[d:2 * d]),
+        jnp.asarray(x_red[2 * d:]))
+    interior = np.asarray(interior)
+    for s in range(1, n - 1):
+        np.testing.assert_allclose(interior[s - 1],
+                                   x_full[s * d:(s + 1) * d], atol=1e-8)
+    # slots beyond the real interior stay exactly zero
+    assert np.all(interior[n - 2:] == 0.0)
+
+
+def test_tail_interior_arbitrary_conditioning():
+    """Interior solve conditions on ARBITRARY endpoint/tail values:
+    u = Hdd⁻¹ (bd − Hde xe)."""
+    rng = np.random.default_rng(3)
+    n, d, dn, cap = 6, 3, 2, 8
+    leaves = random_tail_chain(rng, n, d, dn, cap=cap)
+    exact = jax.tree.map(lambda x: x[:n - 1], leaves)
+    H, b = dense_chain_tail_hessian(exact, n, d, dn)
+    H, b = np.asarray(H), np.asarray(b)
+    xe = rng.normal(size=2 * d + dn)
+    keep = np.r_[np.arange(d), np.arange((n - 1) * d, n * d),
+                 np.arange(n * d, n * d + dn)]
+    drop = np.arange(d, (n - 1) * d)
+    u = np.linalg.solve(H[np.ix_(drop, drop)],
+                        b[drop] - H[np.ix_(drop, keep)] @ xe)
+    interior = np.asarray(solve_chain_interior(
+        leaves, jnp.asarray(n - 1), jnp.asarray(xe[:d]),
+        jnp.asarray(xe[d:2 * d]), jnp.asarray(xe[2 * d:]), cap))
+    np.testing.assert_allclose(interior[:n - 2].reshape(-1), u, atol=1e-8)
+
+
+def test_tail_batched_vmap():
+    rng = np.random.default_rng(4)
+    l1 = random_tail_chain(rng, 5, 15, 8, cap=8)
+    l2 = random_tail_chain(rng, 8, 15, 8, cap=8)
+    batched = jax.tree.map(lambda a, b: jnp.stack([a, b]), l1, l2)
+    ns = jnp.asarray([4, 7])
+    out = jax.jit(jax.vmap(condense_chain_tail))(batched, ns)
+    ref1 = condense_chain_tail(jax.tree.map(lambda x: x[:4], l1))
+    ref2 = condense_chain_tail(jax.tree.map(lambda x: x[:7], l2))
+    for o, r1, r2 in zip(out, ref1, ref2):
+        np.testing.assert_allclose(np.asarray(o[0]), np.asarray(r1),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(o[1]), np.asarray(r2),
+                                   atol=1e-9)
