@@ -55,6 +55,10 @@ def main():
     ap.add_argument("--mode", default="rtk", choices=sorted(MODES))
     ap.add_argument("--duration", type=float, default=10.0)
     ap.add_argument("--noise", action="store_true")
+    ap.add_argument("--chains", action="store_true",
+                    help="condense GNSS runs between visual frames into "
+                         "IMU-GNSS chains (IMUGNSSBase analog)")
+    ap.add_argument("--gnss-rate", type=float, default=2.0)
     ap.add_argument("--out", default="out")
     args = ap.parse_args()
 
@@ -62,7 +66,8 @@ def main():
                  pr_noise=0.5, cp_noise=0.01, dop_noise=0.1) \
         if args.noise else {}
     sim = simulate(SimConfig(duration=args.duration, imu_rate=200.0,
-                             cam_rate=2.0, gnss_rate=2.0, n_landmarks=60,
+                             cam_rate=2.0, gnss_rate=args.gnss_rate,
+                             n_landmarks=60,
                              n_sats=10, seed=0, **noise))
 
     q_ic = np.asarray(lie.rot_to_quat(jnp.asarray(sim.cfg.r_ic)))
@@ -73,6 +78,7 @@ def main():
         max_gnss_pr=160, max_gnss_cp=160, max_gnss_dopp=160,
         min_sats_per_epoch=6, initial_gnss_boost_epochs=5,
         min_fix_continuity=1, fix_continue_threshold=3,
+        use_gnss_chains=args.chains,
         **MODES[args.mode])
     est = Estimator(cfg)
 
@@ -129,6 +135,9 @@ def main():
     print(f"3-D MAE    : {m.mae_3d:.4f} m")
     if args.mode == "rtk":
         print(f"rtk fixed  : {est.rtk_fixed}")
+    if args.chains:
+        print(f"chains     : {est._chain_stats} "
+              f"(live {len(est.chains)})")
     print(f"artifacts in {args.out}/")
 
 

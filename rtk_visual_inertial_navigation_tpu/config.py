@@ -75,6 +75,15 @@ class EstimatorConfig:
     max_gnss_dopp: int = 256
     initial_gnss_boost_epochs: int = 100
 
+    # IMU-GNSS chain condensation (IMUGNSSBase, SURVEY.md §2.6): runs of
+    # GNSS frames between visual frames leave the window into condensed
+    # chains, extending the effective GNSS window far beyond nf (the
+    # reference holds up to GNSS_WINDOW_SIZE=500 epochs this way)
+    use_gnss_chains: bool = False
+    chain_cap: int = 32          # max leaves per chain (GNSS_MAX_NUM=30)
+    max_chains: int = 0          # 0 -> nf - 1
+    max_chain_rows: int = 512    # GNSS observation rows per chain
+
     # integer ambiguity resolution (swf_lambda.cpp)
     fix_ratio_threshold: float = 2.0       # RATIO_THRESHOLD (yaml:40)
     min_dd_for_fix: int = 4                # ≥4 DD rows (swf_lambda.cpp:178)

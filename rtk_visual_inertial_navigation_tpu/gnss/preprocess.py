@@ -75,6 +75,12 @@ class PhaseBiasTable:
         # recycled slot (slip/staleness/eviction) invalidates stale chain
         # rows instead of corrupting the new ambiguity
         self.generation = np.zeros(capacity, dtype=np.int64)
+        # pin counts: slots referenced by condensed chains must stay
+        # allocated (the reference keeps PBtype states alive while factors
+        # in the 500-epoch window reference them); a pinned slot can be
+        # DETACHED from its (kind,sat,freq) key (slip/staleness) — future
+        # observations go to a fresh slot — but remains an active parameter
+        self.pinned = np.zeros(capacity, dtype=np.int64)
         self._map: dict[tuple, int] = {}
 
     def lookup(self, kind: str, sat: int, freq: int, t: float,
@@ -110,9 +116,10 @@ class PhaseBiasTable:
     def _alloc(self, k, t, avoid: int = -1) -> int:
         free = [s for s in np.flatnonzero(~self.active) if s != avoid]
         if len(free) == 0:
-            # evict the stalest slot (other than the avoided one)
+            # evict the stalest UNPINNED slot (other than the avoided one)
             order = np.argsort(self.last_seen)
-            slot = next((int(s) for s in order if s != avoid), -1)
+            slot = next((int(s) for s in order
+                         if s != avoid and self.pinned[s] == 0), -1)
             if slot < 0:
                 return -1
             self._free(slot)
@@ -133,8 +140,23 @@ class PhaseBiasTable:
         k = self.key[slot]
         if k is not None:
             self._map.pop(k, None)
-        self.active[slot] = False
         self.key[slot] = None
+        if self.pinned[slot] == 0:
+            self.active[slot] = False
+
+    def pin(self, slots):
+        """Increment per entry (multiset — callers pass each slot once per
+        reference they hold)."""
+        for s in np.asarray(slots, dtype=int).ravel():
+            if 0 <= s < self.nb:
+                self.pinned[s] += 1
+
+    def unpin(self, slots):
+        for s in np.asarray(slots, dtype=int).ravel():
+            if 0 <= s < self.nb and self.pinned[s] > 0:
+                self.pinned[s] -= 1
+                if self.pinned[s] == 0 and self.key[s] is None:
+                    self.active[s] = False
 
     def reallocate(self, slot: int, t: float) -> int:
         """Force a cycle slip on an existing slot: free it and allocate a

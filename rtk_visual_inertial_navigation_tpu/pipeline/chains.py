@@ -45,6 +45,10 @@ class ChainRecord:
     clk: np.ndarray          # (n_hidden, NCLOCK)
     pres: list               # n_hidden+1 numpy Preintegrated pytrees
     rows: dict               # flat arrays over all epochs, + "state_idx"
+    # ambiguity slots this record pinned in the PhaseBiasTable at creation
+    # (multiset across merges; released on chain death)
+    pinned_slots: np.ndarray = field(default_factory=lambda: np.zeros(
+        0, dtype=np.int64))
 
     @property
     def n_hidden(self) -> int:
@@ -87,38 +91,46 @@ def merge_rows(parts: list[dict]) -> dict:
     return {k: np.concatenate([p[k] for p in parts]) for k in keys}
 
 
-def concat_records(rec_l: ChainRecord, mid_state: dict,
-                   rec_r: Optional[ChainRecord],
-                   mid_pre, right: int) -> ChainRecord:
-    """Merge chain(a,d) + state d (+ chain(d,b)) into chain(a,b) when frame
-    d is dropped from the window (ResetImuGnssFactor merge semantics)."""
-    parts_state = [dict(p=rec_l.p, q=rec_l.q, v=rec_l.v, ba=rec_l.ba,
-                        bg=rec_l.bg, clk=rec_l.clk), mid_state]
-    pres = list(rec_l.pres)
-    rows_parts = [rec_l.rows]
-    off = rec_l.n_hidden + 1          # state index of d in the merged chain
+def splice_records(rec_l: Optional[ChainRecord], mid_state: dict,
+                   rec_r: Optional[ChainRecord], pre_l, pre_r,
+                   left: int, right: int,
+                   cap: int) -> Optional[ChainRecord]:
+    """Merge [chain(left,d) | IMU interval] + dropped frame d's state +
+    [chain(d,right) | IMU interval] into chain(left,right)
+    (ResetImuGnssFactor merge semantics, rvi/swf/swf.cpp:578-616).
+
+    ``mid_state``: dict p,q,v,ba,bg,clk (1, ·) arrays for frame d.
+    ``pre_l``/``pre_r``: the window preintegrations used when the
+    corresponding side has no chain.  Returns None if the merged chain
+    would exceed ``cap`` leaves (caller falls back to keyframe retention).
+    """
+    pres = (list(rec_l.pres) if rec_l is not None else [pre_l]) + \
+           (list(rec_r.pres) if rec_r is not None else [pre_r])
+    if len(pres) > cap:
+        return None
+    parts = []
+    rows_parts = []
+    if rec_l is not None:
+        parts.append({k: getattr(rec_l, k)
+                      for k in ("p", "q", "v", "ba", "bg", "clk")})
+        rows_parts.append(rec_l.rows)
+    parts.append(mid_state)
+    off = (rec_l.n_hidden if rec_l is not None else 0) + 1
     if rec_r is not None:
-        parts_state.append(dict(p=rec_r.p, q=rec_r.q, v=rec_r.v,
-                                ba=rec_r.ba, bg=rec_r.bg, clk=rec_r.clk))
-        pres += list(rec_r.pres)
+        parts.append({k: getattr(rec_r, k)
+                      for k in ("p", "q", "v", "ba", "bg", "clk")})
         r = dict(rec_r.rows)
-        r["state_idx"] = r["state_idx"] + off
+        r = {**r, "state_idx": r["state_idx"] + off}
         rows_parts.append(r)
-    else:
-        pres.append(mid_pre)
-    cat = lambda k: np.concatenate(
-        [np.asarray(s[k]).reshape((-1,) + np.shape(s[k])[-1:]
-                                  if np.ndim(s[k]) > 1 else (-1,))
-         for s in parts_state])
-    stacked = {k: np.concatenate([np.atleast_2d(np.asarray(s[k]))
-                                  if np.ndim(s[k]) == 1 else np.asarray(s[k])
-                                  for s in parts_state])
-               for k in ("p", "q", "v", "ba", "bg", "clk")}
-    return ChainRecord(
-        left=rec_l.left, right=right,
-        p=stacked["p"], q=stacked["q"], v=stacked["v"], ba=stacked["ba"],
-        bg=stacked["bg"], clk=stacked["clk"],
-        pres=pres, rows=merge_rows(rows_parts))
+    stacked = {k: np.concatenate([np.asarray(s[k]).reshape(
+        -1, np.shape(s[k])[-1]) for s in parts]) for k in
+        ("p", "q", "v", "ba", "bg", "clk")}
+    pins = np.concatenate(
+        [(rec_l.pinned_slots if rec_l is not None else np.zeros(0, int)),
+         (rec_r.pinned_slots if rec_r is not None else np.zeros(0, int))])
+    return ChainRecord(left=left, right=right, pres=pres,
+                       rows=merge_rows(rows_parts), pinned_slots=pins,
+                       **stacked)
 
 
 def chain_device_inputs(records: list[ChainRecord], nch: int, cap: int,

@@ -39,6 +39,10 @@ from ..gnss.preprocess import GnssEpoch, GnssPreprocessor, PreparedEpoch
 from ..ops import lie
 from ..preintegration import ImuNoise, Preintegrated, preintegrate
 from ..solver import DoglegConfig, assemble, dogleg_solve, marginalize_dense
+from ..solver.chain_factors import chain_contrib, chain_retract
+from .chains import (ChainRecord, chain_device_inputs, merge_rows,
+                     prepared_to_chain_rows, splice_records,
+                     writeback_hidden)
 
 
 def _stack_pre(pre_list):
@@ -102,6 +106,11 @@ class Estimator:
         self.frame_mag = np.zeros((cfg.nf, 3))
         self.frame_mag_valid = np.zeros(cfg.nf, dtype=bool)
         self._init_mag: list[np.ndarray] = []
+
+        # condensed IMU-GNSS chains (IMUGNSSBase analog, SURVEY.md §2.6)
+        self.chains: list[ChainRecord] = []
+        self._nch = cfg.max_chains or (cfg.nf - 1)
+        self._chain_stats = {"created": 0, "merged": 0, "died": 0}
 
         # integer-fix state (swf_lambda.cpp fix bookkeeping)
         self.rtk_fixed = False
@@ -184,6 +193,14 @@ class Estimator:
         self._maybe_slide()
 
     def _maybe_slide(self):
+        if self.cfg.use_gnss_chains:
+            # condense completed interior GNSS runs into chains as soon as a
+            # visual frame bounds them on the right (the reference forms
+            # IMUGNSS factors whenever GNSS frames lie between consecutive
+            # image frames, UpdateImuGnssFactor, rvi/swf/swf.cpp:713,
+            # 669-730); this also restores visual-pair adjacency so the
+            # keyframe decision below works with GNSS interleaved
+            self._condense_gnss_runs(min_len=1)
         if self.frame_count < self.cfg.nf:
             return
         fidx = self.frame_count - 1
@@ -198,6 +215,81 @@ class Estimator:
         else:
             self._marginalize_oldest()
         self._sync_prior_with_features()
+
+    # ------------------------------------------------------------------
+    # IMU-GNSS chain condensation (IMUGNSSBase analog, SURVEY.md §2.6/§5.7)
+    # ------------------------------------------------------------------
+    def _condense_gnss_runs(self, min_len: int = 2) -> bool:
+        """Condense maximal runs of GNSS frames that lie strictly between
+        two visual frames into ChainRecords, freeing their window slots."""
+        did = False
+        while True:
+            run = self._find_interior_gnss_run(min_len)
+            if run is None:
+                return did
+            self._condense_run(*run)
+            did = True
+
+    def _find_interior_gnss_run(self, min_len: int):
+        fc = self.frame_count
+        g = self.frame_is_gnss
+        i = 1
+        while i < fc - 1:
+            if g[i] and not g[i - 1]:
+                j = i
+                while j + 1 < fc and g[j + 1]:
+                    j += 1
+                ok = (j < fc - 1 and not g[j + 1]
+                      and (j - i + 1) >= min_len
+                      and (j - i + 2) <= self.cfg.chain_cap
+                      and len(self.chains) < self._nch
+                      and all(self.pre[k] is not None for k in range(i - 1,
+                                                                     j + 1)))
+                if ok:
+                    return (i, j)
+                i = j + 2
+            else:
+                i += 1
+        return None
+
+    def _condense_run(self, i: int, j: int):
+        """Move GNSS frames i..j (bounded by visual frames i-1, j+1) out of
+        the window into a ChainRecord."""
+        a, b = i - 1, j + 1
+        n_rm = j - i + 1
+        sl = slice(i, j + 1)
+        row_parts = []
+        for f in range(i, j + 1):
+            prep = self.gnss_store[f]
+            if prep is not None and len(prep.kind):
+                row_parts.append(prepared_to_chain_rows(prep, f - i + 1))
+        rows = merge_rows(row_parts)
+        pins = rows["pb_slot"][rows["kind"] == 1]
+        if self.gnss is not None and len(pins):
+            self.gnss.bias.pin(pins)
+        rec = ChainRecord(
+            left=a, right=b,
+            p=np.asarray(self.x.p[sl]), q=np.asarray(self.x.q[sl]),
+            v=np.asarray(self.x.v[sl]), ba=np.asarray(self.x.ba[sl]),
+            bg=np.asarray(self.x.bg[sl]), clk=np.asarray(self.x.clk[sl]),
+            pres=[self.pre[k] for k in range(a, b)],
+            rows=rows, pinned_slots=np.asarray(pins, dtype=np.int64))
+        # interval a now spans a -> b and is covered by the chain
+        self.pre = (self.pre[:a] + [None]
+                    + self.pre[b:self.cfg.nf - 1] + [None] * n_rm)
+        self.chains.append(rec)     # its left/right adjust with the shifts
+        self._chain_stats["created"] += 1
+        for _ in range(n_rm):
+            self.features.remove_frame(i, self.cfg.nf - 1)
+            self._shift_prior_cols(i)
+            self._shift_state_only(i)
+
+    def _chain_inputs(self, left_mask=None):
+        return chain_device_inputs(
+            self.chains, self._nch, self.cfg.chain_cap,
+            self.cfg.max_chain_rows,
+            self.gnss.bias if self.gnss is not None else None,
+            self._dummy_pre(), left_mask)
 
     def _rho_at(self, fidx: int, prep: PreparedEpoch, rows: np.ndarray):
         """Reduced range Δρ + local Sagnac at the predicted state (host)."""
@@ -568,14 +660,23 @@ class Estimator:
         inputs = self._factor_inputs()
         gnss_inputs = self._gnss_factor_inputs()
         free = self._free_mask()
-        solve = self._jit_solve()
-        res = solve(self.x, self.prior, free, *inputs, *gnss_inputs,
-                    *self._mag_inputs())
-        self.x = res.state
+        if self.cfg.use_gnss_chains:
+            hid, st = self._chain_inputs()
+            res = self._jit_solve_chains()(
+                self.x, hid, st, self.prior, free, *inputs, *gnss_inputs,
+                *self._mag_inputs())
+            win, hid2 = res.state
+            self.x = win
+            writeback_hidden(self.chains, hid2)
+            res = res._replace(state=win)
+        else:
+            res = self._jit_solve()(self.x, self.prior, free, *inputs,
+                                    *gnss_inputs, *self._mag_inputs())
+            self.x = res.state
         self.last_solve = res
         # keep the host-side landmark mirror in sync for depth gating
         solved = self.features.solved & self.features.active
-        self.features.point[solved] = np.asarray(res.state.landmarks)[solved]
+        self.features.point[solved] = np.asarray(self.x.landmarks)[solved]
 
     def _jit_solve(self):
         key = "solve"
@@ -620,6 +721,91 @@ class Estimator:
                                  initial_radius=cfg.init_trust_radius))
 
             self._jit_cache[key] = solve
+        return self._jit_cache[key]
+
+    def _jit_solve_chains(self):
+        """Composite solve: window state + hidden chain states.  The chain
+        contribution condenses per iteration at the current hidden
+        linearization (relinearize-always); the retraction back-substitutes
+        hidden states given the outer step (UpdateHiddenState)."""
+        key = "solve_chains"
+        if key not in self._jit_cache:
+            cfg = self.cfg
+            lay = self.lay
+            pbg, g_world = self._pbg, self.g_world
+            R_e = self._R_e
+            cap = cfg.chain_cap
+
+            @jax.jit
+            def solve(state, hid, st, prior, free, pre_stack, pre_valid,
+                      f_ids, l_ids, xy, ovalid, b_pr, b_cp, b_dopp, mag_f,
+                      mag_m, mag_v):
+                def eval_fn(comp):
+                    win, h = comp
+                    batches = [
+                        imu_factor_batch(win, pre_stack, pbg, g_world,
+                                         pre_valid),
+                        projection_factor_batch(
+                            win, f_ids, jnp.zeros_like(f_ids), l_ids, xy,
+                            ovalid, pbg),
+                        spp_pseudorange_batch(win, b_pr, R_e),
+                        spp_carrier_phase_batch(win, b_cp, R_e),
+                        doppler_batch(win, b_dopp, R_e),
+                        mag_factor_batch(win, mag_f, mag_m, mag_v),
+                    ]
+                    H, g, cost = assemble(batches, lay.dim)
+                    Hb, gb, gidx, ccost = chain_contrib(
+                        win, h, st, lay, R_e, pbg, g_world, cap)
+                    H = H.at[gidx[:, :, None], gidx[:, None, :]].add(Hb)
+                    g = g.at[gidx].add(gb)
+                    Hp, gp, cp = prior.hessian_contrib(win)
+                    return H + Hp, g + gp, cost + cp + ccost
+
+                def retract_fn(comp, dx):
+                    win, h = comp
+                    h2 = chain_retract(win, h, st, dx, lay, R_e, pbg,
+                                       g_world, cap)
+                    return (retract_window(win, dx), h2)
+
+                return dogleg_solve(
+                    eval_fn, retract_fn, (state, hid), free,
+                    DoglegConfig(max_iters=cfg.max_iters,
+                                 initial_radius=cfg.init_trust_radius))
+
+            self._jit_cache[key] = solve
+        return self._jit_cache[key]
+
+    def _jit_marg_chains(self):
+        key = "marg_chains"
+        if key not in self._jit_cache:
+            lay = self.lay
+            pbg, g_world = self._pbg, self.g_world
+            R_e = self._R_e
+            cap = self.cfg.chain_cap
+
+            @jax.jit
+            def marg(state, hid, st, prior, marg_mask, pre_stack,
+                     pre_valid0, f_ids, l_ids, xy, ovalid, b_pr, b_cp,
+                     b_dopp):
+                batches = [
+                    imu_factor_batch(state, pre_stack, pbg, g_world,
+                                     pre_valid0),
+                    projection_factor_batch(
+                        state, f_ids, jnp.zeros_like(f_ids), l_ids, xy,
+                        ovalid, pbg),
+                    spp_pseudorange_batch(state, b_pr, R_e),
+                    spp_carrier_phase_batch(state, b_cp, R_e),
+                    doppler_batch(state, b_dopp, R_e),
+                ]
+                H, g, cost = assemble(batches, lay.dim)
+                Hb, gb, gidx, _ = chain_contrib(
+                    state, hid, st, lay, R_e, pbg, g_world, cap)
+                H = H.at[gidx[:, :, None], gidx[:, None, :]].add(Hb)
+                g = g.at[gidx].add(gb)
+                Hp, gp, _ = prior.hessian_contrib(state)
+                return marginalize_dense(H + Hp, g + gp, marg_mask)
+
+            self._jit_cache[key] = marg
         return self._jit_cache[key]
 
     # ------------------------------------------------------------------
@@ -857,18 +1043,77 @@ class Estimator:
             np.arange(cfg.nf - 1) == 0) & (self.pre[0] is not None)
         b_pr, b_cp, b_dopp = self._gnss_factor_inputs()
         only0 = lambda b: b._replace(valid=b.valid & (b.frame_ids == 0))
-        J0, r0 = self._jit_marg()(
-            self.x, self.prior, jnp.asarray(marg_mask), pre_stack, pre_valid0,
-            jnp.asarray(f_ids), jnp.asarray(l_ids), jnp.asarray(xy),
-            jnp.asarray(valid), only0(b_pr), only0(b_cp), only0(b_dopp))
+        if self.cfg.use_gnss_chains:
+            # chains attached at the marginalized frame fold into the prior
+            # with it (their left endpoint leaves the problem), then die —
+            # the reference folds the IMUGNSS factor of the departing
+            # keyframe the same way (GlobalMarge blanket)
+            lm = np.array([c.left == 0 for c in self.chains], dtype=bool)
+            hid, st = self._chain_inputs(left_mask=lm)
+            J0, r0 = self._jit_marg_chains()(
+                self.x, hid, st, self.prior, jnp.asarray(marg_mask),
+                pre_stack, pre_valid0, jnp.asarray(f_ids),
+                jnp.asarray(l_ids), jnp.asarray(xy), jnp.asarray(valid),
+                only0(b_pr), only0(b_cp), only0(b_dopp))
+            dying = [c for c in self.chains if c.left == 0]
+            for c in dying:
+                if self.gnss is not None and len(c.pinned_slots):
+                    self.gnss.bias.unpin(c.pinned_slots)
+            self.chains = [c for c in self.chains if c.left != 0]
+            self._chain_stats["died"] += len(dying)
+        else:
+            J0, r0 = self._jit_marg()(
+                self.x, self.prior, jnp.asarray(marg_mask), pre_stack,
+                pre_valid0, jnp.asarray(f_ids), jnp.asarray(l_ids),
+                jnp.asarray(xy), jnp.asarray(valid), only0(b_pr),
+                only0(b_cp), only0(b_dopp))
         self.prior = MargPrior(J=J0, r0=r0, x0=self.x,
                                valid_rows=jnp.ones(lay.dim, dtype=bool))
         self._shift_window(0)
 
     def _drop_second_newest(self):
         """MargImagSecondNew flow: discard the frame's observations, merge
-        its preintegrations (SlideWindowFrame, swf.cpp:239-295)."""
+        its preintegrations (SlideWindowFrame, swf.cpp:239-295).  With
+        chains enabled, chains touching the dropped frame absorb it as a
+        hidden state (ResetImuGnssFactor merge, swf.cpp:578-616)."""
         d = self.frame_count - 2
+        # a frame carrying prior information cannot be silently discarded
+        # (possible when chain information was folded into the prior at a
+        # middle frame); retain it and slide by the oldest instead
+        lay = self.lay
+        col = np.abs(np.asarray(self.prior.J)
+                     [:, lay.pose_idx(d):lay.pose_idx(d) + FRAME_DIM]).sum()
+        if col > 1e-9:
+            self._marginalize_oldest()
+            return
+        chL = next((c for c in self.chains if c.right == d), None)
+        chR = next((c for c in self.chains if c.left == d), None)
+        if chL is not None or chR is not None:
+            left = chL.left if chL is not None else d - 1
+            mid = dict(p=np.asarray(self.x.p[d])[None],
+                       q=np.asarray(self.x.q[d])[None],
+                       v=np.asarray(self.x.v[d])[None],
+                       ba=np.asarray(self.x.ba[d])[None],
+                       bg=np.asarray(self.x.bg[d])[None],
+                       clk=np.asarray(self.x.clk[d])[None])
+            merged = splice_records(chL, mid, chR, self.pre[d - 1],
+                                    self.pre[d], left, d + 1,
+                                    self.cfg.chain_cap)
+            if merged is None:
+                # merged chain would exceed capacity: keep the frame as a
+                # keyframe and slide by marginalizing the oldest instead
+                self._marginalize_oldest()
+                return
+            self.chains = [c for c in self.chains
+                           if c is not chL and c is not chR]
+            self.features.remove_frame(d, self.cfg.nf - 1)
+            self.pre = (self.pre[:left] + [None]
+                        + self.pre[d + 1:self.cfg.nf - 1]
+                        + [None] * (d - left))
+            self.chains.append(merged)
+            self._chain_stats["merged"] += 1
+            self._shift_state_only(d)   # also remaps merged.right -> d
+            return
         self.features.remove_frame(d, self.cfg.nf - 1)
         merged = merge_preintegrations(self.pre[d - 1], self.pre[d])
         self.pre[d - 1] = merged
@@ -903,8 +1148,10 @@ class Estimator:
                               ba=sh(state.ba), bg=sh(state.bg),
                               clk=sh(state.clk))
 
-    def _shift_window(self, drop: int):
-        """Shift state, prior and bookkeeping after marginalizing ``drop``."""
+    def _shift_prior_cols(self, drop: int):
+        """Permute prior columns after removing frame ``drop`` (the removed
+        frame must carry no prior information — interior GNSS frames and
+        non-keyframes never do; marginalized frames were Schur'd out)."""
         lay = self.lay
         perm = self._frame_perm(drop)
         # prior columns follow the moving states; freed last-frame slots get
@@ -915,6 +1162,10 @@ class Estimator:
         J[:, lay.clk_idx(last):lay.clk_idx(last) + NCLOCK] = 0.0
         x0 = self._shift_arrays(self.prior.x0, drop)
         self.prior = self.prior._replace(J=jnp.asarray(J), x0=x0)
+
+    def _shift_window(self, drop: int):
+        """Shift state, prior and bookkeeping after marginalizing ``drop``."""
+        self._shift_prior_cols(drop)
         self._shift_state_only(drop, shift_pre=True)
 
     def _shift_state_only(self, drop: int, shift_pre: bool = False):
@@ -935,6 +1186,13 @@ class Estimator:
         self.gnss_store[self.cfg.nf - 1] = None
         del self.frame_times[drop]
         self.frame_count -= 1
+        # chain endpoints follow the moving frames (chains attached TO the
+        # dropped frame must be handled by the caller beforehand)
+        for c in self.chains:
+            if c.left > drop:
+                c.left -= 1
+            if c.right > drop:
+                c.right -= 1
         # prior x0 and current x now agree on frame indexing
 
     # ------------------------------------------------------------------

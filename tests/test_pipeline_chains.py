@@ -1,0 +1,73 @@
+"""GNSS chain condensation end-to-end: runs of GNSS epochs between visual
+frames leave the window into condensed chains (IMUGNSSBase analog) with a
+small nf, and the estimator must stay locked to truth with working integer
+fixing — the effective GNSS window now exceeds the frame window."""
+
+import numpy as np
+import pytest
+
+from rtk_visual_inertial_navigation_tpu.sim import SimConfig, simulate
+
+from test_pipeline_gnss import replay, spp_cfg
+
+
+@pytest.fixture(scope="module")
+def sim():
+    return simulate(SimConfig(duration=10.0, imu_rate=200.0, cam_rate=2.0,
+                              gnss_rate=4.0, n_landmarks=60, n_sats=10,
+                              seed=3))
+
+
+def _errs(est, sim):
+    errs = []
+    for (t, p, q, v) in est.trajectory:
+        i = np.argmin(np.abs(sim.imu_t - t))
+        errs.append(np.linalg.norm(p - sim.p[i]))
+    return np.asarray(errs)
+
+
+def test_spp_vi_with_chains_locks_to_truth(sim):
+    """4 Hz GNSS + 2 Hz camera => ~2-epoch runs between frames condense."""
+    est = replay(sim, spp_cfg(sim, nf=8, use_gnss_chains=True))
+    assert est.initialized
+    # chains must actually have formed and survived
+    assert est._chain_stats["created"] > 0
+    assert len(est.chains) > 0
+    errs = _errs(est, sim)
+    assert errs[len(errs) // 2:].max() < 0.05, errs.max()
+
+
+def test_rtk_chains_integer_fix(sim):
+    """Full RTK with chain condensation: DD integers still resolve
+    exactly, ambiguity slots referenced by chains stay pinned."""
+    est = replay(sim, spp_cfg(sim, nf=8, use_gnss_chains=True,
+                              use_rtk=True, use_rtd=True,
+                              use_n_resolve=True, min_fix_continuity=1,
+                              fix_continue_threshold=3))
+    assert est._chain_stats["created"] > 0
+    assert est.rtk_fixed, "should reach a fixed solution on noiseless data"
+    bias = est.gnss.bias
+    assert est._last_fix, "no DD fixes recorded"
+    for (slot_i, slot_r, n) in est._last_fix:
+        sat_i = bias.key[slot_i][1]
+        sat_r = bias.key[slot_r][1]
+        n_true = sim.rtk_ambiguities[sat_i] - sim.rtk_ambiguities[sat_r]
+        assert n == round(n_true), (n, n_true)
+    errs = _errs(est, sim)
+    assert errs[-5:].max() < 0.02, errs[-5:].max()
+    # pinned slots stay active even if unseen recently
+    pinned = np.flatnonzero(bias.pinned > 0)
+    assert np.all(bias.active[pinned])
+
+
+def test_chains_match_no_chain_estimate(sim):
+    """With and without chains the estimates must agree closely on
+    noiseless data (same information, different structure)."""
+    est_a = replay(sim, spp_cfg(sim, nf=8, use_gnss_chains=True))
+    est_b = replay(sim, spp_cfg(sim, nf=8))
+    ta = {round(t, 6): p for (t, p, q, v) in est_a.trajectory}
+    tb = {round(t, 6): p for (t, p, q, v) in est_b.trajectory}
+    common = sorted(set(ta) & set(tb))[5:]
+    assert len(common) > 10
+    d = np.asarray([np.linalg.norm(ta[t] - tb[t]) for t in common])
+    assert d.max() < 0.05, d.max()
