@@ -55,6 +55,12 @@ class EstimatorConfig:
     max_iters: int = 8
     init_trust_radius: float = 1e4
 
+    # visual parameterization (USE_INVERSE_DEPTH, parameters.h:25): world
+    # points (shipped default) or per-landmark inverse depth hosted at the
+    # first observing frame; USE_STEREO adds right-camera observations
+    use_inverse_depth: bool = False
+    use_stereo: bool = False
+
     # frontend
     min_triangulation_parallax: float = 0.02   # unit-plane
     reproj_outlier_thresh: float = 3.0 / 460.0

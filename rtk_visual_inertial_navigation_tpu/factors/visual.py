@@ -155,6 +155,50 @@ def _single_proj_invdepth_stereo_same(tic, qic, tic2, qic2, inv_dep,
     return res_fn(zero), jax.jacrev(res_fn)(zero)
 
 
+def invdepth_projection_batch(state: WindowState, host_ids, obs_ids,
+                              cam_ids, slot_ids, pts_host_xy, meas_xy,
+                              valid, pbg, weight=PROJ_SQRT_INFO
+                              ) -> FactorBatch:
+    """Inverse-depth projection factors as one uniform batch covering all
+    three reference parameterizations (projection_factor.cpp):
+
+      - mono cross-frame (TwoFrameOneCam):   cam_ids == 0, host != obs
+      - stereo cross-frame (TwoFrameTwoCam): cam_ids == 1, host != obs
+      - stereo same-frame (OneFrameTwoCam):  cam_ids == 1, host == obs
+
+    One evaluator (the two-cam cross form) serves all rows; shared
+    variables are handled by INDEX ALIASING in ``gidx``: for mono rows the
+    observer-extrinsic block points at ext0 so both partials scatter-add
+    into the same columns (= the total derivative), and for same-frame rows
+    the two pose blocks alias (their partials cancel analytically).
+
+    The inverse depth lives in ``state.landmarks[slot, 0]`` (slots keep the
+    3-wide world-point layout; columns 1-2 stay masked).
+    """
+    lay = layout_of(state)
+
+    def one(hi, oi, c, s, hxy, mxy):
+        pts_i = jnp.concatenate([hxy, jnp.ones((1,), hxy.dtype)])
+        idep = state.landmarks[s, 0]
+        idep = jnp.where(jnp.abs(idep) > 1e-6, idep, 1.0)  # masked-row guard
+        return _single_proj_invdepth_stereo_cross(
+            state.p[hi], state.q[hi], state.p[oi], state.q[oi],
+            state.tic[0], state.qic[0], state.tic[c], state.qic[c],
+            idep, pts_i, mxy, pbg, weight)
+
+    res, jac = jax.vmap(one)(host_ids, obs_ids, cam_ids, slot_ids,
+                             pts_host_xy, meas_xy)
+    gidx = jnp.concatenate([
+        block_indices(lay.pose_idx(host_ids), POSE_DIM),
+        block_indices(lay.pose_idx(obs_ids), POSE_DIM),
+        block_indices(lay.ext_idx(jnp.zeros_like(cam_ids)), POSE_DIM),
+        block_indices(lay.ext_idx(cam_ids), POSE_DIM),
+        lay.lm_idx(slot_ids)[:, None],
+    ], axis=-1)
+    m = valid.astype(res.dtype)
+    return FactorBatch(res * m[:, None], jac * m[:, None, None], gidx, valid)
+
+
 def invdepth_factor_batch(state: WindowState, host_ids, obs_ids, cam_ids,
                           inv_depths, pts_host, meas_xy, valid, pbg,
                           weight=PROJ_SQRT_INFO):

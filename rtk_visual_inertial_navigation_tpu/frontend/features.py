@@ -25,16 +25,29 @@ class FeatureTable:
         self.nf = num_frames
         self.obs_xy = np.zeros((capacity, num_frames, 2))
         self.obs_mask = np.zeros((capacity, num_frames), dtype=bool)
+        # right-camera (stereo) observations, cam id 1
+        self.obs_xy_r = np.zeros((capacity, num_frames, 2))
+        self.obs_mask_r = np.zeros((capacity, num_frames), dtype=bool)
         self.active = np.zeros(capacity, dtype=bool)      # slot in use
         self.solved = np.zeros(capacity, dtype=bool)      # has a valid 3-D point
         self.point = np.zeros((capacity, 3))
+        # inverse-depth parameterization bookkeeping (USE_INVERSE_DEPTH=1):
+        # host frame of each landmark = its first cam0 observation
         self.feature_id = np.full(capacity, -1, dtype=np.int64)
         self._id_to_slot: dict[int, int] = {}
 
+    def host_frame(self, slot: int) -> int:
+        """First cam0-observing frame of the slot (-1 if none)."""
+        obs = np.flatnonzero(self.obs_mask[slot])
+        return int(obs[0]) if len(obs) else -1
+
     # ------------------------------------------------------------------
-    def add_frame(self, frame_idx: int, ids: np.ndarray, xys: np.ndarray
-                  ) -> int:
-        """Insert one frame's observations. Returns #tracked (pre-existing)."""
+    def add_frame(self, frame_idx: int, ids: np.ndarray, xys: np.ndarray,
+                  ids_r=None, xys_r=None) -> int:
+        """Insert one frame's observations. Returns #tracked (pre-existing).
+
+        ``ids_r``/``xys_r``: optional right-camera (stereo) observations of
+        the same frame."""
         tracked = 0
         for fid, xy in zip(ids, xys):
             slot = self._id_to_slot.get(int(fid))
@@ -47,11 +60,19 @@ class FeatureTable:
                 self.solved[slot] = False
                 self.feature_id[slot] = int(fid)
                 self.obs_mask[slot] = False
+                self.obs_mask_r[slot] = False
                 self._id_to_slot[int(fid)] = slot
             else:
                 tracked += 1
             self.obs_xy[slot, frame_idx] = xy[:2]
             self.obs_mask[slot, frame_idx] = True
+        if ids_r is not None:
+            for fid, xy in zip(ids_r, xys_r):
+                slot = self._id_to_slot.get(int(fid))
+                if slot is None:
+                    continue          # stereo obs require a cam0 track
+                self.obs_xy_r[slot, frame_idx] = xy[:2]
+                self.obs_mask_r[slot, frame_idx] = True
         return tracked
 
     # ------------------------------------------------------------------
@@ -83,6 +104,11 @@ class FeatureTable:
         self.obs_xy[:, frame_idx:last] = self.obs_xy[:, frame_idx + 1:last + 1]
         self.obs_mask[:, frame_idx:last] = self.obs_mask[:, frame_idx + 1:last + 1]
         self.obs_mask[:, last] = False
+        self.obs_xy_r[:, frame_idx:last] = \
+            self.obs_xy_r[:, frame_idx + 1:last + 1]
+        self.obs_mask_r[:, frame_idx:last] = \
+            self.obs_mask_r[:, frame_idx + 1:last + 1]
+        self.obs_mask_r[:, last] = False
         self._prune()
 
     def _prune(self):
@@ -101,21 +127,74 @@ class FeatureTable:
         self.active[slots] = False
         self.solved[slots] = False
         self.obs_mask[slots] = False
+        self.obs_mask_r[slots] = False
         self.feature_id[slots] = -1
 
     # ------------------------------------------------------------------
-    def observation_batch(self, max_obs: int):
+    def observation_batch(self, max_obs: int, stereo: bool = False):
         """Flatten (slot, frame) observations of solved landmarks into fixed-
-        capacity factor arrays (frame_ids, lm_ids, xy, valid)."""
-        lm, fr = np.nonzero(self.obs_mask & self.active[:, None]
-                            & self.solved[:, None])
+        capacity factor arrays (frame_ids, cam_ids, lm_ids, xy, valid).
+
+        With ``stereo``, right-camera observations append as cam id 1 rows
+        (world-point parameterization treats them as plain projection
+        factors through the second extrinsic)."""
+        live = self.active[:, None] & self.solved[:, None]
+        lm, fr = np.nonzero(self.obs_mask & live)
+        cams = [np.zeros(len(lm), dtype=np.int32)]
+        lms, frs, xys = [lm], [fr], [self.obs_xy[lm, fr]]
+        if stereo:
+            lm2, fr2 = np.nonzero(self.obs_mask_r & live)
+            lms.append(lm2)
+            frs.append(fr2)
+            cams.append(np.ones(len(lm2), dtype=np.int32))
+            xys.append(self.obs_xy_r[lm2, fr2])
+        lm = np.concatenate(lms)
+        fr = np.concatenate(frs)
+        cam = np.concatenate(cams)
+        xy_all = np.concatenate(xys) if len(lm) else np.zeros((0, 2))
         n = min(len(lm), max_obs)
         frame_ids = np.zeros(max_obs, dtype=np.int32)
+        cam_ids = np.zeros(max_obs, dtype=np.int32)
         lm_ids = np.zeros(max_obs, dtype=np.int32)
         xy = np.zeros((max_obs, 2))
         valid = np.zeros(max_obs, dtype=bool)
         frame_ids[:n] = fr[:n]
+        cam_ids[:n] = cam[:n]
         lm_ids[:n] = lm[:n]
-        xy[:n] = self.obs_xy[lm[:n], fr[:n]]
+        xy[:n] = xy_all[:n]
         valid[:n] = True
-        return frame_ids, lm_ids, xy, valid
+        return frame_ids, cam_ids, lm_ids, xy, valid
+
+    def invdepth_batch(self, max_obs: int, stereo: bool = False):
+        """(host, obs, cam, slot, host_xy, meas_xy, valid) rows for the
+        inverse-depth parameterization: host = first cam0 observation; one
+        row per additional observation.  Stereo adds same-frame cam1 rows
+        (host==obs, cam=1) and cross-frame cam1 rows."""
+        rows = []
+        for slot in np.flatnonzero(self.active & self.solved):
+            obs = np.flatnonzero(self.obs_mask[slot])
+            if len(obs) == 0:
+                continue
+            h = int(obs[0])
+            hxy = self.obs_xy[slot, h]
+            for j in obs[1:]:
+                rows.append((h, int(j), 0, slot, hxy,
+                             self.obs_xy[slot, j]))
+            if stereo:
+                for j in np.flatnonzero(self.obs_mask_r[slot]):
+                    if j < h:
+                        continue
+                    rows.append((h, int(j), 1, slot, hxy,
+                                 self.obs_xy_r[slot, j]))
+        n = min(len(rows), max_obs)
+        host = np.zeros(max_obs, dtype=np.int32)
+        obs_f = np.zeros(max_obs, dtype=np.int32)
+        cam = np.zeros(max_obs, dtype=np.int32)
+        slot_ids = np.zeros(max_obs, dtype=np.int32)
+        hxy = np.zeros((max_obs, 2))
+        mxy = np.zeros((max_obs, 2))
+        valid = np.zeros(max_obs, dtype=bool)
+        for k in range(n):
+            host[k], obs_f[k], cam[k], slot_ids[k], hxy[k], mxy[k] = rows[k]
+        valid[:n] = True
+        return host, obs_f, cam, slot_ids, hxy, mxy, valid

@@ -1,0 +1,80 @@
+"""Perspective-n-Point pose bootstrap.
+
+The reference initializes a new frame's pose from 2D-3D correspondences
+with cv::solvePnPRansac when IMU prediction is unavailable
+(FeatureManager::initFramePoseByPnP, rvi/feature/feature_manager.cpp:164-243).
+TPU-native equivalent: fixed-iteration Gauss-Newton on the 6-dof camera
+pose with Huber reweighting and a residual-gated second pass (the RANSAC
+role — reject gross outliers between passes).  Fully jittable.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..factors.visual import project_world_point
+from ..ops import lie
+
+
+def _reproj_residuals(p, q, tic, qic, landmarks, obs_xy, pbg):
+    """(K,2) unit-plane reprojection errors + depths."""
+    def one(lm, xy):
+        pc = project_world_point(p, q, tic, qic, lm, pbg)
+        z = jnp.maximum(pc[2], 1e-3)
+        return pc[:2] / z - xy, pc[2]
+
+    return jax.vmap(one)(landmarks, obs_xy)
+
+
+def pnp_pose(landmarks, obs_xy, valid, p0, q0, tic, qic, pbg,
+             iters: int = 10, huber: float = 5.0 / 460.0,
+             gate: float = 10.0 / 460.0):
+    """Refine (p, q) from 2D-3D matches.
+
+    Args:
+      landmarks: (K,3) world points; obs_xy: (K,2) unit-plane obs;
+      valid: (K,) mask; p0/q0: initial body pose guess.
+    Returns (p, q, ok): ok False when <6 usable correspondences
+    (feature_manager.cpp:236: >5 points required).
+    """
+    n_valid = jnp.sum(valid)
+    ok0 = n_valid >= 6
+
+    def gn_round(p, q, use):
+        def body(_, carry):
+            p, q = carry
+
+            def res_fn(t):
+                pp = p + t[0:3]
+                qq = lie.quat_boxplus(q, t[3:6])
+                r, _ = _reproj_residuals(pp, qq, tic, qic, landmarks,
+                                         obs_xy, pbg)
+                return r
+
+            zero = jnp.zeros(6, dtype=p.dtype)
+            r = res_fn(zero)                           # (K,2)
+            J = jax.jacrev(res_fn)(zero)               # (K,2,6)
+            # Huber weights on the residual norm
+            rn = jnp.linalg.norm(r, axis=-1)
+            w = jnp.where(rn > huber, huber / jnp.maximum(rn, 1e-12), 1.0)
+            w = w * use.astype(r.dtype)
+            Jw = J * w[:, None, None]
+            rw = r * w[:, None]
+            H = jnp.einsum("kri,krj->ij", Jw, J)
+            g = jnp.einsum("kri,kr->i", Jw, r)
+            H = H + 1e-8 * jnp.eye(6, dtype=p.dtype)
+            dx = -jnp.linalg.solve(H, g)
+            return (p + dx[0:3], lie.quat_boxplus(q, dx[3:6]))
+
+        return jax.lax.fori_loop(0, iters, body, (p, q))
+
+    p1, q1 = gn_round(p0, q0, valid)
+    # outlier gate between passes (the solvePnPRansac role)
+    r1, depth = _reproj_residuals(p1, q1, tic, qic, landmarks, obs_xy, pbg)
+    inl = valid & (jnp.linalg.norm(r1, axis=-1) < gate) & (depth > 0.1)
+    enough = jnp.sum(inl) >= 6
+    p2, q2 = gn_round(p1, q1, inl)
+    p_out = jnp.where(enough, p2, p1)
+    q_out = jnp.where(enough, q2, q1)
+    return p_out, lie.quat_normalize(q_out), ok0

@@ -129,19 +129,25 @@ def _lk_level(img0, img1, pt0, guess, r, iters):
     return d, ok
 
 
-def lk_track(pyr0, pyr1, pts, valid, win: int = 7, iters: int = 10):
+def lk_track(pyr0, pyr1, pts, valid, win: int = 7, iters: int = 10,
+             guess=None):
     """Track points from pyramid pyr0 to pyr1 (coarse-to-fine).
 
     Args:
       pyr0, pyr1: lists of images (level 0 = full resolution).
       pts: (K,2) pixel coordinates in level 0; valid: (K,) mask.
+      guess: optional (K,2) predicted positions in pyr1 (IMU-propagated
+        prediction, feature_tracker.cpp:98-117 hasPrediction path) — the
+        coarse-to-fine search starts from guess - pts instead of 0.
     Returns (new_pts (K,2), ok (K,)).
     """
     levels = len(pyr0)
     r = win // 2
+    if guess is None:
+        guess = pts
 
-    def track_one(pt, v):
-        d = jnp.zeros(2, dtype=pt.dtype)
+    def track_one(pt, g, v):
+        d = g - pt
         ok = v
         for lv in range(levels - 1, -1, -1):
             scale = 2.0 ** lv
@@ -155,13 +161,67 @@ def lk_track(pyr0, pyr1, pts, valid, win: int = 7, iters: int = 10):
                & (new[1] >= 2) & (new[1] < H - 2))
         return new, ok & inb
 
-    return jax.vmap(track_one)(pts, valid)
+    return jax.vmap(track_one)(pts, guess, valid)
 
 
 def lk_track_fb(pyr0, pyr1, pts, valid, win: int = 7, iters: int = 10,
-                fb_thresh: float = 0.5):
+                fb_thresh: float = 0.5, guess=None):
     """LK with the forward-backward consistency check (FLOW_BACK)."""
-    fwd, ok1 = lk_track(pyr0, pyr1, pts, valid, win, iters)
+    fwd, ok1 = lk_track(pyr0, pyr1, pts, valid, win, iters, guess)
     back, ok2 = lk_track(pyr1, pyr0, fwd, ok1, win, iters)
     dist = jnp.linalg.norm(back - pts, axis=-1)
     return fwd, ok1 & ok2 & (dist < fb_thresh)
+
+
+def ransac_essential(xy0, xy1, valid, thresh: float = 3.0 / 460.0,
+                     n_hyp: int = 128, seed: int = 0):
+    """Essential-matrix RANSAC on unit-plane correspondences — the
+    rejectWithF outlier gate (rvi/feature/feature_tracker.cpp:265; the
+    reference runs cv::findFundamentalMat on undistorted, re-projected
+    points, which is this up to the virtual focal scaling).
+
+    Fixed-shape TPU-native design: ``n_hyp`` 8-point hypotheses solved as a
+    batched SVD, symmetric epipolar distance inlier count, best hypothesis
+    wins.  Returns (inlier_mask (K,), ok) — ok False when <8 valid points
+    (gate disabled, mask = valid).
+    """
+    K = xy0.shape[0]
+    n_valid = jnp.sum(valid)
+    ok = n_valid >= 8
+
+    # sample 8 indices per hypothesis from the valid set (with replacement
+    # over a random permutation — adequate for a gate, shape-static)
+    key = jax.random.PRNGKey(seed)
+    # probability mass on valid entries
+    p = valid.astype(jnp.float32)
+    p = p / jnp.maximum(jnp.sum(p), 1.0)
+    idx = jax.random.choice(key, K, shape=(n_hyp, 8), replace=True, p=p)
+
+    one0 = jnp.concatenate([xy0, jnp.ones((K, 1), xy0.dtype)], axis=-1)
+    one1 = jnp.concatenate([xy1, jnp.ones((K, 1), xy1.dtype)], axis=-1)
+
+    def solve_one(rows):
+        a0 = one0[rows]                      # (8,3)
+        a1 = one1[rows]
+        # x1ᵀ E x0 = 0 -> A vec(E) = 0, A rows = kron(x0, x1)
+        A = jnp.einsum("ki,kj->kij", a0, a1).reshape(8, 9)
+        _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+        E = Vt[-1].reshape(3, 3).T           # (x1ᵀ E x0) with vec order
+        return E
+
+    Es = jax.vmap(solve_one)(idx)            # (n_hyp, 3, 3)
+
+    def score(E):
+        Ex0 = one0 @ E.T                     # (K,3): E x0
+        Etx1 = one1 @ E                      # (K,3): Eᵀ x1
+        num = jnp.sum(one1 * Ex0, axis=-1)   # x1ᵀ E x0
+        d2 = num * num * (
+            1.0 / jnp.maximum(Ex0[:, 0] ** 2 + Ex0[:, 1] ** 2, 1e-12)
+            + 1.0 / jnp.maximum(Etx1[:, 0] ** 2 + Etx1[:, 1] ** 2, 1e-12))
+        inl = (d2 < thresh * thresh) & valid
+        return jnp.sum(inl), inl
+
+    counts, masks = jax.vmap(score)(Es)
+    best = jnp.argmax(counts)
+    inliers = masks[best]
+    return jnp.where(ok, inliers, valid), ok

@@ -16,14 +16,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.cameras import PinholeCamera
-from .tracker import (build_pyramid, lk_track_fb, select_features,
-                      shi_tomasi_response)
+from .tracker import (build_pyramid, lk_track_fb, ransac_essential,
+                      select_features, shi_tomasi_response)
 
 
 class TrackerFrontend:
     def __init__(self, camera: PinholeCamera, max_cnt: int = 80,
                  min_dist: int = 12, levels: int = 3, win: int = 9,
-                 iters: int = 12, fb_thresh: float = 0.75):
+                 iters: int = 12, fb_thresh: float = 0.75,
+                 use_ransac: bool = True,
+                 ransac_thresh: float = 3.0 / 460.0):
         self.cam = camera
         self.max_cnt = max_cnt
         self.min_dist = min_dist
@@ -31,24 +33,52 @@ class TrackerFrontend:
         self.win = win
         self.iters = iters
         self.fb_thresh = fb_thresh
+        self.use_ransac = use_ransac
+        self.ransac_thresh = ransac_thresh
 
         self.pts = np.zeros((max_cnt, 2))
         self.ok = np.zeros(max_cnt, dtype=bool)
         self.ids = np.full(max_cnt, -1, dtype=np.int64)
         self._next_id = 0
         self._pyr_prev = None
+        self._frame_no = 0
 
-    def process(self, img: np.ndarray):
-        """Track one frame. Returns (ids (M,), unit_plane_xy (M,2))."""
+    def process(self, img: np.ndarray, predicted: Optional[dict] = None):
+        """Track one frame. Returns (ids (M,), unit_plane_xy (M,2)).
+
+        ``predicted``: optional {feature_id: (x, y) pixel} map of predicted
+        positions (e.g. gyro-propagated, the reference's setPrediction path,
+        feature_tracker.cpp:98-117) used as the LK initial guess.
+        """
         pyr = build_pyramid(jnp.asarray(img, dtype=jnp.float32), self.levels)
 
         if self._pyr_prev is not None and self.ok.any():
+            guess = self.pts.copy()
+            if predicted:
+                for slot in np.flatnonzero(self.ok):
+                    g = predicted.get(int(self.ids[slot]))
+                    if g is not None:
+                        guess[slot] = g
+            prev_pts = self.pts.copy()
             new, ok = lk_track_fb(self._pyr_prev, pyr, jnp.asarray(self.pts),
                                   jnp.asarray(self.ok), self.win, self.iters,
-                                  self.fb_thresh)
+                                  self.fb_thresh, guess=jnp.asarray(guess))
             self.pts = np.array(new)
             self.ok = np.array(ok)
+            # epipolar outlier gate on unit-plane coords (rejectWithF,
+            # feature_tracker.cpp:265)
+            if self.use_ransac and self.ok.sum() >= 12:
+                r0 = np.asarray(self.cam.lift_projective(
+                    jnp.asarray(prev_pts)))[:, :2]
+                r1 = np.asarray(self.cam.lift_projective(
+                    jnp.asarray(self.pts)))[:, :2]
+                inl, gate_ok = ransac_essential(
+                    jnp.asarray(r0), jnp.asarray(r1), jnp.asarray(self.ok),
+                    self.ransac_thresh, seed=self._frame_no)
+                if bool(gate_ok):
+                    self.ok &= np.asarray(inl)
             self.ids[~self.ok] = -1
+        self._frame_no += 1
 
         # refill dead slots by re-detection with suppression around live pts
         n_live = int(self.ok.sum())

@@ -53,6 +53,11 @@ class GnssEpoch:
     br_time_diff: float = 1.0  # rover-base age [s] (RTK weighting)
     pr0: Optional[np.ndarray] = None  # (S,) SPP_P0 correction channel [m]
     svh: Optional[np.ndarray] = None  # (S,) satellite health (0 = healthy)
+    # per-satellite variance terms entering the textbook SPP weighting
+    # (swf_core.cpp:147-155); zeros when absent
+    ion_var: Optional[np.ndarray] = None   # (S,) [m^2]
+    trop_var: Optional[np.ndarray] = None  # (S,) [m^2]
+    sat_var: Optional[np.ndarray] = None   # (S,) [m^2]
 
 
 class PhaseBiasTable:
@@ -270,6 +275,10 @@ class GnssPreprocessor:
 
         healthy = (np.ones(S, dtype=bool) if ep.svh is None
                    else np.asarray(ep.svh) == 0)
+        zv = np.zeros(S)
+        ionv = zv if ep.ion_var is None else np.asarray(ep.ion_var)
+        tropv = zv if ep.trop_var is None else np.asarray(ep.trop_var)
+        satv = zv if ep.sat_var is None else np.asarray(ep.sat_var)
         vis = (el >= AZELMIN) & healthy
         usable = vis & np.isfinite(ep.pr)
         n_usable = int(usable.sum())
@@ -306,7 +315,8 @@ class GnssPreprocessor:
             if (np.isfinite(ep.pr[i]) and not have_base
                     and int(ep.freq[i]) == 0 and ep.pr_std[i] < 2.0):
                 z = ep.pr[i] - r0[i] - sag0[i]
-                w = spp_pr_weight(el[i], ep.pr_std[i], boost=boost)
+                w = spp_pr_weight(el[i], ep.pr_std[i], ionv[i], tropv[i],
+                                  satv[i], boost=boost)
                 add(0, SPP_CLOCK_SLOT + sysf, -1, i, z, w)
             # --- SPP carrier phase (f=0, swf_core.cpp:163-172) ---
             if (self.use_spp_phase and np.isfinite(ep.cp[i])
@@ -316,7 +326,8 @@ class GnssPreprocessor:
                                              int(ep.sys[i]))
                 if slot >= 0:
                     z = ep.cp[i] * lam[i] - r0[i] - sag0[i]
-                    w = spp_cp_weight(el[i], ep.cp_std[i] * lam[i])
+                    w = spp_cp_weight(el[i], ep.cp_std[i] * lam[i], ionv[i],
+                                      tropv[i], satv[i])
                     add(1, SPP_CLOCK_SLOT + sysf, slot, i, z, w, new)
             # --- SPP pseudorange-correction channel (USE_SPP_CORRECTION,
             # swf_core.cpp:174-186: SppCarrierPhaseFactor reused with z =

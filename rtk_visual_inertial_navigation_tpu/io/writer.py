@@ -51,3 +51,38 @@ class ResultWriter:
         row += [f"{x:.10f}" for x in pbg_w]
         with open(self.path, "a") as f:
             f.write(",".join(row) + "\n")
+
+
+def save_extrinsic_yaml(path: str, tic, qic):
+    """Persist online-calibrated camera extrinsics as OpenCV-FileStorage
+    yaml, format-compatible with the reference's printStatistics output
+    (rvi/utility/visualization.cpp:130-145: 4x4 body_T_cam{i} matrices)."""
+    tic = np.asarray(tic).reshape(-1, 3)
+    qic = np.asarray(qic).reshape(-1, 4)
+    lines = ["%YAML:1.0", "---"]
+    for i in range(tic.shape[0]):
+        R = np.asarray(lie.quat_to_rot(jnp.asarray(qic[i])))
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = tic[i]
+        flat = ", ".join(f"{v:.12e}" for v in T.reshape(-1))
+        lines += [f"body_T_cam{i}: !!opencv-matrix", "   rows: 4",
+                  "   cols: 4", "   dt: d", f"   data: [ {flat} ]"]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def load_extrinsic_yaml(path: str):
+    """Read back body_T_cam matrices written by save_extrinsic_yaml (or the
+    reference).  Returns (tic (N,3), qic (N,4))."""
+    import re
+    text = open(path).read()
+    mats = re.findall(
+        r"body_T_cam(\d+):.*?data:\s*\[([^\]]+)\]", text, re.S)
+    tic, qic = [], []
+    for _, data in sorted(mats, key=lambda m: int(m[0])):
+        vals = np.asarray([float(v) for v in data.replace("\n", " ")
+                           .split(",")]).reshape(4, 4)
+        tic.append(vals[:3, 3])
+        qic.append(np.asarray(lie.rot_to_quat(jnp.asarray(vals[:3, :3]))))
+    return np.asarray(tic), np.asarray(qic)

@@ -56,6 +56,18 @@ def _all_pair_cam_points(p, q, tic, qic, landmarks, pbg):
     )(p, q))(landmarks)
 
 
+def _invdepth_to_world(p, q, tic, qic, pbg, hosts, hxy, rho):
+    """World points from (host frame, unit-plane obs, inverse depth) — the
+    exact inverse of project_world_point."""
+    def one(h, xy, r):
+        r = jnp.where(jnp.abs(r) > 1e-6, r, 1.0)
+        pc = jnp.concatenate([xy, jnp.ones(1, xy.dtype)]) / r
+        pim = lie.quat_rotate(qic, pc) + tic - pbg
+        return lie.quat_rotate(q[h], pim) + p[h]
+
+    return jax.vmap(one)(hosts, hxy, rho)
+
+
 def _all_pair_depths(p, q, tic, qic, landmarks, pbg):
     return _all_pair_cam_points(p, q, tic, qic, landmarks, pbg)[..., 2]
 
@@ -76,6 +88,10 @@ class Estimator:
 
         # per-interval preintegrations (python list of device pytrees)
         self.pre: list[Optional[Preintegrated]] = [None] * (cfg.nf - 1)
+        self._last_interval_bad = False
+        # inverse-depth host bookkeeping: timestamp of each landmark's host
+        # frame (timestamps are shift-immune, unlike frame indices)
+        self._host_time = np.full(cfg.nl, np.nan)
 
         # IMU buffering
         self._imu_t: list[float] = []
@@ -149,8 +165,9 @@ class Estimator:
             self.frame_mag[fidx] = mm
             self.frame_mag_valid[fidx] = True
 
-    def process_image(self, t, ids, xys):
-        """One camera frame with tracked features (id, unit-plane xy)."""
+    def process_image(self, t, ids, xys, ids_r=None, xys_r=None):
+        """One camera frame with tracked features (id, unit-plane xy).
+        ``ids_r``/``xys_r``: optional right-camera (stereo) observations."""
         if not self.initialized:
             if len(self._init_acc) < self.cfg.average_imu:
                 return
@@ -159,7 +176,13 @@ class Estimator:
             self._add_frame(t)
         fidx = self.frame_count - 1
         self._select_mag(fidx, t)
-        self.features.add_frame(fidx, np.asarray(ids), np.asarray(xys))
+        self.features.add_frame(fidx, np.asarray(ids), np.asarray(xys),
+                                ids_r, xys_r)
+        if self._last_interval_bad:
+            # IMU dead-reckoning unusable (overlong interval): bootstrap the
+            # frame pose from 2D-3D matches instead (initFramePoseByPnP
+            # role, rvi/feature/feature_manager.cpp:164-243)
+            self._pnp_bootstrap(fidx)
         self._triangulate_new()
         if self.frame_count >= 3:
             self._optimize()
@@ -456,6 +479,8 @@ class Estimator:
             dts, accs, gyrs, valid, self.x.ba[k], self.x.bg[k],
             self.cfg.imu_noise)
         self.pre[k] = pre
+        self._last_interval_bad = \
+            float(np.asarray(pre.sum_dt)) > 10.0 or not bool(valid.any())
         # dead-reckoning prediction (IMUProcess propagation semantics)
         p, q, v = self._predict(pre, k)
         self.x = self.x._replace(
@@ -482,6 +507,22 @@ class Estimator:
     # ------------------------------------------------------------------
     # frontend
     # ------------------------------------------------------------------
+    def _pnp_bootstrap(self, fidx: int):
+        from ..frontend.pnp import pnp_pose
+        ft = self.features
+        live = ft.active & ft.solved & ft.obs_mask[:, fidx]
+        if int(live.sum()) < 6:
+            return
+        lms_dev = (jnp.asarray(ft.point) if self.cfg.use_inverse_depth
+                   else self.x.landmarks)
+        p, q, ok = self._jit(pnp_pose, "pnp")(
+            lms_dev, jnp.asarray(ft.obs_xy[:, fidx]),
+            jnp.asarray(live), self.x.p[fidx], self.x.q[fidx],
+            self.x.tic[0], self.x.qic[0], self._pbg)
+        if bool(ok):
+            self.x = self.x._replace(p=self.x.p.at[fidx].set(p),
+                                     q=self.x.q.at[fidx].set(q))
+
     def _triangulate_new(self):
         ft = self.features
         cand = ft.active & ~ft.solved & (ft.obs_mask.sum(axis=1) >= 2)
@@ -512,10 +553,20 @@ class Estimator:
             jnp.asarray(pts), self._pbg))           # (NL, NF)
         bad_depth = np.any((depths < 0.3) & obs_mask, axis=1)
         good = ok & ~bad_depth
+        lms = np.array(self.x.landmarks)
+        if self.cfg.use_inverse_depth:
+            for slot in np.flatnonzero(good):
+                h = ft.host_frame(slot)
+                if h < 0 or depths[slot, h] < 0.3:
+                    good[slot] = False
+                    continue
+                lms[slot, 0] = 1.0 / depths[slot, h]
+                lms[slot, 1:] = 0.0
+                self._host_time[slot] = self.frame_times[h]
+        else:
+            lms[good] = pts[good]
         ft.point[good] = pts[good]
         ft.solved[good] = True
-        lms = np.array(self.x.landmarks)
-        lms[good] = pts[good]
         self.x = self.x._replace(landmarks=jnp.asarray(lms))
 
     def _reject_outliers(self):
@@ -529,9 +580,11 @@ class Estimator:
         live = ft.obs_mask & ft.active[:, None] & ft.solved[:, None]
         if not np.any(live):
             return
+        lms_dev = (jnp.asarray(ft.point) if self.cfg.use_inverse_depth
+                   else self.x.landmarks)
         pcs = np.asarray(self._jit(_all_pair_cam_points, "campts")(
             self.x.p, self.x.q, self.x.tic[0], self.x.qic[0],
-            self.x.landmarks, self._pbg))           # (NL, NF, 3)
+            lms_dev, self._pbg))                    # (NL, NF, 3)
         xy = pcs[..., :2] / np.maximum(pcs[..., 2:], 1e-6)
         err = np.linalg.norm(xy - ft.obs_xy, axis=-1)
         bad = live & ((err > thresh) | (pcs[..., 2] < 0.1))
@@ -555,11 +608,35 @@ class Estimator:
             [self.pre[k] is not None and k + 1 < self.frame_count
              and float(np.asarray(self.pre[k].sum_dt)) < 10.0
              for k in range(cfg.nf - 1)]))
-        f_ids, l_ids, xy, valid = self.features.observation_batch(cfg.max_obs)
-        # keep only frames inside the current window
-        valid = valid & (f_ids < self.frame_count)
-        return (pre_stack, pre_valid, jnp.asarray(f_ids), jnp.asarray(l_ids),
-                jnp.asarray(xy), jnp.asarray(valid))
+        return (pre_stack, pre_valid, self._vis_inputs())
+
+    def _vis_inputs(self):
+        """Visual factor rows in the active parameterization, as one tuple
+        passed through to the jitted solve."""
+        cfg = self.cfg
+        fc = self.frame_count
+        if cfg.use_inverse_depth:
+            host, obsf, cam, slot, hxy, mxy, valid = \
+                self.features.invdepth_batch(cfg.max_obs, cfg.use_stereo)
+            valid = valid & (host < fc) & (obsf < fc)
+            return tuple(jnp.asarray(a) for a in
+                         (host, obsf, cam, slot, hxy, mxy, valid))
+        f_ids, cam_ids, l_ids, xy, valid = \
+            self.features.observation_batch(cfg.max_obs, cfg.use_stereo)
+        valid = valid & (f_ids < fc)
+        return tuple(jnp.asarray(a) for a in
+                     (f_ids, cam_ids, l_ids, xy, valid))
+
+    def _vis_batch_fn(self):
+        """Build-time selection of the visual factor family (captured by
+        the jitted solves; the mode is fixed per estimator)."""
+        pbg = self._pbg
+        if self.cfg.use_inverse_depth:
+            from ..factors.visual import invdepth_projection_batch
+            return lambda win, vis: invdepth_projection_batch(
+                win, *vis, pbg)
+        return lambda win, vis: projection_factor_batch(
+            win, vis[0], vis[1], vis[2], vis[3], vis[4], pbg)
 
     def _gnss_factor_inputs(self):
         """Concatenate per-frame prepared epochs into three fixed-capacity
@@ -636,8 +713,9 @@ class Estimator:
             if self.frame_is_gnss[f]:
                 m[lay.clk_idx(f):lay.clk_idx(f) + NCLOCK] = True
         act = self.features.active & self.features.solved
+        lm_cols = 1 if self.cfg.use_inverse_depth else 3
         for slot in np.flatnonzero(act):
-            m[lay.lm_idx(slot):lay.lm_idx(slot) + 3] = True
+            m[lay.lm_idx(slot):lay.lm_idx(slot) + lm_cols] = True
         if self.gnss is not None:
             for slot in np.flatnonzero(self.gnss.bias.active):
                 m[lay.pb_idx(slot)] = True
@@ -674,9 +752,75 @@ class Estimator:
                                     *gnss_inputs, *self._mag_inputs())
             self.x = res.state
         self.last_solve = res
-        # keep the host-side landmark mirror in sync for depth gating
-        solved = self.features.solved & self.features.active
-        self.features.point[solved] = np.asarray(self.x.landmarks)[solved]
+        self._update_world_mirror()
+
+    def _update_world_mirror(self):
+        """Keep the host-side world-point mirror in sync with the state
+        (used for depth gating, outlier rejection, PnP and re-hosting)."""
+        ft = self.features
+        solved = ft.solved & ft.active
+        if not self.cfg.use_inverse_depth:
+            ft.point[solved] = np.asarray(self.x.landmarks)[solved]
+            return
+        if not solved.any():
+            return
+        hosts = np.zeros(self.cfg.nl, dtype=np.int32)
+        for s in np.flatnonzero(solved):
+            hosts[s] = max(ft.host_frame(s), 0)
+        hxy = ft.obs_xy[np.arange(self.cfg.nl), hosts]
+        world = np.asarray(self._jit(_invdepth_to_world, "id2w")(
+            self.x.p, self.x.q, self.x.tic[0], self.x.qic[0], self._pbg,
+            jnp.asarray(hosts), jnp.asarray(hxy),
+            self.x.landmarks[:, 0]))
+        ft.point[solved] = world[solved]
+
+    def _rehost_invdepth(self):
+        """Re-host landmarks whose host frame left the window: fresh inverse
+        depth in the new host camera from the world mirror, stale prior
+        columns marginalized out (removeBackShiftDepth semantics,
+        rvi/feature/feature_manager.cpp:362-416)."""
+        if not self.cfg.use_inverse_depth:
+            return
+        ft, lay = self.features, self.lay
+        need = []
+        for slot in np.flatnonzero(ft.active & ft.solved):
+            h = ft.host_frame(slot)
+            if h < 0 or h >= self.frame_count:
+                ft.solved[slot] = False
+                self._host_time[slot] = np.nan
+                continue
+            if self._host_time[slot] == self.frame_times[h]:
+                continue
+            need.append((slot, h))
+        if not need:
+            return
+        pcs = np.asarray(self._jit(_all_pair_cam_points, "campts")(
+            self.x.p, self.x.q, self.x.tic[0], self.x.qic[0],
+            jnp.asarray(ft.point), self._pbg))      # (NL, NF, 3)
+        stale = np.zeros(lay.dim, dtype=bool)
+        Jcol = np.abs(np.asarray(self.prior.J)).sum(axis=0)
+        lms = np.array(self.x.landmarks)
+        for slot, h in need:
+            depth = pcs[slot, h, 2]
+            if depth < 0.1:
+                ft.solved[slot] = False
+                self._host_time[slot] = np.nan
+                continue
+            lms[slot, 0] = 1.0 / depth
+            lms[slot, 1:] = 0.0
+            self._host_time[slot] = self.frame_times[h]
+            c = lay.lm_idx(slot)
+            if Jcol[c:c + 3].sum() > 1e-12:
+                stale[c:c + 3] = True
+        self.x = self.x._replace(landmarks=jnp.asarray(lms))
+        if stale.any():
+            H = self.prior.J.T @ self.prior.J
+            g = self.prior.J.T @ self.prior.r0
+            J0, r0 = self._jit(marginalize_dense, "prior_marg")(
+                H, g, jnp.asarray(stale))
+            self.prior = self.prior._replace(
+                J=J0, r0=r0,
+                valid_rows=jnp.ones(lay.dim, dtype=bool))
 
     def _jit_solve(self):
         key = "solve"
@@ -684,19 +828,17 @@ class Estimator:
             cfg = self.cfg
             lay = self.lay
             pbg, g_world = self._pbg, self.g_world
+            vis_batch = self._vis_batch_fn()
 
             R_e = self._R_e
 
-            def eval_fn_factory(prior, pre_stack, pre_valid, f_ids, l_ids,
-                                xy, ovalid, b_pr, b_cp, b_dopp,
-                                mag_f, mag_m, mag_v):
+            def eval_fn_factory(prior, pre_stack, pre_valid, vis,
+                                b_pr, b_cp, b_dopp, mag_f, mag_m, mag_v):
                 def eval_fn(state):
                     batches = [
                         imu_factor_batch(state, pre_stack, pbg, g_world,
                                          pre_valid),
-                        projection_factor_batch(
-                            state, f_ids, jnp.zeros_like(f_ids), l_ids, xy,
-                            ovalid, pbg),
+                        vis_batch(state, vis),
                         spp_pseudorange_batch(state, b_pr, R_e),
                         spp_carrier_phase_batch(state, b_cp, R_e),
                         doppler_batch(state, b_dopp, R_e),
@@ -708,11 +850,11 @@ class Estimator:
                 return eval_fn
 
             @jax.jit
-            def solve(state, prior, free, pre_stack, pre_valid, f_ids, l_ids,
-                      xy, ovalid, b_pr, b_cp, b_dopp, mag_f, mag_m, mag_v):
-                eval_fn = eval_fn_factory(prior, pre_stack, pre_valid, f_ids,
-                                          l_ids, xy, ovalid, b_pr, b_cp,
-                                          b_dopp, mag_f, mag_m, mag_v)
+            def solve(state, prior, free, pre_stack, pre_valid, vis,
+                      b_pr, b_cp, b_dopp, mag_f, mag_m, mag_v):
+                eval_fn = eval_fn_factory(prior, pre_stack, pre_valid, vis,
+                                          b_pr, b_cp, b_dopp, mag_f, mag_m,
+                                          mag_v)
                 # dense path: the marginalization prior couples landmarks,
                 # so the block-diagonal Schur shortcut does not apply here
                 return dogleg_solve(
@@ -735,19 +877,17 @@ class Estimator:
             pbg, g_world = self._pbg, self.g_world
             R_e = self._R_e
             cap = cfg.chain_cap
+            vis_batch = self._vis_batch_fn()
 
             @jax.jit
             def solve(state, hid, st, prior, free, pre_stack, pre_valid,
-                      f_ids, l_ids, xy, ovalid, b_pr, b_cp, b_dopp, mag_f,
-                      mag_m, mag_v):
+                      vis, b_pr, b_cp, b_dopp, mag_f, mag_m, mag_v):
                 def eval_fn(comp):
                     win, h = comp
                     batches = [
                         imu_factor_batch(win, pre_stack, pbg, g_world,
                                          pre_valid),
-                        projection_factor_batch(
-                            win, f_ids, jnp.zeros_like(f_ids), l_ids, xy,
-                            ovalid, pbg),
+                        vis_batch(win, vis),
                         spp_pseudorange_batch(win, b_pr, R_e),
                         spp_carrier_phase_batch(win, b_cp, R_e),
                         doppler_batch(win, b_dopp, R_e),
@@ -782,17 +922,15 @@ class Estimator:
             pbg, g_world = self._pbg, self.g_world
             R_e = self._R_e
             cap = self.cfg.chain_cap
+            vis_batch = self._vis_batch_fn()
 
             @jax.jit
             def marg(state, hid, st, prior, marg_mask, pre_stack,
-                     pre_valid0, f_ids, l_ids, xy, ovalid, b_pr, b_cp,
-                     b_dopp):
+                     pre_valid0, vis, b_pr, b_cp, b_dopp):
                 batches = [
                     imu_factor_batch(state, pre_stack, pbg, g_world,
                                      pre_valid0),
-                    projection_factor_batch(
-                        state, f_ids, jnp.zeros_like(f_ids), l_ids, xy,
-                        ovalid, pbg),
+                    vis_batch(state, vis),
                     spp_pseudorange_batch(state, b_pr, R_e),
                     spp_carrier_phase_batch(state, b_cp, R_e),
                     doppler_batch(state, b_dopp, R_e),
@@ -933,6 +1071,11 @@ class Estimator:
     # marginalization + slide
     # ------------------------------------------------------------------
     def _sync_prior_with_features(self):
+        """Marginalize dead landmark slots OUT of the prior."""
+        self._rehost_invdepth()
+        self._sync_prior_dead_slots()
+
+    def _sync_prior_dead_slots(self):
         """Marginalize dead landmark slots OUT of the prior.
 
         A freed slot can be reused by a new feature; stale prior columns
@@ -972,12 +1115,13 @@ class Estimator:
         if key not in self._jit_cache:
             lay = self.lay
             pbg, g_world = self._pbg, self.g_world
+            vis_batch = self._vis_batch_fn()
 
             R_e = self._R_e
 
             @jax.jit
-            def marg(state, prior, marg_mask, pre_stack, pre_valid0, f_ids,
-                     l_ids, xy, ovalid, b_pr, b_cp, b_dopp):
+            def marg(state, prior, marg_mask, pre_stack, pre_valid0, vis,
+                     b_pr, b_cp, b_dopp):
                 """Marginalize with the Markov blanket of frame 0:
                 prior + IMU(0->1) + frame-0 projections + frame-0 GNSS
                 factors.  ``pre_valid0`` masks every interval except 0; the
@@ -985,9 +1129,7 @@ class Estimator:
                 batches = [
                     imu_factor_batch(state, pre_stack, pbg, g_world,
                                      pre_valid0),
-                    projection_factor_batch(
-                        state, f_ids, jnp.zeros_like(f_ids), l_ids, xy,
-                        ovalid, pbg),
+                    vis_batch(state, vis),
                     spp_pseudorange_batch(state, b_pr, R_e),
                     spp_carrier_phase_batch(state, b_cp, R_e),
                     doppler_batch(state, b_dopp, R_e),
@@ -1015,26 +1157,29 @@ class Estimator:
         cfg, lay, ft = self.cfg, self.lay, self.features
 
         live = ft.active & ft.solved
-        dying = (live & (ft.obs_mask[:, 1:self.frame_count].sum(axis=1) == 0)
-                 & ft.obs_mask[:, 0])
-        lm, fr = np.nonzero(ft.obs_mask & live[:, None])
-        sel = fr == 0
-        nsel = min(int(sel.sum()), cfg.max_obs)
-        cap = cfg.max_obs
-        f_ids = np.zeros(cap, dtype=np.int32)
-        l_ids = np.zeros(cap, dtype=np.int32)
-        xy = np.zeros((cap, 2))
-        valid = np.zeros(cap, dtype=bool)
-        f_ids[:nsel] = 0
-        l_ids[:nsel] = lm[sel][:nsel]
-        xy[:nsel] = ft.obs_xy[lm[sel][:nsel], 0]
-        valid[:nsel] = True
+        # visual rows of the blanket: frame-0 observations (world mode) or
+        # all rows of landmarks hosted at frame 0 (inverse-depth mode —
+        # their inverse depth leaves the problem with its host; survivors
+        # re-host afterwards with a fresh depth, removeBackShiftDepth
+        # semantics, rvi/feature/feature_manager.cpp:362-416)
+        vis = self._vis_inputs()
+        if cfg.use_inverse_depth:
+            hosted0 = live & ft.obs_mask[:, 0]
+            vis = vis[:6] + (vis[6] & (vis[0] == 0),)
+            dying = hosted0
+            lm_cols = 1
+        else:
+            dying = (live
+                     & (ft.obs_mask[:, 1:self.frame_count].sum(axis=1) == 0)
+                     & ft.obs_mask[:, 0])
+            vis = vis[:4] + (vis[4] & (vis[0] == 0),)
+            lm_cols = 3
 
         marg_mask = np.zeros(lay.dim, dtype=bool)
         marg_mask[lay.pose_idx(0):lay.pose_idx(0) + FRAME_DIM] = True
         marg_mask[lay.clk_idx(0):lay.clk_idx(0) + NCLOCK] = True
         for slot in np.flatnonzero(dying):
-            marg_mask[lay.lm_idx(slot):lay.lm_idx(slot) + 3] = True
+            marg_mask[lay.lm_idx(slot):lay.lm_idx(slot) + lm_cols] = True
 
         pre_stack = _stack_pre([
             self.pre[k] if self.pre[k] is not None else self._dummy_pre()
@@ -1048,28 +1193,26 @@ class Estimator:
             # with it (their left endpoint leaves the problem), then die —
             # the reference folds the IMUGNSS factor of the departing
             # keyframe the same way (GlobalMarge blanket)
-            lm = np.array([c.left == 0 for c in self.chains], dtype=bool)
-            hid, st = self._chain_inputs(left_mask=lm)
+            cl = np.array([c.left == 0 for c in self.chains], dtype=bool)
+            hid, st = self._chain_inputs(left_mask=cl)
             J0, r0 = self._jit_marg_chains()(
                 self.x, hid, st, self.prior, jnp.asarray(marg_mask),
-                pre_stack, pre_valid0, jnp.asarray(f_ids),
-                jnp.asarray(l_ids), jnp.asarray(xy), jnp.asarray(valid),
+                pre_stack, pre_valid0, vis,
                 only0(b_pr), only0(b_cp), only0(b_dopp))
-            dying = [c for c in self.chains if c.left == 0]
-            for c in dying:
+            dead_chains = [c for c in self.chains if c.left == 0]
+            for c in dead_chains:
                 if self.gnss is not None and len(c.pinned_slots):
                     self.gnss.bias.unpin(c.pinned_slots)
             self.chains = [c for c in self.chains if c.left != 0]
-            self._chain_stats["died"] += len(dying)
+            self._chain_stats["died"] += len(dead_chains)
         else:
             J0, r0 = self._jit_marg()(
                 self.x, self.prior, jnp.asarray(marg_mask), pre_stack,
-                pre_valid0, jnp.asarray(f_ids), jnp.asarray(l_ids),
-                jnp.asarray(xy), jnp.asarray(valid), only0(b_pr),
-                only0(b_cp), only0(b_dopp))
+                pre_valid0, vis, only0(b_pr), only0(b_cp), only0(b_dopp))
         self.prior = MargPrior(J=J0, r0=r0, x0=self.x,
                                valid_rows=jnp.ones(lay.dim, dtype=bool))
         self._shift_window(0)
+        self._rehost_invdepth()
 
     def _drop_second_newest(self):
         """MargImagSecondNew flow: discard the frame's observations, merge

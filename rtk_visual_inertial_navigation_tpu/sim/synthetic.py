@@ -61,6 +61,9 @@ class SimConfig:
     r_ic: np.ndarray = field(default_factory=lambda: np.array(
         [[0.0, 0.0, 1.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]))
     t_ic: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    # optional right camera (stereo): same rotation, baseline along cam x
+    stereo: bool = False
+    baseline: float = 0.12
 
 
 @dataclass
@@ -102,6 +105,9 @@ class SimData:
     ch_sat: Optional[np.ndarray] = None   # (C,) satellite id per channel
     ch_sys: Optional[np.ndarray] = None   # (C,) system per channel
     ch_freq: Optional[np.ndarray] = None  # (C,) frequency per channel
+    # right camera (stereo) observations
+    obs_xy_r: np.ndarray = None
+    obs_valid_r: np.ndarray = None
 
 
 def _envelope(t, t0=1.0, ramp=3.0):
@@ -236,6 +242,10 @@ def simulate(cfg: SimConfig) -> SimData:
 
     obs_xy = np.zeros((F, cfg.n_landmarks, 2))
     obs_valid = np.zeros((F, cfg.n_landmarks), dtype=bool)
+    obs_xy_r = np.zeros((F, cfg.n_landmarks, 2))
+    obs_valid_r = np.zeros((F, cfg.n_landmarks), dtype=bool)
+    # right camera: same rotation, displaced by the baseline along cam x
+    t_ic2 = cfg.t_ic + cfg.baseline * cfg.r_ic[:, 0]
     for fi, ni in enumerate(cam_idx):
         p_body = np.einsum("ji,lj->li", R[ni], landmarks - p[ni])
         pc = np.einsum("ji,lj->li", cfg.r_ic, p_body - cfg.t_ic)
@@ -246,6 +256,16 @@ def simulate(cfg: SimConfig) -> SimData:
             xy = xy + rng.normal(0, cfg.pix_noise, xy.shape)
         obs_xy[fi] = xy
         obs_valid[fi] = infov
+        if cfg.stereo:
+            pc2 = np.einsum("ji,lj->li", cfg.r_ic, p_body - t_ic2)
+            zok2 = pc2[:, 2] > 1.0
+            xy2 = pc2[:, :2] / np.maximum(pc2[:, 2:3], 1e-6)
+            infov2 = (zok2 & (np.abs(xy2[:, 0]) < 1.2)
+                      & (np.abs(xy2[:, 1]) < 0.9))
+            if cfg.pix_noise > 0:
+                xy2 = xy2 + rng.normal(0, cfg.pix_noise, xy2.shape)
+            obs_xy_r[fi] = xy2
+            obs_valid_r[fi] = infov2
 
     # ---- GNSS ----
     anchor_ecef = np.asarray(earth.geodetic_to_ecef(
@@ -332,6 +352,7 @@ def simulate(cfg: SimConfig) -> SimData:
         cfg=cfg, imu_t=t, acc=acc, gyr=gyr, mag=mag, p=p, q=q, v=v,
         cam_t=cam_t, cam_idx=cam_idx, landmarks=landmarks,
         obs_xy=obs_xy, obs_valid=obs_valid,
+        obs_xy_r=obs_xy_r, obs_valid_r=obs_valid_r,
         gnss_t=gnss_t, gnss_idx=gnss_idx, sat_pos=sat_pos, sat_vel=sat_vel,
         pr=pr, cp_cycles=cp_cycles, dopp=dopp, rtk_pr=rtk_pr, rtk_cp=rtk_cp,
         ambiguities=ambiguities, rtk_ambiguities=rtk_ambiguities,

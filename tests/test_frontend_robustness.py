@@ -1,0 +1,117 @@
+"""Frontend robustness units: essential-matrix RANSAC gate, IMU-predicted
+LK initial guess, PnP pose bootstrap."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtk_visual_inertial_navigation_tpu.frontend.pnp import pnp_pose
+from rtk_visual_inertial_navigation_tpu.frontend.tracker import (
+    build_pyramid, lk_track, ransac_essential)
+from rtk_visual_inertial_navigation_tpu.ops import lie
+
+
+def _two_view(rng, n=60):
+    """Consistent two-view unit-plane correspondences."""
+    pts = rng.uniform(-2, 2, size=(n, 3))
+    pts[:, 2] = rng.uniform(4, 8, size=n)
+    ang = rng.normal(size=3) * 0.05
+    q = lie.quat_exp(jnp.asarray(ang))
+    R = np.asarray(lie.quat_to_rot(q))
+    t = rng.normal(size=3) * 0.3
+    xy0 = pts[:, :2] / pts[:, 2:]
+    p1 = (pts - t) @ R           # world -> cam1 (R: cam1->world)
+    xy1 = p1[:, :2] / p1[:, 2:]
+    return xy0, xy1
+
+
+def test_ransac_essential_rejects_planted_outliers():
+    rng = np.random.default_rng(0)
+    xy0, xy1 = _two_view(rng)
+    n = len(xy0)
+    bad = np.zeros(n, dtype=bool)
+    bad[rng.choice(n, size=12, replace=False)] = True
+    xy1_c = xy1.copy()
+    xy1_c[bad] += rng.uniform(0.05, 0.2, size=(12, 2)) \
+        * rng.choice([-1, 1], size=(12, 2))
+    inl, ok = jax.jit(ransac_essential)(
+        jnp.asarray(xy0), jnp.asarray(xy1_c), jnp.ones(n, dtype=bool))
+    inl = np.asarray(inl)
+    assert bool(ok)
+    # every kept point is a true inlier; most true inliers survive
+    assert not np.any(inl & bad), "outliers survived the gate"
+    assert inl[~bad].sum() >= 0.85 * (~bad).sum()
+
+
+def test_ransac_disabled_below_minimal_set():
+    rng = np.random.default_rng(1)
+    xy0, xy1 = _two_view(rng, n=10)
+    valid = np.zeros(10, dtype=bool)
+    valid[:5] = True
+    inl, ok = ransac_essential(jnp.asarray(xy0), jnp.asarray(xy1),
+                               jnp.asarray(valid))
+    assert not bool(ok)
+    np.testing.assert_array_equal(np.asarray(inl), valid)
+
+
+def _smooth_image(rng, h=96, w=128):
+    img = rng.normal(size=(h, w))
+    for _ in range(4):
+        img = 0.25 * (np.roll(img, 1, 0) + np.roll(img, -1, 0)
+                      + np.roll(img, 1, 1) + np.roll(img, -1, 1))
+    return (img - img.min()) / (img.max() - img.min()) * 255.0
+
+
+def test_lk_guess_enables_large_motion():
+    rng = np.random.default_rng(2)
+    img0 = _smooth_image(rng)
+    shift = np.array([21.0, 13.0])        # beyond the pyramid search range
+    yy, xx = np.mgrid[0:96, 0:128].astype(float)
+    from scipy import ndimage as ni
+    img1 = ni.map_coordinates(img0, [yy + shift[1], xx + shift[0]], order=1,
+                              mode="nearest")
+    pyr0 = build_pyramid(jnp.asarray(img0, jnp.float32), 3)
+    pyr1 = build_pyramid(jnp.asarray(img1, jnp.float32), 3)
+    pts = np.array([[40.0, 40.0], [70.0, 50.0], [90.0, 30.0]])
+    valid = jnp.ones(3, dtype=bool)
+    true_new = pts - shift
+
+    guess = jnp.asarray(true_new + rng.normal(size=(3, 2)) * 1.0)
+    with_guess, ok_g = lk_track(pyr0, pyr1, jnp.asarray(pts), valid,
+                                win=9, iters=15, guess=guess)
+    err_g = np.linalg.norm(np.asarray(with_guess) - true_new, axis=-1)
+    assert np.asarray(ok_g).all()
+    assert err_g.max() < 0.5, err_g
+
+    no_guess, ok_n = lk_track(pyr0, pyr1, jnp.asarray(pts), valid,
+                              win=9, iters=15)
+    err_n = np.linalg.norm(np.asarray(no_guess) - true_new, axis=-1)
+    assert err_n.max() > 2.0, "shift should exceed unguided LK range"
+
+
+def test_pnp_recovers_pose():
+    rng = np.random.default_rng(3)
+    n = 40
+    lms = rng.uniform(-3, 3, size=(n, 3))
+    lms[:, 2] += 8.0
+    p_true = np.array([0.4, -0.2, 0.1])
+    q_true = np.asarray(lie.quat_exp(jnp.asarray([0.05, -0.08, 0.12])))
+    tic = jnp.zeros(3)
+    qic = lie.quat_identity()
+    pbg = jnp.zeros(3)
+    from rtk_visual_inertial_navigation_tpu.factors.visual import (
+        project_world_point)
+    pc = jax.vmap(lambda l: project_world_point(
+        jnp.asarray(p_true), jnp.asarray(q_true), tic, qic, l, pbg))(
+        jnp.asarray(lms))
+    xy = np.asarray(pc[:, :2] / pc[:, 2:])
+    # plant outliers
+    xy_c = xy.copy()
+    xy_c[:5] += 0.1
+    p, q, ok = jax.jit(pnp_pose)(
+        jnp.asarray(lms), jnp.asarray(xy_c), jnp.ones(n, dtype=bool),
+        jnp.zeros(3), lie.quat_identity(), tic, qic, pbg)
+    assert bool(ok)
+    assert np.linalg.norm(np.asarray(p) - p_true) < 1e-3, p
+    dq = np.asarray(lie.quat_boxminus(q, jnp.asarray(q_true)))
+    assert np.linalg.norm(dq) < 1e-3, dq

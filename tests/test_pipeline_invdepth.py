@@ -1,0 +1,89 @@
+"""Inverse-depth parameterization (USE_INVERSE_DEPTH=1) and stereo
+(USE_STEREO) pipeline modes on the VI golden trajectory — must match the
+world-point mode's accuracy on noiseless data."""
+
+import numpy as np
+import pytest
+
+from rtk_visual_inertial_navigation_tpu.sim import SimConfig, simulate
+
+from test_pipeline_vi import cfg_for, replay
+
+
+@pytest.fixture(scope="module")
+def sim():
+    return simulate(SimConfig(duration=10.0, imu_rate=200.0, cam_rate=4.0,
+                              n_landmarks=60, seed=0, stereo=True))
+
+
+def replay_stereo(sim, cfg):
+    from rtk_visual_inertial_navigation_tpu.pipeline import Estimator
+    est = Estimator(cfg)
+    cam_ptr = 0
+    ids = np.arange(sim.landmarks.shape[0])
+    for i, t in enumerate(sim.imu_t):
+        est.process_imu(t, sim.acc[i], sim.gyr[i])
+        if cam_ptr < len(sim.cam_idx) and sim.cam_idx[cam_ptr] == i:
+            vis = sim.obs_valid[cam_ptr]
+            vis_r = sim.obs_valid_r[cam_ptr]
+            est.process_image(t, ids[vis], sim.obs_xy[cam_ptr][vis],
+                              ids[vis_r], sim.obs_xy_r[cam_ptr][vis_r])
+            cam_ptr += 1
+    return est
+
+
+def _ate(est, sim):
+    errs = []
+    for (t, p, q, v) in est.trajectory:
+        i = np.argmin(np.abs(sim.imu_t - t))
+        errs.append(np.linalg.norm(p - sim.p[i]))
+    return np.asarray(errs)
+
+
+def test_invdepth_vi_golden(sim):
+    cfg = cfg_for(sim, nf=8, nl=48, nb=1, max_obs=320,
+                  imu_capacity=64, average_imu=40, use_inverse_depth=True)
+    est = replay(sim, cfg)
+    assert est.initialized
+    errs = _ate(est, sim)
+    assert errs[-1] < 0.05, f"final ATE {errs[-1]:.4f} m"
+    assert errs.max() < 0.10, f"max ATE {errs.max():.4f} m"
+    # inverse depths must be consistent with true landmark depths for
+    # currently-hosted landmarks
+    ft = est.features
+    lms = np.asarray(est.x.landmarks)
+    checked = 0
+    for slot in np.flatnonzero(ft.active & ft.solved):
+        fid = ft.feature_id[slot]
+        w_true = sim.landmarks[fid]
+        w_est = ft.point[slot]
+        if np.linalg.norm(w_est - w_true) < 0.2:
+            checked += 1
+    assert checked >= 10, f"only {checked} landmarks near truth"
+
+
+def test_stereo_world_point_mode(sim):
+    """World-point + stereo: right-camera rows through the second
+    extrinsic."""
+    cfg = cfg_for(sim, nf=8, nl=48, nb=1, max_obs=448,
+                  imu_capacity=64, average_imu=40, use_stereo=True)
+    # second extrinsic: baseline along cam x
+    t2 = sim.cfg.t_ic + sim.cfg.baseline * sim.cfg.r_ic[:, 0]
+    cfg.tic[1] = t2
+    est = replay_stereo(sim, cfg)
+    errs = _ate(est, sim)
+    assert errs[-1] < 0.05, f"final ATE {errs[-1]:.4f} m"
+    assert errs.max() < 0.10, f"max ATE {errs.max():.4f} m"
+
+
+def test_stereo_invdepth_mode(sim):
+    """Inverse-depth + stereo: same-frame and cross-frame cam1 rows."""
+    cfg = cfg_for(sim, nf=8, nl=48, nb=1, max_obs=448,
+                  imu_capacity=64, average_imu=40, use_stereo=True,
+                  use_inverse_depth=True)
+    t2 = sim.cfg.t_ic + sim.cfg.baseline * sim.cfg.r_ic[:, 0]
+    cfg.tic[1] = t2
+    est = replay_stereo(sim, cfg)
+    errs = _ate(est, sim)
+    assert errs[-1] < 0.06, f"final ATE {errs[-1]:.4f} m"
+    assert errs.max() < 0.12, f"max ATE {errs.max():.4f} m"

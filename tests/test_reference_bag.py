@@ -1,0 +1,198 @@
+"""Reference-bag ingestion round-trip: synthesize a rosbag 2.0 file with the
+reference's four topics (raw mea_t GNSS blobs included) and parse it back."""
+
+import struct
+
+import numpy as np
+
+from rtk_visual_inertial_navigation_tpu.geodesy.earth import WAVELENGTHS
+from rtk_visual_inertial_navigation_tpu.io.reference_bag import (
+    MEA_DTYPE, OBS_DTYPE, decode_mea_blob, iter_bag_events, mea_to_epoch,
+    parse_feature_cloud, parse_imu, read_bag)
+
+
+# ---------------------------------------------------------------------------
+# rosbag writer (test-only)
+# ---------------------------------------------------------------------------
+def _field(name: str, value: bytes) -> bytes:
+    f = name.encode() + b"=" + value
+    return struct.pack("<I", len(f)) + f
+
+
+def _record(fields: dict, data: bytes) -> bytes:
+    hdr = b"".join(_field(k, v) for k, v in fields.items())
+    return (struct.pack("<I", len(hdr)) + hdr
+            + struct.pack("<I", len(data)) + data)
+
+
+def _time(t: float) -> bytes:
+    sec = int(t)
+    nsec = int(round((t - sec) * 1e9))
+    return struct.pack("<II", sec, nsec)
+
+
+def _string(s: str) -> bytes:
+    b = s.encode()
+    return struct.pack("<I", len(b)) + b
+
+
+def _header_msg(t: float) -> bytes:
+    return struct.pack("<I", 0) + _time(t) + _string("body")
+
+
+def _imu_msg(t, acc, gyr) -> bytes:
+    out = _header_msg(t)
+    out += np.zeros(4).tobytes() + np.zeros(9).tobytes()
+    out += np.asarray(gyr, float).tobytes() + np.zeros(9).tobytes()
+    out += np.asarray(acc, float).tobytes() + np.zeros(9).tobytes()
+    return out
+
+
+def _feature_msg(t, ids, xy, uv, vel) -> bytes:
+    n = len(ids)
+    out = _header_msg(t)
+    pts = np.c_[xy, np.ones(n)].astype(np.float32)
+    out += struct.pack("<I", n) + pts.tobytes()
+    chans = [np.asarray(ids, np.float32),
+             np.zeros(n, np.float32),            # cam
+             np.asarray(uv[:, 0], np.float32),
+             np.asarray(uv[:, 1], np.float32),
+             np.asarray(vel[:, 0], np.float32),
+             np.asarray(vel[:, 1], np.float32)]
+    out += struct.pack("<I", len(chans))
+    for k, c in enumerate(chans):
+        out += _string(f"c{k}") + struct.pack("<I", n) + c.tobytes()
+    return out
+
+
+def _byte_multi_array(payload: bytes) -> bytes:
+    out = struct.pack("<I", 0)          # no dims
+    out += struct.pack("<I", 0)         # data_offset
+    out += struct.pack("<I", len(payload)) + payload
+    return out
+
+
+def _make_mea(t: float, n_sats: int, rng) -> bytes:
+    rec = np.zeros(1, dtype=MEA_DTYPE)
+    rec["obs_count"] = n_sats
+    rec["ros_time"] = t
+    rec["base_xyz"] = [1.0, 2.0, 3.0]
+    rec["br_time_diff"] = 0.5
+    obs = rec["obs"][0]
+    for i in range(n_sats):
+        obs[i]["sat"] = 10 + i
+        obs[i]["sys"] = i % 3
+        obs[i]["svh"] = 0
+        obs[i]["spp_p"] = [2.0e7 + 100.0 * i, 0.0]
+        obs[i]["spp_l"] = [1.05e8 + 7.0 * i, 0.0]
+        obs[i]["spp_d"] = [100.0 + i, 0.0]
+        obs[i]["spp_pstd"] = [0.5, 0]
+        obs[i]["spp_lstd"] = [0.01, 0]
+        obs[i]["spp_dstd"] = [0.1, 0]
+        obs[i]["rtk_p"] = [5.0 + i, 0]
+        obs[i]["rtk_l"] = [40.0 + i, 0]
+        obs[i]["sat_pos"] = rng.normal(size=3) * 2e7
+        obs[i]["sat_vel"] = rng.normal(size=3) * 3e3
+        obs[i]["el"] = 1.0
+        obs[i]["ion_var"] = 0.3
+        obs[i]["trop_var"] = 0.2
+        obs[i]["sat_var"] = 0.1
+        obs[i]["rtk_slip"] = [3, 0]
+    return rec.tobytes()
+
+
+def _write_bag(path, use_bz2=False):
+    rng = np.random.default_rng(0)
+    conns = {
+        0: ("/imu", "sensor_msgs/Imu"),
+        1: ("/feature", "sensor_msgs/PointCloud"),
+        2: ("/gnss", "std_msgs/ByteMultiArray"),
+    }
+    inner = b""
+    for cid, (topic, mtype) in conns.items():
+        sub = (_field("topic", topic.encode())
+               + _field("type", mtype.encode())
+               + _field("md5sum", b"x") + _field("message_definition", b""))
+        inner += _record({"op": b"\x07", "conn": struct.pack("<I", cid),
+                          "topic": topic.encode()}, sub)
+
+    msgs = []
+    msgs.append((0, 1.00, _imu_msg(1.00, [0.1, 0.2, 9.8], [0.01, 0, 0])))
+    msgs.append((2, 1.01, _byte_multi_array(_make_mea(1.01, 5, rng))))
+    ids = np.arange(4)
+    xy = rng.normal(size=(4, 2)) * 0.3
+    uv = rng.uniform(0, 400, size=(4, 2))
+    vel = rng.normal(size=(4, 2))
+    msgs.append((1, 1.02, _feature_msg(1.02, ids, xy, uv, vel)))
+    # a second GNSS epoch with a slip on sat 10
+    blob2 = bytearray(_make_mea(1.11, 5, rng))
+    rec2 = np.frombuffer(bytes(blob2), dtype=MEA_DTYPE).copy()
+    rec2["obs"][0][0]["rtk_slip"] = [4, 0]      # counter changed -> slip
+    rec2["ros_time"] = 1.11
+    msgs.append((2, 1.11, _byte_multi_array(rec2.tobytes())))
+
+    for cid, t, body in msgs:
+        inner += _record({"op": b"\x02", "conn": struct.pack("<I", cid),
+                          "time": _time(t)}, body)
+
+    if use_bz2:
+        import bz2 as _bz2
+        chunk = _record({"op": b"\x05", "compression": b"bz2",
+                         "size": struct.pack("<I", len(inner))},
+                        _bz2.compress(inner))
+    else:
+        chunk = _record({"op": b"\x05", "compression": b"none",
+                         "size": struct.pack("<I", len(inner))}, inner)
+
+    bag_hdr = _record({"op": b"\x03",
+                       "index_pos": struct.pack("<Q", 0),
+                       "conn_count": struct.pack("<I", len(conns)),
+                       "chunk_count": struct.pack("<I", 1)},
+                      b" " * 128)
+    with open(path, "wb") as f:
+        f.write(b"#ROSBAG V2.0\n" + bag_hdr + chunk)
+    return xy
+
+
+def test_mea_struct_layout():
+    assert OBS_DTYPE.itemsize == 320
+    assert MEA_DTYPE.itemsize == 16 + 64 * 320 + 24 + 16 + 8
+
+
+def test_bag_roundtrip(tmp_path):
+    for use_bz2 in (False, True):
+        path = tmp_path / f"t_{use_bz2}.bag"
+        xy_true = _write_bag(path, use_bz2)
+        events = list(iter_bag_events(str(path)))
+        kinds = [e[0] for e in events]
+        assert kinds == ["imu", "gnss", "features", "gnss"]
+
+        _, t, (acc, gyr) = events[0]
+        assert abs(t - 1.0) < 1e-6
+        np.testing.assert_allclose(acc, [0.1, 0.2, 9.8])
+        np.testing.assert_allclose(gyr, [0.01, 0, 0])
+
+        _, t, ep = events[1]
+        assert abs(ep.t - 1.01) < 1e-9
+        assert len(ep.sat_id) == 5          # single-freq rows
+        assert ep.sat_id[0] == 10
+        np.testing.assert_allclose(ep.pr[0], 2.0e7)
+        np.testing.assert_allclose(ep.rtk_pr[0], 5.0)
+        # doppler sign/scale: z = −D·λ
+        lam = float(WAVELENGTHS[ep.sys[0], 0])
+        np.testing.assert_allclose(ep.dopp[0], -100.0 * lam)
+        assert not ep.slip.any()            # first epoch: no baseline yet
+        np.testing.assert_allclose(ep.ion_var, 0.3)
+
+        _, t, (ids, cams, xy, uv, vel) = events[2]
+        np.testing.assert_allclose(xy, xy_true, atol=1e-6)
+        assert (cams == 0).all()
+
+        _, t, ep2 = events[3]
+        assert ep2.slip[0] and not ep2.slip[1:].any()
+
+
+def test_short_blob_zero_pads():
+    rec = decode_mea_blob(b"\x02\x00\x00\x00")
+    assert int(rec["obs_count"]) == 2
+    assert float(rec["ros_time"]) == 0.0
