@@ -1,2 +1,4 @@
 from .problems import VIWindowProblem, make_synthetic_windows  # noqa: F401
 from .mesh import batched_vi_solve, sharded_vi_solve  # noqa: F401
+from .multihost import (global_mesh, distribute_local_problems,  # noqa: F401
+                        initialize_from_env, multihost_vi_solve)

@@ -1,0 +1,88 @@
+"""Multi-host (DCN) batched multi-sequence replay.
+
+The reference is a single process (SURVEY.md §2.12); scaling beyond one host
+is pure data parallelism over independent sequences/windows (§5.8): each
+host feeds its local shard of the window batch, the global mesh lays the
+``dp`` axis across hosts (DCN) and keeps ``fp`` (factor-parallel Schur
+reduction, psum) inside each host's ICI domain.  XLA routes the same
+collectives over ICI or DCN as the mesh dictates — no NCCL/MPI analog.
+
+All entry points degrade gracefully to single-process (tests run on a
+virtual 8-device CPU mesh; real pods initialize via jax.distributed from
+standard cluster env vars).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.state import TangentLayout
+from ..solver import DoglegConfig
+from .mesh import sharded_vi_solve
+from .problems import VIWindowProblem
+
+
+def initialize_from_env() -> bool:
+    """Initialize jax.distributed when cluster env vars are present
+    (JAX_COORDINATOR_ADDRESS / standard TPU pod metadata).  Returns True
+    when a multi-process runtime was initialized."""
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr is None:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+        process_id=int(os.environ.get("JAX_PROCESS_ID", "0")))
+    return True
+
+
+def global_mesh(fp: int = 1, devices=None) -> Mesh:
+    """Build a ("dp", "fp") mesh over all global devices.
+
+    ``fp`` devices per factor-parallel group are taken from adjacent
+    devices (same host on pods — ICI for the psum); the remaining axis is
+    data parallel, spanning hosts over DCN.
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n % fp != 0:
+        raise ValueError(f"{n} devices not divisible by fp={fp}")
+    arr = np.asarray(devices).reshape(n // fp, fp)
+    return Mesh(arr, ("dp", "fp"))
+
+
+def distribute_local_problems(mesh: Mesh, probs_local: VIWindowProblem
+                              ) -> VIWindowProblem:
+    """Turn each process's local window batch into global sharded arrays.
+
+    Every process passes its own ``probs_local`` (batch = global_batch /
+    num_processes); the result is a global jax.Array sharded over ``dp``
+    (and ``fp`` for the observation axis) that sharded_vi_solve consumes
+    directly.  Single-process: a plain device_put with the same sharding.
+    """
+    batch_spec = P("dp")
+    obs_spec = P("dp", "fp")
+    specs = jax.tree.map(lambda _: batch_spec, probs_local)
+    specs = specs._replace(f_ids=obs_spec, l_ids=obs_spec, obs_xy=obs_spec,
+                           obs_valid=obs_spec)
+
+    nproc = jax.process_count()
+
+    def place(x, spec):
+        sh = NamedSharding(mesh, spec)
+        if nproc == 1:
+            return jax.device_put(x, sh)
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    return jax.tree.map(place, probs_local, specs)
+
+
+def multihost_vi_solve(mesh: Mesh, probs_global: VIWindowProblem,
+                       lay: TangentLayout, cfg: DoglegConfig):
+    """Jitted dp(DCN)×fp(ICI) solve over globally-sharded problems."""
+    return jax.jit(
+        lambda p: sharded_vi_solve(mesh, p, lay, cfg))(probs_global)

@@ -48,3 +48,29 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*args)
     assert np.all(np.isfinite(np.asarray(out)))
     ge.dryrun_multichip(8)
+
+
+def test_multihost_layer_single_process():
+    """Global-mesh construction + process-local distribution + jitted
+    dp×fp solve must match the plain batched solve (single-process path of
+    the multi-host replay, SURVEY.md §5.8)."""
+    from rtk_visual_inertial_navigation_tpu.parallel import (
+        distribute_local_problems, global_mesh, multihost_vi_solve)
+    mesh = global_mesh(fp=2)
+    assert mesh.shape["dp"] == 4 and mesh.shape["fp"] == 2
+    B = 8
+    probs = make_synthetic_windows(jax.random.PRNGKey(3), B, NF, NL, NOBS,
+                                   NSAMP)
+    placed = distribute_local_problems(mesh, probs)
+    # sharding committed over dp
+    assert placed.state0.p.sharding.spec[0] == "dp"
+    s1, c1, _ = jax.jit(lambda p: batched_vi_solve(p, LAY, CFG))(probs)
+    s2, c2, _ = multihost_vi_solve(mesh, placed, LAY, CFG)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c1), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(s2.p), np.asarray(s1.p), atol=1e-8)
+
+
+def test_initialize_from_env_noop():
+    from rtk_visual_inertial_navigation_tpu.parallel import (
+        initialize_from_env)
+    assert initialize_from_env() is False
