@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import EstimatorConfig
-from ..core.state import (FRAME_DIM, NCLOCK, TangentLayout,
+from ..core.state import (FRAME_DIM, NCLOCK, POSE_DIM, TangentLayout,
                           WindowState, retract_window)
 from ..factors.gnss import (GnssObsBatch, doppler_batch,
                             spp_carrier_phase_batch, spp_pseudorange_batch)
@@ -822,6 +822,26 @@ class Estimator:
                 J=J0, r0=r0,
                 valid_rows=jnp.ones(lay.dim, dtype=bool))
 
+    def _dogleg_cfg(self) -> DoglegConfig:
+        """Solver config for the pipeline solves.
+
+        World-point mode uses the DENSE_SCHUR group-0 fast path: the prior
+        never couples landmarks (see _marginalize_oldest), so the landmark
+        block is 3x3-block-diagonal by construction.  Inverse-depth mode
+        stays dense (rows hosted off the marginalized frame leave prior
+        coupling on surviving inverse depths).  VI-only additionally compiles
+        the structurally-empty clock/phase-bias slots out of the reduced
+        Cholesky.
+        """
+        cfg = self.cfg
+        schur_nl = 0 if cfg.use_inverse_depth else cfg.nl
+        keep = ()
+        if schur_nl and not cfg.use_gnss:
+            keep = tuple(range(FRAME_DIM * cfg.nf + POSE_DIM * 2 + 3))
+        return DoglegConfig(max_iters=cfg.max_iters,
+                            initial_radius=cfg.init_trust_radius,
+                            schur_nl=schur_nl, reduced_keep=keep)
+
     def _jit_solve(self):
         key = "solve"
         if key not in self._jit_cache:
@@ -829,6 +849,7 @@ class Estimator:
             lay = self.lay
             pbg, g_world = self._pbg, self.g_world
             vis_batch = self._vis_batch_fn()
+            dl_cfg = self._dogleg_cfg()
 
             R_e = self._R_e
 
@@ -855,12 +876,8 @@ class Estimator:
                 eval_fn = eval_fn_factory(prior, pre_stack, pre_valid, vis,
                                           b_pr, b_cp, b_dopp, mag_f, mag_m,
                                           mag_v)
-                # dense path: the marginalization prior couples landmarks,
-                # so the block-diagonal Schur shortcut does not apply here
-                return dogleg_solve(
-                    eval_fn, retract_window, state, free,
-                    DoglegConfig(max_iters=cfg.max_iters,
-                                 initial_radius=cfg.init_trust_radius))
+                return dogleg_solve(eval_fn, retract_window, state, free,
+                                    dl_cfg)
 
             self._jit_cache[key] = solve
         return self._jit_cache[key]
@@ -878,6 +895,7 @@ class Estimator:
             R_e = self._R_e
             cap = cfg.chain_cap
             vis_batch = self._vis_batch_fn()
+            dl_cfg = self._dogleg_cfg()
 
             @jax.jit
             def solve(state, hid, st, prior, free, pre_stack, pre_valid,
@@ -907,10 +925,8 @@ class Estimator:
                                        g_world, cap)
                     return (retract_window(win, dx), h2)
 
-                return dogleg_solve(
-                    eval_fn, retract_fn, (state, hid), free,
-                    DoglegConfig(max_iters=cfg.max_iters,
-                                 initial_radius=cfg.init_trust_radius))
+                return dogleg_solve(eval_fn, retract_fn, (state, hid), free,
+                                    dl_cfg)
 
             self._jit_cache[key] = solve
         return self._jit_cache[key]
@@ -926,7 +942,8 @@ class Estimator:
 
             @jax.jit
             def marg(state, hid, st, prior, marg_mask, pre_stack,
-                     pre_valid0, vis, b_pr, b_cp, b_dopp):
+                     pre_valid0, vis, b_pr, b_cp, b_dopp,
+                     mag_f, mag_m, mag_v):
                 batches = [
                     imu_factor_batch(state, pre_stack, pbg, g_world,
                                      pre_valid0),
@@ -934,6 +951,7 @@ class Estimator:
                     spp_pseudorange_batch(state, b_pr, R_e),
                     spp_carrier_phase_batch(state, b_cp, R_e),
                     doppler_batch(state, b_dopp, R_e),
+                    mag_factor_batch(state, mag_f, mag_m, mag_v),
                 ]
                 H, g, cost = assemble(batches, lay.dim)
                 Hb, gb, gidx, _ = chain_contrib(
@@ -1121,11 +1139,12 @@ class Estimator:
 
             @jax.jit
             def marg(state, prior, marg_mask, pre_stack, pre_valid0, vis,
-                     b_pr, b_cp, b_dopp):
+                     b_pr, b_cp, b_dopp, mag_f, mag_m, mag_v):
                 """Marginalize with the Markov blanket of frame 0:
-                prior + IMU(0->1) + frame-0 projections + frame-0 GNSS
-                factors.  ``pre_valid0`` masks every interval except 0; the
-                GNSS batches arrive with validity restricted to frame 0."""
+                prior + IMU(0->1) + dying-landmark projections + frame-0
+                GNSS + frame-0 mag factors.  ``pre_valid0`` masks every
+                interval except 0; the GNSS/mag batches arrive with validity
+                restricted to frame 0."""
                 batches = [
                     imu_factor_batch(state, pre_stack, pbg, g_world,
                                      pre_valid0),
@@ -1133,6 +1152,7 @@ class Estimator:
                     spp_pseudorange_batch(state, b_pr, R_e),
                     spp_carrier_phase_batch(state, b_cp, R_e),
                     doppler_batch(state, b_dopp, R_e),
+                    mag_factor_batch(state, mag_f, mag_m, mag_v),
                 ]
                 H, g, cost = assemble(batches, lay.dim)
                 Hp, gp, _ = prior.hessian_contrib(state)
@@ -1144,24 +1164,24 @@ class Estimator:
     def _marginalize_oldest(self):
         """MargImagOld flow (rvi/swf/swf.cpp:535-651 + GlobalMarge).
 
-        Full-information variant: the Markov blanket includes ALL frame-0
-        projection factors, so the resulting prior couples surviving
-        landmarks (like the reference's GlobalMarge prior over the blanket).
-        The pipeline therefore solves with the dense path (the prior's
-        landmark-landmark coupling breaks the 3x3-block-diagonal assumption
-        of the Schur group-0 elimination; the reference handles this by
-        ordering prior-connected features OUT of group 0 — a fixed-budget
-        version of that is a planned optimization).  Landmarks dying with
-        frame 0 are marginalized out entirely.
+        Reference semantics (rvi/swf/swf.cpp:310-325): EVERY feature observed
+        at the departing oldest frame (start_frame == 0) is marginalized out
+        with it — all of its observation rows are consumed into the prior and
+        its landmark state leaves the problem; the track itself survives and
+        re-triangulates from future observations (is_in_optimize flags keep
+        consumed rows out of the problem, swf_image.cpp:75-78).  The payoff:
+        the prior NEVER couples surviving landmarks, so the landmark block
+        stays 3x3-block-diagonal and every pipeline solve can use the
+        DENSE_SCHUR group-0 fast path.
         """
         cfg, lay, ft = self.cfg, self.lay, self.features
 
         live = ft.active & ft.solved
-        # visual rows of the blanket: frame-0 observations (world mode) or
-        # all rows of landmarks hosted at frame 0 (inverse-depth mode —
-        # their inverse depth leaves the problem with its host; survivors
-        # re-host afterwards with a fresh depth, removeBackShiftDepth
-        # semantics, rvi/feature/feature_manager.cpp:362-416)
+        # visual rows of the blanket: all rows of dying landmarks (world
+        # mode) or all rows of landmarks hosted at frame 0 (inverse-depth
+        # mode — their inverse depth leaves the problem with its host;
+        # survivors re-host afterwards with a fresh depth,
+        # removeBackShiftDepth semantics, feature_manager.cpp:362-416)
         vis = self._vis_inputs()
         if cfg.use_inverse_depth:
             hosted0 = live & ft.obs_mask[:, 0]
@@ -1169,10 +1189,8 @@ class Estimator:
             dying = hosted0
             lm_cols = 1
         else:
-            dying = (live
-                     & (ft.obs_mask[:, 1:self.frame_count].sum(axis=1) == 0)
-                     & ft.obs_mask[:, 0])
-            vis = vis[:4] + (vis[4] & (vis[0] == 0),)
+            dying = live & ft.obs_mask[:, 0]
+            vis = vis[:4] + (vis[4] & jnp.asarray(dying)[vis[2]],)
             lm_cols = 3
 
         marg_mask = np.zeros(lay.dim, dtype=bool)
@@ -1188,6 +1206,8 @@ class Estimator:
             np.arange(cfg.nf - 1) == 0) & (self.pre[0] is not None)
         b_pr, b_cp, b_dopp = self._gnss_factor_inputs()
         only0 = lambda b: b._replace(valid=b.valid & (b.frame_ids == 0))
+        mag_f, mag_m, mag_v = self._mag_inputs()
+        mag_v = mag_v & (mag_f == 0)
         if self.cfg.use_gnss_chains:
             # chains attached at the marginalized frame fold into the prior
             # with it (their left endpoint leaves the problem), then die —
@@ -1198,7 +1218,8 @@ class Estimator:
             J0, r0 = self._jit_marg_chains()(
                 self.x, hid, st, self.prior, jnp.asarray(marg_mask),
                 pre_stack, pre_valid0, vis,
-                only0(b_pr), only0(b_cp), only0(b_dopp))
+                only0(b_pr), only0(b_cp), only0(b_dopp),
+                mag_f, mag_m, mag_v)
             dead_chains = [c for c in self.chains if c.left == 0]
             for c in dead_chains:
                 if self.gnss is not None and len(c.pinned_slots):
@@ -1208,9 +1229,16 @@ class Estimator:
         else:
             J0, r0 = self._jit_marg()(
                 self.x, self.prior, jnp.asarray(marg_mask), pre_stack,
-                pre_valid0, vis, only0(b_pr), only0(b_cp), only0(b_dopp))
+                pre_valid0, vis, only0(b_pr), only0(b_cp), only0(b_dopp),
+                mag_f, mag_m, mag_v)
         self.prior = MargPrior(J=J0, r0=r0, x0=self.x,
                                valid_rows=jnp.ones(lay.dim, dtype=bool))
+        if not cfg.use_inverse_depth:
+            # consumed tracks restart from scratch: their rows are in the
+            # prior, the landmark state left the problem (RemoveParameterBlock
+            # + is_in_optimize semantics); the tracker re-seeds the same id
+            # into a fresh slot on its next observation
+            ft.drop_slots(np.flatnonzero(dying))
         self._shift_window(0)
         self._rehost_invdepth()
 
