@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.state import NCLOCK
-from ..solver.chain_factors import ChainHidden, ChainRows, ChainStatic
+from ..solver.chain_factors import (ChainHidden, ChainMid, ChainRows,
+                                    ChainStatic)
 
 # PreparedEpoch kind -> chain row kind (0 pseudorange, 1 carrier, 2 doppler)
 _KIND_MAP = {0: 0, 2: 0, 1: 1, 3: 1, 4: 2}
@@ -49,6 +50,11 @@ class ChainRecord:
     # (multiset across merges; released on chain death)
     pinned_slots: np.ndarray = field(default_factory=lambda: np.zeros(
         0, dtype=np.int64))
+    # frozen mid-chain marginal(s): dicts with keys k,H,g0,c0,p0,q0,v0,ba0,
+    # bg0,pb0 (gnss_middle_marginfo analogs).  At most 1 after truncation;
+    # transiently 2 right after a merge of two truncated chains (the caller
+    # must truncate again before the record reaches the device).
+    mids: list = field(default_factory=list)
 
     @property
     def n_hidden(self) -> int:
@@ -93,21 +99,18 @@ def merge_rows(parts: list[dict]) -> dict:
 
 def splice_records(rec_l: Optional[ChainRecord], mid_state: dict,
                    rec_r: Optional[ChainRecord], pre_l, pre_r,
-                   left: int, right: int,
-                   cap: int) -> Optional[ChainRecord]:
+                   left: int, right: int) -> ChainRecord:
     """Merge [chain(left,d) | IMU interval] + dropped frame d's state +
     [chain(d,right) | IMU interval] into chain(left,right)
     (ResetImuGnssFactor merge semantics, rvi/swf/swf.cpp:578-616).
 
     ``mid_state``: dict p,q,v,ba,bg,clk (1, ·) arrays for frame d.
     ``pre_l``/``pre_r``: the window preintegrations used when the
-    corresponding side has no chain.  Returns None if the merged chain
-    would exceed ``cap`` leaves (caller falls back to keyframe retention).
+    corresponding side has no chain.  The merged record may exceed the leaf
+    capacity — the caller truncates with ``truncate_middle``.
     """
     pres = (list(rec_l.pres) if rec_l is not None else [pre_l]) + \
            (list(rec_r.pres) if rec_r is not None else [pre_r])
-    if len(pres) > cap:
-        return None
     parts = []
     rows_parts = []
     if rec_l is not None:
@@ -128,21 +131,234 @@ def splice_records(rec_l: Optional[ChainRecord], mid_state: dict,
     pins = np.concatenate(
         [(rec_l.pinned_slots if rec_l is not None else np.zeros(0, int)),
          (rec_r.pinned_slots if rec_r is not None else np.zeros(0, int))])
+    # mid-chain marginals ride along; the right side's gap leaf shifts by off
+    mids = list(rec_l.mids) if rec_l is not None else []
+    if rec_r is not None:
+        mids += [{**m, "k": m["k"] + off} for m in rec_r.mids]
     return ChainRecord(left=left, right=right, pres=pres,
                        rows=merge_rows(rows_parts), pinned_slots=pins,
-                       **stacked)
+                       mids=mids, **stacked)
+
+
+def _boxminus15(seq, s, x0p, x0q, x0v, x0ba, x0bg):
+    """15-dim tangent of chain state ``s`` relative to a linearization point
+    (ordering [p, th, v, ba, bg], matching the chain leaf tangent)."""
+    from ..ops import lie
+    p, q, v, ba, bg = seq
+    dth = np.asarray(lie.quat_boxminus(jnp.asarray(q[s]), jnp.asarray(x0q)))
+    return np.concatenate([p[s] - x0p, dth, v[s] - x0v, ba[s] - x0ba,
+                           bg[s] - x0bg])
+
+
+def truncate_middle(rec: ChainRecord, left_state: dict, right_state: dict,
+                    phase_bias: np.ndarray, nb: int, R_e, pbg, g_world,
+                    target_leaves: int,
+                    bias_table=None) -> ChainRecord:
+    """Marginalize middle hidden states of an over-capacity chain into a
+    frozen mid-chain marginal (MiddleMargGnssFrame semantics,
+    rvi/swf/swf_core.cpp:569-648: chains with more than GNSS_MAX_NUM=30
+    epochs lose their middle ``n-30`` frames to a dense prior over the two
+    adjacent surviving states + ambiguities, MargGNSSFrames +
+    gnss_middle_marginfo; any previous mid marginal folds into the new one).
+
+    ``left_state``/``right_state``: dicts p,q,v,ba,bg of the chain's window
+    endpoint frames (needed when the marginalized span touches them).
+    Returns a new record with n_leaves == target (or fewer when old gaps
+    force a wider span); the gap leaf carries pres[k] = None (no IMU factor
+    across the gap — sum_dt invalidation analog, swf_core.cpp:625) and the
+    new mid marginal supplies the coupling.
+    """
+    from ..factors.inertial import _single_imu, sqrt_info_of_cov
+    from ..solver.chain import condense_chain_tail, make_tail_leaves
+    from ..solver.chain_factors import _epoch_unaries
+
+    D = 15
+    n = rec.n_leaves
+    drop = n - target_leaves
+    assert drop >= 1, "nothing to truncate"
+    lo = max(1, target_leaves // 2)
+    hi = lo + drop - 1
+    # the span must consume every existing gap so one mid remains
+    for md in rec.mids:
+        lo = min(lo, md["k"] + 1)
+        hi = max(hi, md["k"])
+    lo, hi = max(lo, 1), min(hi, n - 1)
+    assert lo <= hi
+
+    # full chain state sequence (n+1 states)
+    def full(key):
+        mid_arr = getattr(rec, key)
+        return np.concatenate([np.asarray(left_state[key])[None],
+                               np.asarray(mid_arr),
+                               np.asarray(right_state[key])[None]])
+
+    seq = tuple(full(k) for k in ("p", "q", "v", "ba", "bg"))
+    seq_p, seq_q, seq_v, seq_ba, seq_bg = seq
+    phase_bias = np.asarray(phase_bias, dtype=np.float64)
+
+    # --- blanket leaves: global leaves lo-1..hi over local states 0..L-1
+    L = hi - lo + 3
+    nleaf = L - 1
+    Hii = np.zeros((nleaf, D, D))
+    Hij = np.zeros((nleaf, D, D))
+    Hjj = np.zeros((nleaf, D, D))
+    bi = np.zeros((nleaf, D))
+    bj = np.zeros((nleaf, D))
+    for lk in range(nleaf):
+        gk = lo - 1 + lk
+        pr = rec.pres[gk]
+        if pr is None:
+            continue
+        W = sqrt_info_of_cov(jnp.asarray(pr.covariance))
+        res, jac = _single_imu(
+            pr, *(jnp.asarray(a[gk]) for a in seq),
+            *(jnp.asarray(a[gk + 1]) for a in seq),
+            jnp.asarray(pbg), jnp.asarray(g_world), W)
+        res, jac = np.asarray(res), np.asarray(jac)
+        Hf = jac.T @ jac
+        gf = jac.T @ res
+        Hii[lk] = Hf[:D, :D]
+        Hij[lk] = Hf[:D, D:]
+        Hjj[lk] = Hf[D:, D:]
+        bi[lk] = -gf[:D]
+        bj[lk] = -gf[D:]
+
+    # --- clock-eliminated GNSS unaries of the DROPPED states lo..hi
+    m_drop = hi - lo + 1
+    hsl = slice(lo - 1, hi)                    # hidden rows of states lo..hi
+    hid_drop = ChainHidden(
+        p=jnp.asarray(rec.p[hsl]), q=jnp.asarray(rec.q[hsl]),
+        v=jnp.asarray(rec.v[hsl]), ba=jnp.asarray(rec.ba[hsl]),
+        bg=jnp.asarray(rec.bg[hsl]), clk=jnp.asarray(rec.clk[hsl]))
+    rw = rec.rows
+    in_span = (rw["state_idx"] >= lo) & (rw["state_idx"] <= hi)
+    keep_r = in_span.copy()
+    if bias_table is not None:
+        slots = rw["pb_slot"].astype(int)
+        is_cp = rw["kind"] == 1
+        keep_r &= (~is_cp | ((rw["gen"] == bias_table.generation[slots])
+                             & bias_table.active[slots]))
+    sel = np.flatnonzero(keep_r)
+    rows_loc = ChainRows(
+        state_idx=jnp.asarray((rw["state_idx"][sel] - (lo - 1))
+                              .astype(np.int32)),
+        kind=jnp.asarray(rw["kind"][sel].astype(np.int32)),
+        clk_slot=jnp.asarray(rw["clk_slot"][sel].astype(np.int32)),
+        pb_slot=jnp.asarray(rw["pb_slot"][sel].astype(np.int32)),
+        r0_unit=jnp.asarray(rw["r0_unit"][sel]),
+        r0=jnp.asarray(rw["r0"][sel]),
+        sat_xy=jnp.asarray(rw["sat_xy"][sel]),
+        sat_vel=jnp.asarray(rw["sat_vel"][sel]),
+        z=jnp.asarray(rw["z"][sel]),
+        wavelength=jnp.asarray(rw["wavelength"][sel]),
+        weight=jnp.asarray(rw["weight"][sel]),
+        valid=jnp.ones(len(sel), dtype=bool))
+    H_u, g_u, _, _ = _epoch_unaries(hid_drop, jnp.asarray(phase_bias),
+                                    rows_loc, jnp.asarray(R_e),
+                                    m_drop + 1, nb)
+    H_u, g_u = np.asarray(H_u), np.asarray(g_u)
+
+    H_unary = np.zeros((L, D, D))
+    H_uN = np.zeros((L, D, nb))
+    H_NN = np.zeros((L, nb, nb))
+    b_unary = np.zeros((L, D))
+    b_N = np.zeros((L, nb))
+    H_unary[1:L - 1] = H_u[:, :D, :D]
+    H_uN[1:L - 1] = H_u[:, :D, D:]
+    H_NN[1:L - 1] = H_u[:, D:, D:]
+    b_unary[1:L - 1] = -g_u[:, :D]
+    b_N[1:L - 1] = -g_u[:, D:]
+
+    leaves = make_tail_leaves(
+        jnp.asarray(Hii), jnp.asarray(Hij), jnp.asarray(Hjj),
+        jnp.asarray(bi), jnp.asarray(bj), jnp.asarray(H_unary),
+        jnp.asarray(H_uN), jnp.asarray(H_NN), jnp.asarray(b_unary),
+        jnp.asarray(b_N))
+
+    # --- fold previous mid marginals (first-order updated) into their leaf
+    for md in rec.mids:
+        k_loc = md["k"] - (lo - 1)
+        assert 0 <= k_loc < nleaf
+        dx = np.concatenate([
+            _boxminus15(seq, md["k"], md["p0"][0], md["q0"][0],
+                        md["v0"][0], md["ba0"][0], md["bg0"][0]),
+            _boxminus15(seq, md["k"] + 1, md["p0"][1], md["q0"][1],
+                        md["v0"][1], md["ba0"][1], md["bg0"][1]),
+            phase_bias - md["pb0"]])
+        Hm = np.asarray(md["H"])
+        g = np.asarray(md["g0"]) + Hm @ dx
+        leaves = leaves._replace(
+            Hii=leaves.Hii.at[k_loc].add(Hm[:D, :D]),
+            Hij=leaves.Hij.at[k_loc].add(Hm[:D, D:2 * D]),
+            Hjj=leaves.Hjj.at[k_loc].add(Hm[D:2 * D, D:2 * D]),
+            HiN=leaves.HiN.at[k_loc].add(Hm[:D, 2 * D:]),
+            HjN=leaves.HjN.at[k_loc].add(Hm[D:2 * D, 2 * D:]),
+            HNN=leaves.HNN.at[k_loc].add(Hm[2 * D:, 2 * D:]),
+            bi=leaves.bi.at[k_loc].add(-g[:D]),
+            bj=leaves.bj.at[k_loc].add(-g[D:2 * D]),
+            bN=leaves.bN.at[k_loc].add(-g[2 * D:]))
+
+    c = condense_chain_tail(leaves)
+    Hnew = np.block([
+        [np.asarray(c.Hii), np.asarray(c.Hij), np.asarray(c.HiN)],
+        [np.asarray(c.Hij).T, np.asarray(c.Hjj), np.asarray(c.HjN)],
+        [np.asarray(c.HiN).T, np.asarray(c.HjN).T, np.asarray(c.HNN)]])
+    gnew = -np.concatenate([np.asarray(c.bi), np.asarray(c.bj),
+                            np.asarray(c.bN)])
+    new_mid = dict(
+        k=lo - 1, H=Hnew, g0=gnew, c0=0.0,
+        p0=np.stack([seq_p[lo - 1], seq_p[hi + 1]]),
+        q0=np.stack([seq_q[lo - 1], seq_q[hi + 1]]),
+        v0=np.stack([seq_v[lo - 1], seq_v[hi + 1]]),
+        ba0=np.stack([seq_ba[lo - 1], seq_ba[hi + 1]]),
+        bg0=np.stack([seq_bg[lo - 1], seq_bg[hi + 1]]),
+        pb0=phase_bias.copy())
+
+    # --- shrink the record: drop hidden rows of states lo..hi, collapse
+    # leaves lo-1..hi into one gap leaf (pres=None), remap rows above
+    keep_h = np.r_[np.arange(0, lo - 1), np.arange(hi, n - 1)]
+    rows_keep = np.flatnonzero(~in_span)
+    new_rows = {k: rw[k][rows_keep] for k in rw}
+    shift = hi - lo + 1
+    si = new_rows["state_idx"].copy()
+    si[si > hi] -= shift
+    new_rows["state_idx"] = si
+    return ChainRecord(
+        left=rec.left, right=rec.right,
+        p=rec.p[keep_h].copy(), q=rec.q[keep_h].copy(),
+        v=rec.v[keep_h].copy(), ba=rec.ba[keep_h].copy(),
+        bg=rec.bg[keep_h].copy(), clk=rec.clk[keep_h].copy(),
+        pres=list(rec.pres[:lo - 1]) + [None] + list(rec.pres[hi + 1:]),
+        rows=new_rows, pinned_slots=rec.pinned_slots.copy(),
+        mids=[new_mid])
 
 
 def chain_device_inputs(records: list[ChainRecord], nch: int, cap: int,
-                        crows: int, bias_table, dummy_pre,
+                        crows: int, nb: int, bias_table, dummy_pre,
                         left_mask: Optional[np.ndarray] = None):
     """Pack chain records into (ChainHidden, ChainStatic) batched pytrees.
 
     Rows referencing a recycled ambiguity slot (allocation generation
     mismatch, or slot inactive) are masked out.  ``dummy_pre`` pads unused
-    leaf slots; ``left_mask`` optionally restricts active to given lefts.
+    leaf slots (and gap leaves with pres[k] is None); ``left_mask``
+    optionally restricts active to given lefts.  ``nb`` = phase-bias table
+    capacity (the mid-marginal tail dimension).
     """
     m = cap - 1
+    D = 15
+    S = 2 * D + nb
+    mid_H = np.zeros((nch, S, S))
+    mid_g0 = np.zeros((nch, S))
+    mid_c0 = np.zeros(nch)
+    mid_k = np.zeros(nch, dtype=np.int32)
+    mid_valid = np.zeros(nch, dtype=bool)
+    mid_p0 = np.zeros((nch, 2, 3))
+    mid_q0 = np.zeros((nch, 2, 4))
+    mid_q0[..., 0] = 1.0
+    mid_v0 = np.zeros((nch, 2, 3))
+    mid_ba0 = np.zeros((nch, 2, 3))
+    mid_bg0 = np.zeros((nch, 2, 3))
+    mid_pb0 = np.zeros((nch, nb))
 
     def pad2(a, n_rows, width=None):
         a = np.asarray(a, dtype=np.float64)
@@ -185,9 +401,25 @@ def chain_device_inputs(records: list[ChainRecord], nch: int, cap: int,
             if left_mask is not None and not left_mask[ci]:
                 active[ci] = False
             pres = list(r.pres)[:cap]
+            for k_, pr in enumerate(pres):
+                pre_valid[ci, k_] = pr is not None
+            pres = [pr if pr is not None else dummy_pre for pr in pres]
             pres += [dummy_pre] * (cap - len(pres))
-            pre_valid[ci, :min(r.n_leaves, cap)] = True
             pres_all.append(pres)
+            assert len(r.mids) <= 1, "truncate before packing"
+            if r.mids:
+                md = r.mids[0]
+                mid_H[ci] = md["H"]
+                mid_g0[ci] = md["g0"]
+                mid_c0[ci] = md["c0"]
+                mid_k[ci] = md["k"]
+                mid_valid[ci] = True
+                mid_p0[ci] = md["p0"]
+                mid_q0[ci] = md["q0"]
+                mid_v0[ci] = md["v0"]
+                mid_ba0[ci] = md["ba0"]
+                mid_bg0[ci] = md["bg0"]
+                mid_pb0[ci] = md["pb0"]
             # rows: mask stale bias references
             rw = r.rows
             n = len(rw["kind"])
@@ -244,10 +476,16 @@ def chain_device_inputs(records: list[ChainRecord], nch: int, cap: int,
     hid = ChainHidden(p=jnp.asarray(hid_p), q=jnp.asarray(hid_q),
                       v=jnp.asarray(hid_v), ba=jnp.asarray(hid_ba),
                       bg=jnp.asarray(hid_bg), clk=jnp.asarray(hid_clk))
+    mid = ChainMid(H=jnp.asarray(mid_H), g0=jnp.asarray(mid_g0),
+                   c0=jnp.asarray(mid_c0), k=jnp.asarray(mid_k),
+                   valid=jnp.asarray(mid_valid), p0=jnp.asarray(mid_p0),
+                   q0=jnp.asarray(mid_q0), v0=jnp.asarray(mid_v0),
+                   ba0=jnp.asarray(mid_ba0), bg0=jnp.asarray(mid_bg0),
+                   pb0=jnp.asarray(mid_pb0))
     st = ChainStatic(left=jnp.asarray(left), right=jnp.asarray(right),
                      n_leaves=jnp.asarray(n_leaves),
                      active=jnp.asarray(active), pre=pre_stack,
-                     pre_valid=jnp.asarray(pre_valid), rows=rows)
+                     pre_valid=jnp.asarray(pre_valid), rows=rows, mid=mid)
     return hid, st
 
 

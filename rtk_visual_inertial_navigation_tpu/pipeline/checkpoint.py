@@ -17,11 +17,13 @@ import numpy as np
 
 from ..factors.priors import MargPrior
 from ..gnss.preprocess import PreparedEpoch
+from .chains import ChainRecord
 from .estimator import Estimator
 
-_FMT_VERSION = 1
+_FMT_VERSION = 2
 _PREP_FIELDS = ("kind", "clk_slot", "pb_slot", "r0_unit", "r0", "sat_xy",
                 "sat_vel", "z", "wavelength", "weight", "new_bias")
+_MID_FIELDS = ("H", "g0", "p0", "q0", "v0", "ba0", "bg0", "pb0")
 
 
 def save_checkpoint(est: Estimator, path: str):
@@ -56,6 +58,8 @@ def save_checkpoint(est: Estimator, path: str):
             continue
         for name in _PREP_FIELDS:
             arrays[f"gs{f}_{name}"] = np.asarray(getattr(prep, name))
+        if prep.gen is not None:
+            arrays[f"gs{f}_gen"] = np.asarray(prep.gen)
     header = {
         "version": _FMT_VERSION,
         "gs_mask": gs_mask,
@@ -71,11 +75,36 @@ def save_checkpoint(est: Estimator, path: str):
         "imu_buf": [[t, a.tolist(), g.tolist()] for t, a, g in
                     zip(est._imu_t, est._imu_acc, est._imu_gyr)],
     }
+    # condensed IMU-GNSS chains (full records, incl. mid-chain marginals)
+    ch_meta = []
+    for ci, c in enumerate(est.chains):
+        for name in ("p", "q", "v", "ba", "bg", "clk"):
+            arrays[f"ch{ci}_{name}"] = getattr(c, name)
+        arrays[f"ch{ci}_pins"] = c.pinned_slots
+        for k in c.rows:
+            arrays[f"ch{ci}_rows_{k}"] = c.rows[k]
+        ch_pre_mask = [p is not None for p in c.pres]
+        for k, p in enumerate(c.pres):
+            if p is not None:
+                put_tree(f"ch{ci}pre{k}_", p)
+        mid_meta = []
+        for mi, md in enumerate(c.mids):
+            for name in _MID_FIELDS:
+                arrays[f"ch{ci}mid{mi}_{name}"] = np.asarray(md[name])
+            mid_meta.append({"k": int(md["k"]), "c0": float(md["c0"])})
+        ch_meta.append({"left": int(c.left), "right": int(c.right),
+                        "pre_mask": ch_pre_mask, "mids": mid_meta,
+                        "rows_keys": sorted(c.rows.keys())})
+    header["chains"] = ch_meta
+    header["chain_stats"] = {k: int(v)
+                             for k, v in est._chain_stats.items()}
+    header["host_time"] = est._host_time.tolist()
     if est.gnss is not None:
         b = est.gnss.bias
         arrays.update(bias_active=b.active, bias_value=b.value,
                       bias_cont=b.continuity, bias_seen=b.last_seen,
-                      bias_sys=b.sys, bias_freq=b.freq)
+                      bias_sys=b.sys, bias_freq=b.freq,
+                      bias_gen=b.generation, bias_pin=b.pinned)
         header["bias_keys"] = [list(k) if k else None for k in b.key]
         header["gnss_epoch_count"] = est.gnss.epoch_count
     arrays["header"] = np.frombuffer(
@@ -122,7 +151,9 @@ def load_checkpoint(est: Estimator, path: str):
         if present:
             fields = {name: z[f"gs{f}_{name}"].copy()
                       for name in _PREP_FIELDS}
-            est.gnss_store[f] = PreparedEpoch(n_usable=next(usable), **fields)
+            gen = (z[f"gs{f}_gen"].copy() if f"gs{f}_gen" in z else None)
+            est.gnss_store[f] = PreparedEpoch(n_usable=next(usable),
+                                              gen=gen, **fields)
 
     est.frame_count = header["frame_count"]
     est.frame_times = list(header["frame_times"])
@@ -134,6 +165,31 @@ def load_checkpoint(est: Estimator, path: str):
     est._imu_acc = [np.asarray(b[1]) for b in header["imu_buf"]]
     est._imu_gyr = [np.asarray(b[2]) for b in header["imu_buf"]]
 
+    est.chains = []
+    for ci, cm in enumerate(header.get("chains", [])):
+        pres = [get_tree(f"ch{ci}pre{k}_", est._dummy_pre()) if present
+                else None for k, present in enumerate(cm["pre_mask"])]
+        mids = []
+        for mi, mm in enumerate(cm["mids"]):
+            md = {name: z[f"ch{ci}mid{mi}_{name}"].copy()
+                  for name in _MID_FIELDS}
+            md["k"] = mm["k"]
+            md["c0"] = mm["c0"]
+            mids.append(md)
+        est.chains.append(ChainRecord(
+            left=cm["left"], right=cm["right"],
+            p=z[f"ch{ci}_p"].copy(), q=z[f"ch{ci}_q"].copy(),
+            v=z[f"ch{ci}_v"].copy(), ba=z[f"ch{ci}_ba"].copy(),
+            bg=z[f"ch{ci}_bg"].copy(), clk=z[f"ch{ci}_clk"].copy(),
+            pres=pres,
+            rows={k: z[f"ch{ci}_rows_{k}"].copy()
+                  for k in cm["rows_keys"]},
+            pinned_slots=z[f"ch{ci}_pins"].copy(), mids=mids))
+    est._chain_stats = {k: int(v) for k, v in
+                        header.get("chain_stats", est._chain_stats).items()}
+    if "host_time" in header:
+        est._host_time = np.asarray(header["host_time"], dtype=float)
+
     if est.gnss is not None and "bias_active" in z:
         b = est.gnss.bias
         b.active = z["bias_active"].copy()
@@ -142,6 +198,9 @@ def load_checkpoint(est: Estimator, path: str):
         b.last_seen = z["bias_seen"].copy()
         b.sys = z["bias_sys"].copy()
         b.freq = z["bias_freq"].copy()
+        if "bias_gen" in z:
+            b.generation = z["bias_gen"].copy()
+            b.pinned = z["bias_pin"].copy()
         b.key = [tuple(k) if k else None for k in header["bias_keys"]]
         b._map = {k: s for s, k in enumerate(b.key) if k is not None}
         est.gnss.epoch_count = header["gnss_epoch_count"]

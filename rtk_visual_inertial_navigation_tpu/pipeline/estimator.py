@@ -42,7 +42,7 @@ from ..solver import DoglegConfig, assemble, dogleg_solve, marginalize_dense
 from ..solver.chain_factors import chain_contrib, chain_retract
 from .chains import (ChainRecord, chain_device_inputs, merge_rows,
                      prepared_to_chain_rows, splice_records,
-                     writeback_hidden)
+                     truncate_middle, writeback_hidden)
 
 
 def _stack_pre(pre_list):
@@ -126,7 +126,8 @@ class Estimator:
         # condensed IMU-GNSS chains (IMUGNSSBase analog, SURVEY.md §2.6)
         self.chains: list[ChainRecord] = []
         self._nch = cfg.max_chains or (cfg.nf - 1)
-        self._chain_stats = {"created": 0, "merged": 0, "died": 0}
+        self._chain_stats = {"created": 0, "merged": 0, "died": 0,
+                             "truncated": 0}
 
         # integer-fix state (swf_lambda.cpp fix bookkeeping)
         self.rtk_fixed = False
@@ -264,7 +265,6 @@ class Estimator:
                     j += 1
                 ok = (j < fc - 1 and not g[j + 1]
                       and (j - i + 1) >= min_len
-                      and (j - i + 2) <= self.cfg.chain_cap
                       and len(self.chains) < self._nch
                       and all(self.pre[k] is not None for k in range(i - 1,
                                                                      j + 1)))
@@ -297,6 +297,10 @@ class Estimator:
             bg=np.asarray(self.x.bg[sl]), clk=np.asarray(self.x.clk[sl]),
             pres=[self.pre[k] for k in range(a, b)],
             rows=rows, pinned_slots=np.asarray(pins, dtype=np.int64))
+        if rec.n_leaves > self.cfg.chain_cap:
+            rec = self._truncate_chain(rec)
+            self._chain_stats["truncated"] = \
+                self._chain_stats.get("truncated", 0) + 1
         # interval a now spans a -> b and is covered by the chain
         self.pre = (self.pre[:a] + [None]
                     + self.pre[b:self.cfg.nf - 1] + [None] * n_rm)
@@ -310,9 +314,24 @@ class Estimator:
     def _chain_inputs(self, left_mask=None):
         return chain_device_inputs(
             self.chains, self._nch, self.cfg.chain_cap,
-            self.cfg.max_chain_rows,
+            self.cfg.max_chain_rows, self.cfg.nb,
             self.gnss.bias if self.gnss is not None else None,
             self._dummy_pre(), left_mask)
+
+    def _frame_state(self, f: int) -> dict:
+        return dict(p=np.asarray(self.x.p[f]), q=np.asarray(self.x.q[f]),
+                    v=np.asarray(self.x.v[f]), ba=np.asarray(self.x.ba[f]),
+                    bg=np.asarray(self.x.bg[f]))
+
+    def _truncate_chain(self, rec: ChainRecord) -> ChainRecord:
+        """Mid-chain marginalization of an over-capacity chain
+        (MiddleMargGnssFrame analog, rvi/swf/swf_core.cpp:569-648)."""
+        return truncate_middle(
+            rec, self._frame_state(rec.left), self._frame_state(rec.right),
+            np.asarray(self.x.phase_bias), self.cfg.nb,
+            np.asarray(self._R_e), np.asarray(self._pbg),
+            np.asarray(self.g_world), self.cfg.chain_cap,
+            self.gnss.bias if self.gnss is not None else None)
 
     def _rho_at(self, fidx: int, prep: PreparedEpoch, rows: np.ndarray):
         """Reduced range Δρ + local Sagnac at the predicted state (host)."""
@@ -738,19 +757,29 @@ class Estimator:
         inputs = self._factor_inputs()
         gnss_inputs = self._gnss_factor_inputs()
         free = self._free_mask()
-        if self.cfg.use_gnss_chains:
-            hid, st = self._chain_inputs()
-            res = self._jit_solve_chains()(
-                self.x, hid, st, self.prior, free, *inputs, *gnss_inputs,
-                *self._mag_inputs())
-            win, hid2 = res.state
-            self.x = win
-            writeback_hidden(self.chains, hid2)
-            res = res._replace(state=win)
-        else:
+
+        def run():
+            if self.cfg.use_gnss_chains:
+                hid, st = self._chain_inputs()
+                res = self._jit_solve_chains()(
+                    self.x, hid, st, self.prior, free, *inputs,
+                    *gnss_inputs, *self._mag_inputs())
+                win, hid2 = res.state
+                self.x = win
+                writeback_hidden(self.chains, hid2)
+                return res._replace(state=win)
             res = self._jit_solve()(self.x, self.prior, free, *inputs,
                                     *gnss_inputs, *self._mag_inputs())
             self.x = res.state
+            return res
+
+        res = run()
+        c = float(np.asarray(res.cost))
+        if not np.isfinite(c) or c > 1e10:
+            # re-solve-on-divergence guard (the reference re-runs the solve
+            # when final_cost > 1e10, rvi/swf/swf_image.cpp:220-223) — the
+            # second pass starts from the first pass's accepted iterates
+            res = run()
         self.last_solve = res
         self._update_world_mirror()
 
@@ -1268,13 +1297,13 @@ class Estimator:
                        bg=np.asarray(self.x.bg[d])[None],
                        clk=np.asarray(self.x.clk[d])[None])
             merged = splice_records(chL, mid, chR, self.pre[d - 1],
-                                    self.pre[d], left, d + 1,
-                                    self.cfg.chain_cap)
-            if merged is None:
-                # merged chain would exceed capacity: keep the frame as a
-                # keyframe and slide by marginalizing the oldest instead
-                self._marginalize_oldest()
-                return
+                                    self.pre[d], left, d + 1)
+            if merged.n_leaves > self.cfg.chain_cap or len(merged.mids) > 1:
+                # over capacity: marginalize the middle states into a frozen
+                # mid-chain marginal (MiddleMargGnssFrame, swf_core.cpp:569)
+                merged = self._truncate_chain(merged)
+                self._chain_stats["truncated"] = \
+                    self._chain_stats.get("truncated", 0) + 1
             self.chains = [c for c in self.chains
                            if c is not chL and c is not chR]
             self.features.remove_frame(d, self.cfg.nf - 1)

@@ -75,6 +75,41 @@ class ChainHidden(NamedTuple):
     clk: jnp.ndarray         # (CAP-1, NCLK)
 
 
+class ChainMid(NamedTuple):
+    """Frozen mid-chain marginal prior over (state_k, state_{k+1}, N).
+
+    When a chain exceeds capacity, its middle states are marginalized into
+    this linearized pair factor at the gap leaf ``k`` (the reference's
+    gnss_middle_marginfo, MiddleMargGnssFrame rvi/swf/swf_core.cpp:569-648 +
+    AddMidMargInfo gnss_imu_factor.cpp:121-242).  Evaluated to first order
+    as the endpoints move:  g(dx) = g0 + H·dx,  dx = x ⊟ x0 over
+    [state_k(15) | state_{k+1}(15) | N(dn)].
+    """
+
+    H: jnp.ndarray           # (2D+dn, 2D+dn)
+    g0: jnp.ndarray          # (2D+dn,)
+    c0: jnp.ndarray          # () cost constant at linearization
+    k: jnp.ndarray           # () int32 gap leaf index
+    valid: jnp.ndarray       # () bool
+    p0: jnp.ndarray          # (2, 3) linearization states (k, k+1)
+    q0: jnp.ndarray          # (2, 4)
+    v0: jnp.ndarray          # (2, 3)
+    ba0: jnp.ndarray         # (2, 3)
+    bg0: jnp.ndarray         # (2, 3)
+    pb0: jnp.ndarray         # (dn,) phase-bias linearization
+
+
+def empty_chain_mid(nb: int, dtype=jnp.float64) -> ChainMid:
+    """A structurally-absent mid marginal (valid=False)."""
+    S = 2 * D + nb
+    q0 = jnp.zeros((2, 4), dtype).at[:, 0].set(1.0)
+    z23 = jnp.zeros((2, 3), dtype)
+    return ChainMid(H=jnp.zeros((S, S), dtype), g0=jnp.zeros(S, dtype),
+                    c0=jnp.zeros((), dtype), k=jnp.asarray(0, jnp.int32),
+                    valid=jnp.asarray(False), p0=z23, q0=q0, v0=z23,
+                    ba0=z23, bg0=z23, pb0=jnp.zeros(nb, dtype))
+
+
 class ChainStatic(NamedTuple):
     """Per-chain data that is constant during one solve."""
 
@@ -85,6 +120,7 @@ class ChainStatic(NamedTuple):
     pre: Preintegrated       # (CAP, ...) per-leaf preintegrations
     pre_valid: jnp.ndarray   # (CAP,) bool
     rows: ChainRows
+    mid: ChainMid            # frozen mid-chain marginal (valid=False if none)
 
 
 def _gather_seq(win: WindowState, hid: ChainHidden, st: ChainStatic,
@@ -188,11 +224,10 @@ def _epoch_unaries(hid: ChainHidden, phase_bias, rows: ChainRows, R_e,
     return H_u, g_u, (w_c, cols, g_c), cost
 
 
-def _imu_pair_blocks(win: WindowState, hid: ChainHidden, st: ChainStatic,
-                     pbg, g_world, cap: int):
+def _imu_pair_blocks(seq, st: ChainStatic, pbg, g_world, cap: int):
     """Whitened-IMU H blocks per leaf + gradient + cost (leaves masked by
     pre_valid & k < n_leaves)."""
-    seq_p, seq_q, seq_v, seq_ba, seq_bg = _gather_seq(win, hid, st, cap)
+    seq_p, seq_q, seq_v, seq_ba, seq_bg = seq
     W = jax.vmap(sqrt_info_of_cov)(st.pre.covariance)
     ks = jnp.arange(cap)
 
@@ -223,8 +258,9 @@ def chain_leaves(win: WindowState, hid: ChainHidden, st: ChainStatic,
     b-convention: leaves carry b = −g (minimizer of ½xᵀHx − bᵀx), matching
     solver.chain.
     """
+    seq = _gather_seq(win, hid, st, cap)
     Hii, Hij, Hjj, gi, gj, cost_imu = _imu_pair_blocks(
-        win, hid, st, pbg, g_world, cap)
+        seq, st, pbg, g_world, cap)
     H_u, g_u, clk_aux, cost_gnss = _epoch_unaries(
         hid, win.phase_bias, st.rows, R_e, cap, dn)
     am = st.active.astype(H_u.dtype)
@@ -249,7 +285,43 @@ def chain_leaves(win: WindowState, hid: ChainHidden, st: ChainStatic,
         bj=-(gj + g_up[:, :D]),
         bN=-g_up[:, D:],
     )
-    return leaves, clk_aux, (cost_imu + cost_gnss) * am
+    leaves, cost_mid = _apply_mid(leaves, seq, win.phase_bias, st, am)
+    return leaves, clk_aux, (cost_imu + cost_gnss) * am + cost_mid
+
+
+def _apply_mid(leaves: ChainTailElem, seq, phase_bias, st: ChainStatic, am):
+    """Fold the frozen mid-chain marginal into its gap leaf, first-order
+    updated to the current states (MarginalizationFactor::Evaluate semantics
+    applied inside the chain — the reference routes gnss_middle_marginfo
+    through AddMidMargInfo, rvi/factor/gnss_imu_factor.cpp:121-242)."""
+    mid = st.mid
+    seq_p, seq_q, seq_v, seq_ba, seq_bg = seq
+    ks = jnp.stack([mid.k, mid.k + 1])
+    dx2 = jnp.concatenate([
+        seq_p[ks] - mid.p0,
+        lie.quat_boxminus(seq_q[ks], mid.q0),
+        seq_v[ks] - mid.v0,
+        seq_ba[ks] - mid.ba0,
+        seq_bg[ks] - mid.bg0,
+    ], axis=-1)                                   # (2, D) [p,th,v,ba,bg]
+    dx = jnp.concatenate([dx2.reshape(-1), phase_bias - mid.pb0])
+    mv = (mid.valid & st.active.astype(bool)).astype(leaves.Hii.dtype)
+    Hm = mid.H * mv
+    g = (mid.g0 + mid.H @ dx) * mv
+    cost = (mid.c0 + mid.g0 @ dx + 0.5 * dx @ (mid.H @ dx)) * mv
+    k = mid.k
+    leaves = leaves._replace(
+        Hii=leaves.Hii.at[k].add(Hm[:D, :D]),
+        Hij=leaves.Hij.at[k].add(Hm[:D, D:2 * D]),
+        Hjj=leaves.Hjj.at[k].add(Hm[D:2 * D, D:2 * D]),
+        HiN=leaves.HiN.at[k].add(Hm[:D, 2 * D:]),
+        HjN=leaves.HjN.at[k].add(Hm[D:2 * D, 2 * D:]),
+        HNN=leaves.HNN.at[k].add(Hm[2 * D:, 2 * D:]),
+        bi=leaves.bi.at[k].add(-g[:D]),
+        bj=leaves.bj.at[k].add(-g[D:2 * D]),
+        bN=leaves.bN.at[k].add(-g[2 * D:]),
+    )
+    return leaves, cost
 
 
 def chain_contrib(win: WindowState, hids: ChainHidden, sts: ChainStatic,

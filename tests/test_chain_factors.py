@@ -23,7 +23,8 @@ from rtk_visual_inertial_navigation_tpu.ops import lie
 from rtk_visual_inertial_navigation_tpu.preintegration import (
     ImuNoise, preintegrate)
 from rtk_visual_inertial_navigation_tpu.solver.chain_factors import (
-    ChainHidden, ChainRows, ChainStatic, chain_contrib, chain_retract)
+    ChainHidden, ChainRows, ChainStatic, chain_contrib, chain_retract,
+    empty_chain_mid)
 from rtk_visual_inertial_navigation_tpu.solver.gauss_newton import assemble
 from rtk_visual_inertial_navigation_tpu.solver.marginalization import (
     _masked_schur)
@@ -193,6 +194,7 @@ def _setup(rng, n_hidden=3, cap=8, nb=6, nl=2):
         pre=pre_pad,
         pre_valid=jnp.asarray(np.arange(cap) < nfb - 1),
         rows=_chain_rows(rows, 64),
+        mid=empty_chain_mid(nb),
     )
     hids = jax.tree.map(lambda x: x[None], hid)
     sts = jax.tree.map(lambda x: x[None], st)

@@ -1,0 +1,206 @@
+"""Mid-chain marginalization (MiddleMargGnssFrame parity).
+
+When a chain exceeds capacity its middle hidden states are marginalized
+into a frozen pair marginal at the gap leaf (reference: gnss_middle_marginfo
+over exactly {pose_a, sb_a, pose_b, sb_b} (+ ambiguities), MargGNSSFrames +
+MiddleMargGnssFrame, rvi/swf/swf_core.cpp:569-648).  Marginalization of a
+quadratic is exact at the linearization point, so the truncated chain's
+condensed contribution over (left, right, N) must EQUAL the original
+chain's — that's the oracle here; away from the linearization it agrees to
+first order.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtk_visual_inertial_navigation_tpu.core.state import (
+    NCLOCK, TangentLayout, WindowState)
+from rtk_visual_inertial_navigation_tpu.ops import lie
+from rtk_visual_inertial_navigation_tpu.pipeline.chains import (
+    ChainRecord, chain_device_inputs, truncate_middle)
+from rtk_visual_inertial_navigation_tpu.preintegration import (
+    ImuNoise, Preintegrated, preintegrate)
+from rtk_visual_inertial_navigation_tpu.solver.chain_factors import (
+    chain_contrib)
+
+NOISE = ImuNoise(0.05, 0.005, 5e-4, 5e-5)
+PBG = np.asarray([0.1, -0.05, 0.2])
+GW = np.asarray([0.0, 0.0, 9.81])
+R_E = np.eye(3)
+NB = 6
+NL = 2
+CAP = 16
+
+
+def _rand_quat(rng, n):
+    q = rng.normal(size=(n, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    q[:, 0] = np.abs(q[:, 0])
+    return q
+
+
+def _random_pre(rng):
+    nsamp = 12
+    dts = np.zeros(nsamp)
+    dts[1:] = 0.01
+    accs = rng.normal(size=(nsamp, 3)) * 0.5 + np.array([0, 0, 9.81])
+    gyrs = rng.normal(size=(nsamp, 3)) * 0.1
+    valid = np.ones(nsamp, dtype=bool)
+    return preintegrate(jnp.asarray(dts), jnp.asarray(accs),
+                        jnp.asarray(gyrs), jnp.asarray(valid),
+                        jnp.zeros(3), jnp.zeros(3), NOISE)
+
+
+def _dummy_pre():
+    eye = jnp.eye(15, dtype=jnp.float64)
+    return Preintegrated(
+        delta_p=jnp.zeros(3), delta_q=lie.quat_identity(),
+        delta_v=jnp.zeros(3), jacobian=eye, covariance=eye * 1e-6,
+        sum_dt=jnp.zeros(()), linearized_ba=jnp.zeros(3),
+        linearized_bg=jnp.zeros(3), gyr_i=jnp.zeros(3), gyr_j=jnp.zeros(3))
+
+
+def _random_rows(rng, n_rows, state_lo, state_hi):
+    kind = rng.integers(0, 3, size=n_rows).astype(np.int32)
+    u = rng.normal(size=(n_rows, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    return dict(
+        state_idx=rng.integers(state_lo, state_hi + 1,
+                               size=n_rows).astype(np.int32),
+        kind=kind,
+        clk_slot=np.where(kind == 2, 12,
+                          rng.integers(0, 12, size=n_rows)).astype(np.int32),
+        pb_slot=rng.integers(0, NB, size=n_rows).astype(np.int32),
+        r0_unit=u,
+        r0=rng.uniform(2.2e7, 2.8e7, size=n_rows),
+        sat_xy=rng.normal(size=(n_rows, 2)) * 1.5e7,
+        sat_vel=rng.normal(size=(n_rows, 3)) * 3e3,
+        z=rng.normal(size=n_rows) * 10.0,
+        wavelength=np.full(n_rows, 0.1903),
+        weight=rng.uniform(0.5, 3.0, size=n_rows),
+        gen=np.zeros(n_rows, dtype=np.int64),
+    )
+
+
+def _make_record(rng, n_hidden):
+    return ChainRecord(
+        left=0, right=1,
+        p=rng.normal(size=(n_hidden, 3)) * 5.0,
+        q=_rand_quat(rng, n_hidden),
+        v=rng.normal(size=(n_hidden, 3)),
+        ba=rng.normal(size=(n_hidden, 3)) * 0.05,
+        bg=rng.normal(size=(n_hidden, 3)) * 0.01,
+        clk=rng.normal(size=(n_hidden, NCLOCK)) * 2.0,
+        pres=[_random_pre(rng) for _ in range(n_hidden + 1)],
+        rows=_random_rows(rng, 40, 1, n_hidden))
+
+
+def _outer(rng):
+    st = WindowState.zeros(2, NL, NB)
+    return st._replace(
+        p=jnp.asarray(rng.normal(size=(2, 3)) * 5.0),
+        q=jnp.asarray(_rand_quat(rng, 2)),
+        v=jnp.asarray(rng.normal(size=(2, 3))),
+        ba=jnp.asarray(rng.normal(size=(2, 3)) * 0.05),
+        bg=jnp.asarray(rng.normal(size=(2, 3)) * 0.01),
+        phase_bias=jnp.asarray(rng.normal(size=(NB,)) * 3.0),
+    )
+
+
+def _endpoint(outer, f):
+    return dict(p=np.asarray(outer.p[f]), q=np.asarray(outer.q[f]),
+                v=np.asarray(outer.v[f]), ba=np.asarray(outer.ba[f]),
+                bg=np.asarray(outer.bg[f]))
+
+
+def _contrib(outer, rec, lay):
+    hid, st = chain_device_inputs([rec], 1, CAP, 64, NB, None, _dummy_pre())
+    Hb, gb, gidx, cost = chain_contrib(
+        outer, hid, st, lay, jnp.asarray(R_E), jnp.asarray(PBG),
+        jnp.asarray(GW), CAP)
+    return np.asarray(Hb[0]), np.asarray(gb[0]), np.asarray(gidx[0])
+
+
+def test_truncated_chain_matches_original_at_linearization():
+    rng = np.random.default_rng(12)
+    rec = _make_record(rng, n_hidden=9)          # 10 leaves
+    outer = _outer(rng)
+    lay = TangentLayout(nf=2, nl=NL, nb=NB, nc=2)
+
+    H0, g0, gi0 = _contrib(outer, rec, lay)
+    trunc = truncate_middle(rec, _endpoint(outer, 0), _endpoint(outer, 1),
+                            np.asarray(outer.phase_bias), NB, R_E, PBG, GW,
+                            target_leaves=6)
+    assert trunc.n_leaves == 6
+    assert len(trunc.mids) == 1
+    assert trunc.pres[trunc.mids[0]["k"]] is None
+    H1, g1, gi1 = _contrib(outer, trunc, lay)
+
+    np.testing.assert_array_equal(gi0, gi1)
+    scale = max(1.0, np.abs(H0).max())
+    np.testing.assert_allclose(H1, H0, atol=1e-7 * scale)
+    np.testing.assert_allclose(g1, g0,
+                               atol=1e-7 * max(1.0, np.abs(g0).max()))
+
+
+def test_double_truncation_folds_old_mid():
+    """A second truncation must fold the existing gap marginal into the new
+    one (the reference folds gnss_middle_marginfo into every new middle
+    marginalization, swf_core.cpp:607-613)."""
+    rng = np.random.default_rng(13)
+    rec = _make_record(rng, n_hidden=11)         # 12 leaves
+    outer = _outer(rng)
+    lay = TangentLayout(nf=2, nl=NL, nb=NB, nc=2)
+
+    H0, g0, _ = _contrib(outer, rec, lay)
+    t1 = truncate_middle(rec, _endpoint(outer, 0), _endpoint(outer, 1),
+                         np.asarray(outer.phase_bias), NB, R_E, PBG, GW,
+                         target_leaves=8)
+    t2 = truncate_middle(t1, _endpoint(outer, 0), _endpoint(outer, 1),
+                         np.asarray(outer.phase_bias), NB, R_E, PBG, GW,
+                         target_leaves=5)
+    assert t2.n_leaves <= 5 and len(t2.mids) == 1
+    H2, g2, _ = _contrib(outer, t2, lay)
+    scale = max(1.0, np.abs(H0).max())
+    np.testing.assert_allclose(H2, H0, atol=1e-7 * scale)
+    np.testing.assert_allclose(g2, g0,
+                               atol=1e-7 * max(1.0, np.abs(g0).max()))
+
+
+def test_truncated_chain_first_order_away_from_linearization():
+    """After the states move, the truncated chain agrees with the original
+    to first order (the frozen marginal is linear in dx; the original
+    relinearizes)."""
+    rng = np.random.default_rng(14)
+    rec = _make_record(rng, n_hidden=9)
+    outer = _outer(rng)
+    lay = TangentLayout(nf=2, nl=NL, nb=NB, nc=2)
+
+    trunc = truncate_middle(rec, _endpoint(outer, 0), _endpoint(outer, 1),
+                            np.asarray(outer.phase_bias), NB, R_E, PBG, GW,
+                            target_leaves=6)
+    eps = 1e-4
+    outer2 = outer._replace(
+        p=outer.p + eps * jnp.asarray(rng.normal(size=(2, 3))),
+        v=outer.v + eps * jnp.asarray(rng.normal(size=(2, 3))),
+        phase_bias=outer.phase_bias
+        + eps * jnp.asarray(rng.normal(size=(NB,))))
+    # hidden states adjacent to the gap also move
+    rec2 = ChainRecord(**{**rec.__dict__,
+                          "p": rec.p + eps * rng.normal(size=rec.p.shape)})
+    tr2 = ChainRecord(**{**trunc.__dict__,
+                         "p": trunc.p + eps * rng.normal(size=trunc.p.shape)})
+    # keep the surviving states consistent between the two representations
+    keep = np.r_[np.arange(0, trunc.mids[0]["k"]),
+                 np.arange(rec.n_hidden - (trunc.n_hidden
+                                           - trunc.mids[0]["k"]),
+                           rec.n_hidden)]
+    rec2.p[keep] = tr2.p
+    H0, g0, _ = _contrib(outer2, rec2, lay)
+    H1, g1, _ = _contrib(outer2, tr2, lay)
+    scale = max(1.0, np.abs(H0).max())
+    # dropped-state relinearization difference is O(eps) in g, O(eps) in H
+    np.testing.assert_allclose(H1, H0, atol=2e2 * eps * scale)
+    np.testing.assert_allclose(
+        g1, g0, atol=2e2 * eps * max(1.0, np.abs(g0).max()))

@@ -52,3 +52,34 @@ def test_checkpoint_resume_bit_identical(tmp_path):
                                np.asarray(est_a.x.phase_bias), atol=1e-9)
     assert est_b2.frame_count == est_a.frame_count
     assert est_b2.frame_times == est_a.frame_times
+
+
+def test_checkpoint_resume_with_chains(tmp_path):
+    """Resume must carry condensed IMU-GNSS chains (hidden states, GNSS
+    rows, preintegrations, pins) and continue identically."""
+    sim = simulate(SimConfig(duration=6.0, imu_rate=200.0, cam_rate=2.0,
+                             gnss_rate=4.0, n_landmarks=50, n_sats=10,
+                             seed=2))
+    n = len(sim.imu_t)
+    half = n // 2
+    cfg = spp_cfg(sim, nf=8, use_spp_phase=True, use_gnss_chains=True)
+
+    est_a = drive(Estimator(cfg), sim, range(n))
+    assert est_a._chain_stats["created"] > 0
+
+    est_b1 = drive(Estimator(cfg), sim, range(half))
+    assert len(est_b1.chains) > 0, "mid-replay state must hold chains"
+    ckpt = str(tmp_path / "ckpt.npz")
+    save_checkpoint(est_b1, ckpt)
+    est_b2 = Estimator(cfg)
+    load_checkpoint(est_b2, ckpt)
+    assert len(est_b2.chains) == len(est_b1.chains)
+    est_b2 = drive(est_b2, sim, range(half, n))
+
+    np.testing.assert_allclose(np.asarray(est_b2.x.p),
+                               np.asarray(est_a.x.p), atol=1e-9)
+    assert est_b2.frame_count == est_a.frame_count
+    assert len(est_b2.chains) == len(est_a.chains)
+    for ca, cb in zip(est_a.chains, est_b2.chains):
+        assert (ca.left, ca.right) == (cb.left, cb.right)
+        np.testing.assert_allclose(cb.p, ca.p, atol=1e-9)

@@ -71,3 +71,22 @@ def test_chains_match_no_chain_estimate(sim):
     assert len(common) > 10
     d = np.asarray([np.linalg.norm(ta[t] - tb[t]) for t in common])
     assert d.max() < 0.05, d.max()
+
+
+def test_chain_truncation_in_pipeline():
+    """A tiny chain_cap forces mid-chain marginalization during replay
+    (MiddleMargGnssFrame analog): 10 Hz GNSS / 2 Hz camera puts ~5-epoch
+    runs between frames, exceeding cap=4 — the middle states fold into a
+    frozen gap marginal and the estimate stays locked to truth."""
+    sim_t = simulate(SimConfig(duration=8.0, imu_rate=200.0, cam_rate=2.0,
+                               gnss_rate=10.0, n_landmarks=60, n_sats=10,
+                               seed=5))
+    est = replay(sim_t, spp_cfg(sim_t, nf=10, use_gnss_chains=True,
+                                chain_cap=4))
+    assert est.initialized
+    assert est._chain_stats["truncated"] > 0, est._chain_stats
+    for c in est.chains:
+        assert c.n_leaves <= 4
+        assert len(c.mids) <= 1
+    errs = _errs(est, sim_t)
+    assert errs[len(errs) // 2:].max() < 0.05, errs.max()
