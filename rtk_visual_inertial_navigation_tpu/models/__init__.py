@@ -1,1 +1,3 @@
-from .cameras import PinholeCamera, EquidistantCamera, make_camera  # noqa: F401
+from .cameras import (CataCamera, EquidistantCamera,  # noqa: F401
+                      PinholeCamera, PinholeFullCamera, ScaramuzzaCamera,
+                      load_camera_yaml, make_camera)

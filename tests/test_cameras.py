@@ -1,0 +1,179 @@
+"""Camera-model family tests (SURVEY.md §2.8 parity).
+
+Round-trip lift∘project == identity per model; PINHOLE_FULL reduces to
+PINHOLE when the rational coefficients vanish; the reference's own
+yaml/cam0_pinhole.yaml format loads through load_camera_yaml.
+"""
+
+import numpy as np
+import pytest
+
+from rtk_visual_inertial_navigation_tpu.models import (
+    CataCamera, EquidistantCamera, PinholeCamera, PinholeFullCamera,
+    ScaramuzzaCamera, load_camera_yaml, make_camera)
+
+RNG = np.random.default_rng(7)
+
+
+def _pixels(cam_w=752, cam_h=480, n=200, margin=60):
+    u = RNG.uniform(margin, cam_w - margin, n)
+    v = RNG.uniform(margin, cam_h - margin, n)
+    return np.stack([u, v], axis=-1)
+
+
+def test_pinhole_roundtrip():
+    cam = PinholeCamera(fx=460.0, fy=458.0, cx=376.0, cy=240.0,
+                        k1=-0.28, k2=0.07, p1=2e-4, p2=1.8e-4)
+    uv = _pixels()
+    ray = np.asarray(cam.lift_projective(uv))
+    assert np.allclose(ray[:, 2], 1.0)
+    uv2 = np.asarray(cam.space_to_plane(ray))
+    assert np.max(np.abs(uv2 - uv)) < 1e-6
+
+
+def test_pinhole_full_roundtrip():
+    cam = PinholeFullCamera(
+        fx=1015.0, fy=1014.6, cx=357.8, cy=217.3,
+        k1=-0.3949, k2=0.1500, k3=0.01, k4=-0.02, k5=0.004, k6=0.001,
+        p1=0.0042, p2=0.0041)
+    uv = _pixels(margin=120)
+    ray = np.asarray(cam.lift_projective(uv, iters=20))
+    uv2 = np.asarray(cam.space_to_plane(ray))
+    assert np.max(np.abs(uv2 - uv)) < 1e-5
+
+
+def test_pinhole_full_reduces_to_pinhole():
+    kw = dict(fx=460.0, fy=458.0, cx=376.0, cy=240.0,
+              k1=-0.28, k2=0.07, p1=2e-4, p2=1.8e-4)
+    full = PinholeFullCamera(**kw)
+    plain = PinholeCamera(**kw)
+    pts = np.concatenate(
+        [RNG.uniform(-0.4, 0.4, (100, 2)), np.ones((100, 1))], axis=-1)
+    a = np.asarray(full.space_to_plane(pts))
+    b = np.asarray(plain.space_to_plane(pts))
+    assert np.max(np.abs(a - b)) < 1e-9
+
+
+def test_equidistant_roundtrip():
+    cam = EquidistantCamera(mu=380.0, mv=379.0, u0=376.0, v0=240.0,
+                            k2=0.01, k3=-0.002, k4=0.0005, k5=-1e-4)
+    uv = _pixels()
+    ray = np.asarray(cam.lift_projective(uv))
+    uv2 = np.asarray(cam.space_to_plane(ray))
+    assert np.max(np.abs(uv2 - uv)) < 1e-6
+
+
+def test_cata_mei_roundtrip():
+    cam = CataCamera(xi=0.9, gamma1=470.0, gamma2=469.0, u0=376.0, v0=240.0,
+                     k1=-0.1, k2=0.02, p1=5e-4, p2=-3e-4)
+    uv = _pixels(margin=100)
+    ray = np.asarray(cam.lift_projective(uv, iters=12))
+    uv2 = np.asarray(cam.space_to_plane(ray))
+    assert np.max(np.abs(uv2 - uv)) < 1e-6
+
+
+def test_cata_xi_one_limit():
+    """The xi=1 analytic branch agrees with xi->1 of the general branch
+    (CataCamera.cc:616-626)."""
+    kw = dict(gamma1=470.0, gamma2=469.0, u0=376.0, v0=240.0,
+              k1=-0.05, k2=0.01)
+    uv = _pixels(margin=100, n=50)
+    a = np.asarray(CataCamera(xi=1.0, **kw).lift_projective(uv))
+    b = np.asarray(CataCamera(xi=1.0 - 1e-9, **kw).lift_projective(uv))
+    assert np.max(np.abs(a - b)) < 1e-6
+
+
+def _ocam():
+    """A self-consistent OCAM camera: inv_poly fit numerically from the
+    forward polynomial (the calibration toolbox does the same fit)."""
+    poly = (-250.0, 0.0, 9e-4, -2e-7, 6e-10)
+    rho = np.linspace(1.0, 350.0, 4000)
+    z = sum(c * rho ** i for i, c in enumerate(poly))
+    # lift returns P = (xc, -z); project then sees theta = atan2(z, rho)
+    theta = np.arctan2(z, rho)
+    coef = np.polynomial.polynomial.polyfit(theta, rho, 11)
+    inv_poly = tuple(coef) + (0.0,) * (20 - len(coef))
+    return ScaramuzzaCamera(poly=poly, inv_poly=inv_poly,
+                            center_x=376.0, center_y=240.0,
+                            C=1.0, D=0.0, E=0.0)
+
+
+def test_scaramuzza_roundtrip():
+    cam = _ocam()
+    uv = _pixels(margin=100)
+    ray = np.asarray(cam.lift_projective(uv))
+    uv2 = np.asarray(cam.space_to_plane(ray))
+    assert np.max(np.abs(uv2 - uv)) < 0.02  # limited by the inv_poly fit
+
+
+def test_scaramuzza_ray_depth_sign():
+    """Forward-looking pixels near the center lift to rays with positive
+    depth (-z of the forward polynomial at small rho is positive for the
+    usual negative a0)."""
+    cam = _ocam()
+    ray = np.asarray(cam.lift_projective(np.array([380.0, 244.0])))
+    assert ray[2] > 0
+
+
+def test_factory_dispatch():
+    assert isinstance(make_camera("PINHOLE_FULL".lower(), fx=1, fy=1,
+                                  cx=0, cy=0), PinholeFullCamera)
+    assert isinstance(make_camera("mei", xi=1.0, gamma1=1, gamma2=1,
+                                  u0=0, v0=0), CataCamera)
+    assert isinstance(
+        make_camera("scaramuzza", poly=(0.0,) * 5, inv_poly=(0.0,) * 20,
+                    center_x=0.0, center_y=0.0), ScaramuzzaCamera)
+    with pytest.raises(ValueError):
+        make_camera("nope")
+
+
+def test_load_reference_yaml_format(tmp_path):
+    """The reference's shipped cam0_pinhole.yaml body (PINHOLE_FULL with
+    k3..k6 omitted) parses and round-trips."""
+    y = tmp_path / "cam0.yaml"
+    y.write_text("""%YAML:1.0
+---
+model_type: PINHOLE_FULL
+camera_name: camera
+image_width: 752
+image_height: 480
+distortion_parameters:
+ k1: -0.39487217332971936
+ k2: 0.14996535673985056
+ p1: 0.004208275260446886
+ p2: 0.004117903853456536
+projection_parameters:
+ fx: 1015.0025439725143
+ fy: 1014.566094746851
+ cx: 357.7725018103044
+ cy: 217.2992298065791
+""")
+    cam = load_camera_yaml(y)
+    assert isinstance(cam, PinholeFullCamera)
+    assert cam.fx == pytest.approx(1015.0025439725143)
+    assert cam.k3 == 0.0
+    uv = _pixels(margin=150, n=50)
+    ray = np.asarray(cam.lift_projective(uv, iters=20))
+    uv2 = np.asarray(cam.space_to_plane(ray))
+    assert np.max(np.abs(uv2 - uv)) < 1e-4
+
+
+def test_load_pinhole_yaml(tmp_path):
+    y = tmp_path / "p.yaml"
+    y.write_text("""%YAML:1.0
+---
+model_type: PINHOLE
+distortion_parameters:
+ k1: -0.28
+ k2: 0.07
+ p1: 0.0002
+ p2: 0.00018
+projection_parameters:
+ fx: 460.0
+ fy: 458.0
+ cx: 376.0
+ cy: 240.0
+""")
+    cam = load_camera_yaml(y)
+    assert isinstance(cam, PinholeCamera)
+    assert cam.k1 == pytest.approx(-0.28)
