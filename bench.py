@@ -21,6 +21,76 @@ import time
 import numpy as np
 
 
+def _pipeline_latency(args):
+    """End-to-end single-sequence rate: the full estimator (host state
+    machine + jitted solve/marginalize stages) over a simulated RTK-VI
+    sequence — the closest analog of the reference's realtime 20-25 Hz
+    state-update figure (README.md:80: one solve per frame)."""
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from rtk_visual_inertial_navigation_tpu.config import EstimatorConfig
+    from rtk_visual_inertial_navigation_tpu.ops import lie
+    from rtk_visual_inertial_navigation_tpu.pipeline import Estimator
+    from rtk_visual_inertial_navigation_tpu.sim import SimConfig, simulate
+    from rtk_visual_inertial_navigation_tpu.sim.synthetic import \
+        gnss_epoch_of
+
+    duration = 8.0 if args.smoke else 30.0
+    sim = simulate(SimConfig(duration=duration, imu_rate=200.0, cam_rate=2.0,
+                             gnss_rate=2.0, n_landmarks=60, n_sats=10,
+                             seed=0))
+    q_ic = np.asarray(lie.rot_to_quat(jnp.asarray(sim.cfg.r_ic)))
+    cfg = EstimatorConfig(
+        nf=10, nl=48, nb=32, max_obs=256, imu_capacity=128, average_imu=40,
+        qic=np.tile(q_ic, (2, 1)), tic=np.tile(sim.cfg.t_ic, (2, 1)),
+        anchor_ecef=sim.anchor_ecef, enu_to_ecef=sim.enu_to_ecef,
+        max_gnss_pr=160, max_gnss_cp=160, max_gnss_dopp=160,
+        min_sats_per_epoch=6, initial_gnss_boost_epochs=5,
+        min_fix_continuity=1, fix_continue_threshold=3,
+        use_gnss=True, use_doppler=True, use_rtd=True, use_rtk=True,
+        use_n_resolve=True,
+        solve_step_dtype=("float32" if args.f32 else "same"))
+    est = Estimator(cfg)
+
+    ids = np.arange(sim.landmarks.shape[0])
+    cam_ptr = g_ptr = 0
+    warmup = 12
+    stamps = []
+    for i, t in enumerate(sim.imu_t):
+        est.process_imu(t, sim.acc[i], sim.gyr[i])
+        if g_ptr < len(sim.gnss_idx) and sim.gnss_idx[g_ptr] == i:
+            est.process_gnss(gnss_epoch_of(sim, g_ptr))
+            g_ptr += 1
+            stamps.append(time.time())
+        if cam_ptr < len(sim.cam_idx) and sim.cam_idx[cam_ptr] == i:
+            vis = sim.obs_valid[cam_ptr]
+            est.process_image(t, ids[vis], sim.obs_xy[cam_ptr][vis])
+            cam_ptr += 1
+            stamps.append(time.time())
+    n = len(stamps) - 1
+    steady = np.diff(np.asarray(stamps))[warmup:]
+    hz = 1.0 / float(np.mean(steady))
+    print(json.dumps({
+        "metric": "end-to-end pipeline frames/s (RTK-VI single sequence, "
+                  "steady state, 1 chip)",
+        "value": round(hz, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(hz / 25.0, 2),
+        "frames_timed": int(len(steady)),
+        "warmup_frames_skipped": warmup,
+        "median_ms": round(1000.0 * float(np.median(steady)), 1),
+        "p90_ms": round(1000.0 * float(np.percentile(steady, 90)), 1),
+        "backend": jax.default_backend(),
+        "rtk_fixed": bool(est.rtk_fixed),
+        "n_frames_total": n + 1,
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
@@ -30,6 +100,15 @@ def main():
                     help="full-f64 solve (validation; ~18x slower on TPU)")
     ap.add_argument("--f32", action="store_true", help="(default)")
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--latency", action="store_true",
+                    help="single-sequence latency: one B=1 window solve per "
+                         "update, report steady-state Hz (the reference's "
+                         "realtime 20-25 Hz figure is this quantity)")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="end-to-end pipeline latency: run the full "
+                         "estimator (host bookkeeping + jitted stages) over "
+                         "a simulated RTK sequence, report frames/s after "
+                         "warmup")
     args = ap.parse_args()
     args.f32 = not args.f64
 
@@ -50,9 +129,16 @@ def main():
         batched_vi_solve, make_synthetic_windows)
     from rtk_visual_inertial_navigation_tpu.solver import DoglegConfig
 
+    if args.pipeline:
+        _pipeline_latency(args)
+        return
+
     dtype = jnp.float32 if args.f32 else jnp.float64
     nf, nl, nobs, nsamp = 8, 64, 448, 16
-    B = args.batch or (8 if args.smoke else 256)
+    if args.latency:
+        B = args.batch or 1
+    else:
+        B = args.batch or (8 if args.smoke else 256)
     lay = TangentLayout(nf=nf, nl=nl, nb=1, nc=2)
     # only the frame states are live in the reduced block (clk/pb/ext/mag
     # slots are structurally empty in VI problems) — compile them out of
@@ -76,6 +162,28 @@ def main():
         np.asarray(state.p) - np.asarray(probs.truth.p), axis=-1)
     med_err = float(perr[:, 1:].max())
     frac_bad = float((perr[:, 1:].max(axis=1) > 0.01).mean())
+
+    if args.latency:
+        # per-update latency: each rep is one solve round trip (the device
+        # result is fetched each time, as a realtime consumer would)
+        reps = 5 if args.smoke else max(args.reps, 20)
+        t0 = time.time()
+        for _ in range(reps):
+            state, cost, nacc = solve(probs)
+            np.asarray(cost)  # host sync (block_until_ready lies via tunnel)
+        dt = time.time() - t0
+        hz = reps / dt
+        print(json.dumps({
+            "metric": "single-sequence state updates/s (B=1 window solve "
+                      "latency, 1 chip)",
+            "value": round(hz, 2),
+            "unit": "updates/s",
+            "vs_baseline": round(hz / 25.0, 2),
+            "latency_ms": round(1000.0 * dt / reps, 3),
+            "backend": jax.default_backend(),
+            "dtype": str(dtype.__name__),
+        }))
+        return
 
     reps = 2 if args.smoke else args.reps
     t0 = time.time()

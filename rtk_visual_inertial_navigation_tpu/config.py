@@ -54,6 +54,10 @@ class EstimatorConfig:
     # solver (yaml:45-46, swf.cpp:25-29)
     max_iters: int = 8
     init_trust_radius: float = 1e4
+    # inner linear-solve dtype: "same" (ambient f64) or "float32" (runs the
+    # Jacobi-scaled Schur/Cholesky on the TPU MXU dtype; costs/trust region
+    # stay f64 — see DoglegConfig.step_dtype)
+    solve_step_dtype: str = "same"
 
     # visual parameterization (USE_INVERSE_DEPTH, parameters.h:25): world
     # points (shipped default) or per-landmark inverse depth hosted at the

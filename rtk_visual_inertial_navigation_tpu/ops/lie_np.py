@@ -1,0 +1,50 @@
+"""Host-side (numpy) quaternion helpers for the pipeline driver.
+
+The estimator's per-frame bookkeeping runs on the host; dispatching eager
+jnp ops for 4-vector arithmetic costs an XLA roundtrip each (27 ms through
+the TPU tunnel).  These mirror ops/lie.py semantics (Hamilton convention,
+w-first) exactly — tested against the jnp versions in tests/test_lie.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def quat_identity():
+    return np.array([1.0, 0.0, 0.0, 0.0])
+
+
+def quat_mul(q, p):
+    qw, qx, qy, qz = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    pw, px, py, pz = p[..., 0], p[..., 1], p[..., 2], p[..., 3]
+    return np.stack([
+        qw * pw - qx * px - qy * py - qz * pz,
+        qw * px + qx * pw + qy * pz - qz * py,
+        qw * py - qx * pz + qy * pw + qz * px,
+        qw * pz + qx * py - qy * px + qz * pw,
+    ], axis=-1)
+
+
+def quat_normalize(q):
+    n = np.linalg.norm(q, axis=-1, keepdims=True)
+    return q / np.maximum(n, 1e-300)
+
+
+def quat_rotate(q, v):
+    """Rotate vector(s) v by quaternion(s) q."""
+    w = q[..., 0:1]
+    u = q[..., 1:4]
+    uv = np.cross(u, v)
+    return v + 2.0 * (w * uv + np.cross(u, uv))
+
+
+def quat_exp(theta):
+    """so(3) tangent -> unit quaternion."""
+    theta = np.asarray(theta, dtype=float)
+    ang = np.linalg.norm(theta, axis=-1, keepdims=True)
+    half = 0.5 * ang
+    small = ang < 1e-12
+    s = np.where(small, 0.5, np.sin(half) / np.maximum(ang, 1e-300))
+    w = np.cos(half)
+    return np.concatenate([w, s * theta], axis=-1)

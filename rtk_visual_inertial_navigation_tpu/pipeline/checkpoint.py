@@ -12,7 +12,6 @@ from __future__ import annotations
 import json
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..factors.priors import MargPrior
@@ -120,14 +119,15 @@ def load_checkpoint(est: Estimator, path: str):
         raise ValueError(f"checkpoint version {header['version']}")
 
     def get_tree(prefix, template):
+        # estimator state is host-resident numpy (see Estimator._host)
         leaves, treedef = jax.tree.flatten(template)
-        new = [jnp.asarray(z[f"{prefix}{i}"]) for i in range(len(leaves))]
+        new = [np.array(z[f"{prefix}{i}"]) for i in range(len(leaves))]
         return jax.tree.unflatten(treedef, new)
 
     est.x = get_tree("x_", est.x)
     est.prior = MargPrior(
-        J=jnp.asarray(z["priorJ_0"]), r0=jnp.asarray(z["priorR_0"]),
-        x0=get_tree("priorx0_", est.x), valid_rows=jnp.asarray(z["priorV_0"]))
+        J=np.array(z["priorJ_0"]), r0=np.array(z["priorR_0"]),
+        x0=get_tree("priorx0_", est.x), valid_rows=np.array(z["priorV_0"]))
     est.pre = [None] * (est.cfg.nf - 1)
     for k, present in enumerate(header["pre_mask"]):
         if present:

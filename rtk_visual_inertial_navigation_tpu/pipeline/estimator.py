@@ -36,7 +36,7 @@ from ..factors.visual import projection_factor_batch, project_world_point
 from ..frontend.features import FeatureTable
 from ..frontend.triangulation import triangulate_landmarks
 from ..gnss.preprocess import GnssEpoch, GnssPreprocessor, PreparedEpoch
-from ..ops import lie
+from ..ops import lie, lie_np
 from ..preintegration import ImuNoise, Preintegrated, preintegrate
 from ..solver import DoglegConfig, assemble, dogleg_solve, marginalize_dense
 from ..solver.chain_factors import chain_contrib, chain_retract
@@ -45,8 +45,19 @@ from .chains import (ChainRecord, chain_device_inputs, merge_rows,
                      truncate_middle, writeback_hidden)
 
 
+def _host(tree):
+    """Device pytree -> writable host-numpy pytree (one transfer).
+
+    The estimator keeps ALL mutable state (window, prior, preintegrations)
+    on the host: per-frame bookkeeping is numpy (microseconds), and device
+    work happens only inside the jitted stages.  Eager jnp ops here would
+    each pay an XLA dispatch — ~27 ms per op through the TPU tunnel.
+    """
+    return jax.tree.map(lambda a: np.array(a), tree)
+
+
 def _stack_pre(pre_list):
-    return jax.tree.map(lambda *x: jnp.stack(x), *pre_list)
+    return jax.tree.map(lambda *x: np.stack(x), *pre_list)
 
 
 def _all_pair_cam_points(p, q, tic, qic, landmarks, pbg):
@@ -54,6 +65,13 @@ def _all_pair_cam_points(p, q, tic, qic, landmarks, pbg):
     return jax.vmap(lambda lm: jax.vmap(
         lambda pf, qf: project_world_point(pf, qf, tic, qic, lm, pbg)
     )(p, q))(landmarks)
+
+
+def _prior_marg_cols(J, r0, mask):
+    """Fold the prior to information form and marginalize masked columns."""
+    H = J.T @ J
+    g = J.T @ r0
+    return marginalize_dense(H, g, mask)
 
 
 def _invdepth_to_world(p, q, tic, qic, pbg, hosts, hxy, rho):
@@ -78,9 +96,9 @@ class Estimator:
     def __init__(self, cfg: EstimatorConfig):
         self.cfg = cfg
         self.lay = TangentLayout(nf=cfg.nf, nl=cfg.nl, nb=cfg.nb, nc=2)
-        self.x = WindowState.zeros(cfg.nf, cfg.nl, cfg.nb)
-        self.x = self.x._replace(tic=jnp.asarray(cfg.tic),
-                                 qic=jnp.asarray(cfg.qic))
+        self.x = _host(WindowState.zeros(cfg.nf, cfg.nl, cfg.nb))
+        self.x = self.x._replace(tic=np.asarray(cfg.tic, dtype=float),
+                                 qic=np.asarray(cfg.qic, dtype=float))
         self.features = FeatureTable(cfg.nl, cfg.nf)
         self.frame_count = 0
         self.frame_times: list[float] = []
@@ -100,14 +118,15 @@ class Estimator:
         self._init_acc: list[np.ndarray] = []
         self._init_gyr: list[np.ndarray] = []
 
-        self.prior = MargPrior.empty(self.lay.dim, self.lay.dim, self.x)
-        self.g_world = jnp.asarray([0.0, 0.0, cfg.g])
-        self._pbg = jnp.asarray(cfg.pbg)
+        self.prior = _host(MargPrior.empty(self.lay.dim, self.lay.dim,
+                                           self.x))
+        self.g_world = np.asarray([0.0, 0.0, cfg.g])
+        self._pbg = np.asarray(cfg.pbg, dtype=float)
 
         # GNSS: frame typing, per-frame prepared epochs, preprocessor
         self.frame_is_gnss = np.zeros(cfg.nf, dtype=bool)
         self.gnss_store: list[Optional[PreparedEpoch]] = [None] * cfg.nf
-        self._R_e = jnp.asarray(cfg.enu_to_ecef)
+        self._R_e = np.asarray(cfg.enu_to_ecef, dtype=float)
         self.gnss: Optional[GnssPreprocessor] = None
         if cfg.use_gnss:
             self.gnss = GnssPreprocessor(
@@ -292,9 +311,9 @@ class Estimator:
             self.gnss.bias.pin(pins)
         rec = ChainRecord(
             left=a, right=b,
-            p=np.asarray(self.x.p[sl]), q=np.asarray(self.x.q[sl]),
-            v=np.asarray(self.x.v[sl]), ba=np.asarray(self.x.ba[sl]),
-            bg=np.asarray(self.x.bg[sl]), clk=np.asarray(self.x.clk[sl]),
+            p=np.array(self.x.p[sl]), q=np.array(self.x.q[sl]),
+            v=np.array(self.x.v[sl]), ba=np.array(self.x.ba[sl]),
+            bg=np.array(self.x.bg[sl]), clk=np.array(self.x.clk[sl]),
             pres=[self.pre[k] for k in range(a, b)],
             rows=rows, pinned_slots=np.asarray(pins, dtype=np.int64))
         if rec.n_leaves > self.cfg.chain_cap:
@@ -319,9 +338,9 @@ class Estimator:
             self._dummy_pre(), left_mask)
 
     def _frame_state(self, f: int) -> dict:
-        return dict(p=np.asarray(self.x.p[f]), q=np.asarray(self.x.q[f]),
-                    v=np.asarray(self.x.v[f]), ba=np.asarray(self.x.ba[f]),
-                    bg=np.asarray(self.x.bg[f]))
+        return dict(p=np.array(self.x.p[f]), q=np.array(self.x.q[f]),
+                    v=np.array(self.x.v[f]), ba=np.array(self.x.ba[f]),
+                    bg=np.array(self.x.bg[f]))
 
     def _truncate_chain(self, rec: ChainRecord) -> ChainRecord:
         """Mid-chain marginalization of an over-capacity chain
@@ -402,7 +421,7 @@ class Estimator:
             c = clk[prep.clk_slot[r]]
             # residual = ρ + clk − N·λ − z  ⇒  N = (ρ + clk − z)/λ
             pb[prep.pb_slot[r]] = (rho + c - prep.z[r]) / prep.wavelength[r]
-        self.x = self.x._replace(phase_bias=jnp.asarray(pb))
+        self.x = self.x._replace(phase_bias=pb)
 
     # ------------------------------------------------------------------
     # initialization (InitializePos semantics, rvi/swf/swf_imu.cpp:5-37:
@@ -429,11 +448,12 @@ class Estimator:
             else:
                 axis = v / np.linalg.norm(v)
                 ang = np.arctan2(np.linalg.norm(v), c)
-                q0 = np.asarray(lie.quat_exp(jnp.asarray(axis * ang)))
-        self.x = self.x._replace(
-            q=self.x.q.at[0].set(jnp.asarray(q0)),
-            bg=self.x.bg.at[0].set(jnp.asarray(mean_gyr)),
-        )
+                q0 = lie_np.quat_exp(axis * ang)
+        q = self.x.q.copy()
+        bg = self.x.bg.copy()
+        q[0] = q0
+        bg[0] = mean_gyr
+        self.x = self.x._replace(q=q, bg=bg)
         self.frame_count = 1
         self.frame_times = [float(t)]
         self._reset_imu_buffer()
@@ -469,8 +489,8 @@ class Estimator:
             d[lay.mag_off:lay.mag_off + 3] = 1.0
         np.fill_diagonal(J, d)
         self.prior = MargPrior(
-            J=jnp.asarray(J), r0=jnp.zeros(lay.dim),
-            x0=self.x, valid_rows=jnp.asarray(d > 0))
+            J=J, r0=np.zeros(lay.dim),
+            x0=self.x, valid_rows=d > 0)
 
     # ------------------------------------------------------------------
     # frame insertion + IMU propagation
@@ -488,39 +508,36 @@ class Estimator:
         accs[:n] = np.asarray(self._imu_acc[:n])
         gyrs[:n] = np.asarray(self._imu_gyr[:n])
         valid[:n] = True
-        return (jnp.asarray(dts), jnp.asarray(accs), jnp.asarray(gyrs),
-                jnp.asarray(valid))
+        return dts, accs, gyrs, valid
 
     def _add_frame(self, t):
         k = self.frame_count - 1       # interval index: frame k -> k+1
         dts, accs, gyrs, valid = self._interval_arrays()
-        pre = self._jit(preintegrate, "preint")(
+        pre = _host(self._jit(preintegrate, "preint")(
             dts, accs, gyrs, valid, self.x.ba[k], self.x.bg[k],
-            self.cfg.imu_noise)
+            self.cfg.imu_noise))
         self.pre[k] = pre
         self._last_interval_bad = \
-            float(np.asarray(pre.sum_dt)) > 10.0 or not bool(valid.any())
+            float(pre.sum_dt) > 10.0 or not bool(valid.any())
         # dead-reckoning prediction (IMUProcess propagation semantics)
         p, q, v = self._predict(pre, k)
-        self.x = self.x._replace(
-            p=self.x.p.at[k + 1].set(p),
-            q=self.x.q.at[k + 1].set(q),
-            v=self.x.v.at[k + 1].set(v),
-            ba=self.x.ba.at[k + 1].set(self.x.ba[k]),
-            bg=self.x.bg.at[k + 1].set(self.x.bg[k]),
-        )
+        xp, xq, xv = self.x.p.copy(), self.x.q.copy(), self.x.v.copy()
+        xba, xbg = self.x.ba.copy(), self.x.bg.copy()
+        xp[k + 1], xq[k + 1], xv[k + 1] = p, q, v
+        xba[k + 1], xbg[k + 1] = self.x.ba[k], self.x.bg[k]
+        self.x = self.x._replace(p=xp, q=xq, v=xv, ba=xba, bg=xbg)
         self.frame_count += 1
         self.frame_times.append(float(t))
         self._reset_imu_buffer()
 
     def _predict(self, pre: Preintegrated, k):
-        dt = pre.sum_dt
+        dt = float(pre.sum_dt)
         q_i = self.x.q[k]
         g = -self.g_world  # world gravity vector (z-down acceleration)
         p = (self.x.p[k] + self.x.v[k] * dt
-             + 0.5 * g * dt * dt + lie.quat_rotate(q_i, pre.delta_p))
-        v = self.x.v[k] + g * dt + lie.quat_rotate(q_i, pre.delta_v)
-        q = lie.quat_normalize(lie.quat_mul(q_i, pre.delta_q))
+             + 0.5 * g * dt * dt + lie_np.quat_rotate(q_i, pre.delta_p))
+        v = self.x.v[k] + g * dt + lie_np.quat_rotate(q_i, pre.delta_v)
+        q = lie_np.quat_normalize(lie_np.quat_mul(q_i, pre.delta_q))
         return p, q, v
 
     # ------------------------------------------------------------------
@@ -532,15 +549,14 @@ class Estimator:
         live = ft.active & ft.solved & ft.obs_mask[:, fidx]
         if int(live.sum()) < 6:
             return
-        lms_dev = (jnp.asarray(ft.point) if self.cfg.use_inverse_depth
-                   else self.x.landmarks)
+        lms = ft.point if self.cfg.use_inverse_depth else self.x.landmarks
         p, q, ok = self._jit(pnp_pose, "pnp")(
-            lms_dev, jnp.asarray(ft.obs_xy[:, fidx]),
-            jnp.asarray(live), self.x.p[fidx], self.x.q[fidx],
+            lms, ft.obs_xy[:, fidx], live, self.x.p[fidx], self.x.q[fidx],
             self.x.tic[0], self.x.qic[0], self._pbg)
         if bool(ok):
-            self.x = self.x._replace(p=self.x.p.at[fidx].set(p),
-                                     q=self.x.q.at[fidx].set(q))
+            xp, xq = self.x.p.copy(), self.x.q.copy()
+            xp[fidx], xq[fidx] = np.asarray(p), np.asarray(q)
+            self.x = self.x._replace(p=xp, q=xq)
 
     def _triangulate_new(self):
         ft = self.features
@@ -561,7 +577,7 @@ class Estimator:
         obs_mask = ft.obs_mask & in_window & cand[:, None]
         pts, ok = self._jit(triangulate_landmarks, "tri")(
             self.x.p, self.x.q, self.x.tic[0], self.x.qic[0],
-            jnp.asarray(ft.obs_xy), jnp.asarray(obs_mask), self._pbg)
+            ft.obs_xy, obs_mask, self._pbg)
         pts = np.asarray(pts)
         ok = np.asarray(ok) & cand
         if not np.any(ok):
@@ -569,10 +585,10 @@ class Estimator:
         # depth sanity: positive depth in every observing frame (batched)
         depths = np.asarray(self._jit(_all_pair_depths, "depths")(
             self.x.p, self.x.q, self.x.tic[0], self.x.qic[0],
-            jnp.asarray(pts), self._pbg))           # (NL, NF)
+            pts, self._pbg))                        # (NL, NF)
         bad_depth = np.any((depths < 0.3) & obs_mask, axis=1)
         good = ok & ~bad_depth
-        lms = np.array(self.x.landmarks)
+        lms = self.x.landmarks.copy()
         if self.cfg.use_inverse_depth:
             for slot in np.flatnonzero(good):
                 h = ft.host_frame(slot)
@@ -586,7 +602,7 @@ class Estimator:
             lms[good] = pts[good]
         ft.point[good] = pts[good]
         ft.solved[good] = True
-        self.x = self.x._replace(landmarks=jnp.asarray(lms))
+        self.x = self.x._replace(landmarks=lms)
 
     def _reject_outliers(self):
         """ImagePostprocess semantics (rvi/swf/swf_image.cpp:255-308).
@@ -599,11 +615,10 @@ class Estimator:
         live = ft.obs_mask & ft.active[:, None] & ft.solved[:, None]
         if not np.any(live):
             return
-        lms_dev = (jnp.asarray(ft.point) if self.cfg.use_inverse_depth
-                   else self.x.landmarks)
+        lms = ft.point if self.cfg.use_inverse_depth else self.x.landmarks
         pcs = np.asarray(self._jit(_all_pair_cam_points, "campts")(
             self.x.p, self.x.q, self.x.tic[0], self.x.qic[0],
-            lms_dev, self._pbg))                    # (NL, NF, 3)
+            lms, self._pbg))                        # (NL, NF, 3)
         xy = pcs[..., :2] / np.maximum(pcs[..., 2:], 1e-6)
         err = np.linalg.norm(xy - ft.obs_xy, axis=-1)
         bad = live & ((err > thresh) | (pcs[..., 2] < 0.1))
@@ -623,10 +638,10 @@ class Estimator:
             for k in range(cfg.nf - 1)])
         # interval exists, inside the window, and not overlong
         # (IMUINTEGRATIONTIMEMAX = 10 s, rvi/parameter/parameters.h:11)
-        pre_valid = jnp.asarray(np.array(
+        pre_valid = np.array(
             [self.pre[k] is not None and k + 1 < self.frame_count
-             and float(np.asarray(self.pre[k].sum_dt)) < 10.0
-             for k in range(cfg.nf - 1)]))
+             and float(self.pre[k].sum_dt) < 10.0
+             for k in range(cfg.nf - 1)])
         return (pre_stack, pre_valid, self._vis_inputs())
 
     def _vis_inputs(self):
@@ -638,13 +653,11 @@ class Estimator:
             host, obsf, cam, slot, hxy, mxy, valid = \
                 self.features.invdepth_batch(cfg.max_obs, cfg.use_stereo)
             valid = valid & (host < fc) & (obsf < fc)
-            return tuple(jnp.asarray(a) for a in
-                         (host, obsf, cam, slot, hxy, mxy, valid))
+            return (host, obsf, cam, slot, hxy, mxy, valid)
         f_ids, cam_ids, l_ids, xy, valid = \
             self.features.observation_batch(cfg.max_obs, cfg.use_stereo)
         valid = valid & (f_ids < fc)
-        return tuple(jnp.asarray(a) for a in
-                     (f_ids, cam_ids, l_ids, xy, valid))
+        return (f_ids, cam_ids, l_ids, xy, valid)
 
     def _vis_batch_fn(self):
         """Build-time selection of the visual factor family (captured by
@@ -702,26 +715,22 @@ class Estimator:
                 valid[n:n + k] = True
                 n += k
             return GnssObsBatch(
-                frame_ids=jnp.asarray(frame_ids), clk_slot=jnp.asarray(clk),
-                drift_slot=jnp.asarray(drift), pb_slot=jnp.asarray(pbs),
-                r0_unit=jnp.asarray(r0u), r0=jnp.asarray(r0),
-                sat_xy=jnp.asarray(sxy), sat_vel=jnp.asarray(svel),
-                z=jnp.asarray(z), wavelength=jnp.asarray(lam),
-                weight=jnp.asarray(w), valid=jnp.asarray(valid))
+                frame_ids=frame_ids, clk_slot=clk, drift_slot=drift,
+                pb_slot=pbs, r0_unit=r0u, r0=r0, sat_xy=sxy, sat_vel=svel,
+                z=z, wavelength=lam, weight=w, valid=valid)
 
         return (build((0, 2), cfg.max_gnss_pr),
                 build((1, 3), cfg.max_gnss_cp),
                 build((4,), cfg.max_gnss_dopp))
 
     def _dummy_pre(self):
-        cfg = self.cfg
-        eye = jnp.eye(15, dtype=jnp.float64)
+        eye = np.eye(15)
         return Preintegrated(
-            delta_p=jnp.zeros(3), delta_q=lie.quat_identity(),
-            delta_v=jnp.zeros(3), jacobian=eye,
-            covariance=eye * 1e-6, sum_dt=jnp.zeros(()),
-            linearized_ba=jnp.zeros(3), linearized_bg=jnp.zeros(3),
-            gyr_i=jnp.zeros(3), gyr_j=jnp.zeros(3))
+            delta_p=np.zeros(3), delta_q=lie_np.quat_identity(),
+            delta_v=np.zeros(3), jacobian=eye,
+            covariance=eye * 1e-6, sum_dt=np.zeros(()),
+            linearized_ba=np.zeros(3), linearized_bg=np.zeros(3),
+            gyr_i=np.zeros(3), gyr_j=np.zeros(3))
 
     def _free_mask(self):
         lay = self.lay
@@ -742,7 +751,7 @@ class Estimator:
             m[lay.ext_off:lay.ext_off + 12] = True
         if self.cfg.use_mag_correct_yaw:
             m[lay.mag_off:lay.mag_off + 3] = True
-        return jnp.asarray(m)
+        return m
 
     def _mag_inputs(self):
         use = self.cfg.use_mag_correct_yaw
@@ -750,8 +759,8 @@ class Estimator:
         valid[self.frame_count:] = False
         if not use:
             valid[:] = False
-        return (jnp.asarray(np.arange(self.cfg.nf, dtype=np.int32)),
-                jnp.asarray(self.frame_mag), jnp.asarray(valid))
+        return (np.arange(self.cfg.nf, dtype=np.int32),
+                self.frame_mag, valid)
 
     def _optimize(self):
         inputs = self._factor_inputs()
@@ -765,13 +774,13 @@ class Estimator:
                     self.x, hid, st, self.prior, free, *inputs,
                     *gnss_inputs, *self._mag_inputs())
                 win, hid2 = res.state
-                self.x = win
-                writeback_hidden(self.chains, hid2)
-                return res._replace(state=win)
+                self.x = _host(win)
+                writeback_hidden(self.chains, _host(hid2))
+                return res._replace(state=self.x)
             res = self._jit_solve()(self.x, self.prior, free, *inputs,
                                     *gnss_inputs, *self._mag_inputs())
-            self.x = res.state
-            return res
+            self.x = _host(res.state)
+            return res._replace(state=self.x)
 
         res = run()
         c = float(np.asarray(res.cost))
@@ -789,7 +798,7 @@ class Estimator:
         ft = self.features
         solved = ft.solved & ft.active
         if not self.cfg.use_inverse_depth:
-            ft.point[solved] = np.asarray(self.x.landmarks)[solved]
+            ft.point[solved] = self.x.landmarks[solved]
             return
         if not solved.any():
             return
@@ -799,8 +808,7 @@ class Estimator:
         hxy = ft.obs_xy[np.arange(self.cfg.nl), hosts]
         world = np.asarray(self._jit(_invdepth_to_world, "id2w")(
             self.x.p, self.x.q, self.x.tic[0], self.x.qic[0], self._pbg,
-            jnp.asarray(hosts), jnp.asarray(hxy),
-            self.x.landmarks[:, 0]))
+            hosts, hxy, self.x.landmarks[:, 0]))
         ft.point[solved] = world[solved]
 
     def _rehost_invdepth(self):
@@ -825,10 +833,10 @@ class Estimator:
             return
         pcs = np.asarray(self._jit(_all_pair_cam_points, "campts")(
             self.x.p, self.x.q, self.x.tic[0], self.x.qic[0],
-            jnp.asarray(ft.point), self._pbg))      # (NL, NF, 3)
+            ft.point, self._pbg))                   # (NL, NF, 3)
         stale = np.zeros(lay.dim, dtype=bool)
-        Jcol = np.abs(np.asarray(self.prior.J)).sum(axis=0)
-        lms = np.array(self.x.landmarks)
+        Jcol = np.abs(self.prior.J).sum(axis=0)
+        lms = self.x.landmarks.copy()
         for slot, h in need:
             depth = pcs[slot, h, 2]
             if depth < 0.1:
@@ -841,15 +849,18 @@ class Estimator:
             c = lay.lm_idx(slot)
             if Jcol[c:c + 3].sum() > 1e-12:
                 stale[c:c + 3] = True
-        self.x = self.x._replace(landmarks=jnp.asarray(lms))
+        self.x = self.x._replace(landmarks=lms)
         if stale.any():
-            H = self.prior.J.T @ self.prior.J
-            g = self.prior.J.T @ self.prior.r0
-            J0, r0 = self._jit(marginalize_dense, "prior_marg")(
-                H, g, jnp.asarray(stale))
-            self.prior = self.prior._replace(
-                J=J0, r0=r0,
-                valid_rows=jnp.ones(lay.dim, dtype=bool))
+            self._marginalize_prior_cols(stale)
+
+    def _marginalize_prior_cols(self, mask: np.ndarray):
+        """Schur-eliminate the masked tangent columns out of the prior
+        (device pass: J -> H=JᵀJ, g=Jᵀr -> marginalize -> √-info prior)."""
+        J0, r0 = self._jit(_prior_marg_cols, "prior_marg")(
+            self.prior.J, self.prior.r0, mask)
+        self.prior = self.prior._replace(
+            J=np.array(J0), r0=np.array(r0),
+            valid_rows=np.ones(self.lay.dim, dtype=bool))
 
     def _dogleg_cfg(self) -> DoglegConfig:
         """Solver config for the pipeline solves.
@@ -869,7 +880,8 @@ class Estimator:
             keep = tuple(range(FRAME_DIM * cfg.nf + POSE_DIM * 2 + 3))
         return DoglegConfig(max_iters=cfg.max_iters,
                             initial_radius=cfg.init_trust_radius,
-                            schur_nl=schur_nl, reduced_keep=keep)
+                            schur_nl=schur_nl, reduced_keep=keep,
+                            step_dtype=cfg.solve_step_dtype)
 
     def _jit_solve(self):
         key = "solve"
@@ -1070,7 +1082,7 @@ class Estimator:
         innov = b_float - F[0]
         K = np.linalg.solve(Qdd, innov)
         dx = Cov @ (Ddense.T @ K)
-        self.x = retract_window(self.x, jnp.asarray(-dx))
+        self.x = _host(self._jit(retract_window, "retract")(self.x, -dx))
         self.rtk_fixed = True
         self._fix_streak += 1
         self._nofix_streak = 0
@@ -1098,9 +1110,9 @@ class Estimator:
         re-factorize (FixedIntegerFactor weight 1/0.03, gnss_factor.h:137)."""
         lay = self.lay
         w = 1.0 / 0.03
-        H = np.array(self.prior.J.T @ self.prior.J)
-        g = np.array(self.prior.J.T @ self.prior.r0)
-        x0b = np.asarray(self.prior.x0.phase_bias)
+        H = self.prior.J.T @ self.prior.J
+        g = self.prior.J.T @ self.prior.r0
+        x0b = self.prior.x0.phase_bias
         for (i, r), n in zip(D_rows, n_fixed):
             row = np.zeros(lay.dim)
             row[lay.pb_idx(i)] = w
@@ -1110,9 +1122,10 @@ class Estimator:
             H += np.outer(row, row)
             g += row * r0
         from ..solver import prior_from_hessian
-        J0, r0v = prior_from_hessian(jnp.asarray(H), jnp.asarray(g))
+        J0, r0v = self._jit(prior_from_hessian, "prior_from_h")(H, g)
         self.prior = self.prior._replace(
-            J=J0, r0=r0v, valid_rows=jnp.ones(lay.dim, dtype=bool))
+            J=np.array(J0), r0=np.array(r0v),
+            valid_rows=np.ones(lay.dim, dtype=bool))
 
     # ------------------------------------------------------------------
     # marginalization + slide
@@ -1132,9 +1145,8 @@ class Estimator:
         (FeatureManager::removeOut + problem bookkeeping).
         """
         lay = self.lay
-        Jnp = np.asarray(self.prior.J)
         dead_cols = np.zeros(lay.dim, dtype=bool)
-        col_norm = np.abs(Jnp).sum(axis=0)
+        col_norm = np.abs(self.prior.J).sum(axis=0)
         for slot in range(self.cfg.nl):
             if not self.features.active[slot]:
                 c = lay.lm_idx(slot)
@@ -1150,12 +1162,7 @@ class Estimator:
                         dead_cols[c] = True
         if not np.any(dead_cols):
             return
-        H = self.prior.J.T @ self.prior.J
-        g = self.prior.J.T @ self.prior.r0
-        J0, r0 = self._jit(marginalize_dense, "prior_marg")(
-            H, g, jnp.asarray(dead_cols))
-        self.prior = self.prior._replace(
-            J=J0, r0=r0, valid_rows=jnp.ones(lay.dim, dtype=bool))
+        self._marginalize_prior_cols(dead_cols)
 
     def _jit_marg(self):
         key = "marg"
@@ -1219,7 +1226,7 @@ class Estimator:
             lm_cols = 1
         else:
             dying = live & ft.obs_mask[:, 0]
-            vis = vis[:4] + (vis[4] & jnp.asarray(dying)[vis[2]],)
+            vis = vis[:4] + (vis[4] & dying[vis[2]],)
             lm_cols = 3
 
         marg_mask = np.zeros(lay.dim, dtype=bool)
@@ -1231,8 +1238,8 @@ class Estimator:
         pre_stack = _stack_pre([
             self.pre[k] if self.pre[k] is not None else self._dummy_pre()
             for k in range(cfg.nf - 1)])
-        pre_valid0 = jnp.asarray(
-            np.arange(cfg.nf - 1) == 0) & (self.pre[0] is not None)
+        pre_valid0 = (np.arange(cfg.nf - 1) == 0) \
+            & (self.pre[0] is not None)
         b_pr, b_cp, b_dopp = self._gnss_factor_inputs()
         only0 = lambda b: b._replace(valid=b.valid & (b.frame_ids == 0))
         mag_f, mag_m, mag_v = self._mag_inputs()
@@ -1245,7 +1252,7 @@ class Estimator:
             cl = np.array([c.left == 0 for c in self.chains], dtype=bool)
             hid, st = self._chain_inputs(left_mask=cl)
             J0, r0 = self._jit_marg_chains()(
-                self.x, hid, st, self.prior, jnp.asarray(marg_mask),
+                self.x, hid, st, self.prior, marg_mask,
                 pre_stack, pre_valid0, vis,
                 only0(b_pr), only0(b_cp), only0(b_dopp),
                 mag_f, mag_m, mag_v)
@@ -1257,11 +1264,11 @@ class Estimator:
             self._chain_stats["died"] += len(dead_chains)
         else:
             J0, r0 = self._jit_marg()(
-                self.x, self.prior, jnp.asarray(marg_mask), pre_stack,
+                self.x, self.prior, marg_mask, pre_stack,
                 pre_valid0, vis, only0(b_pr), only0(b_cp), only0(b_dopp),
                 mag_f, mag_m, mag_v)
-        self.prior = MargPrior(J=J0, r0=r0, x0=self.x,
-                               valid_rows=jnp.ones(lay.dim, dtype=bool))
+        self.prior = MargPrior(J=np.array(J0), r0=np.array(r0), x0=self.x,
+                               valid_rows=np.ones(lay.dim, dtype=bool))
         if not cfg.use_inverse_depth:
             # consumed tracks restart from scratch: their rows are in the
             # prior, the landmark state left the problem (RemoveParameterBlock
@@ -1281,7 +1288,7 @@ class Estimator:
         # (possible when chain information was folded into the prior at a
         # middle frame); retain it and slide by the oldest instead
         lay = self.lay
-        col = np.abs(np.asarray(self.prior.J)
+        col = np.abs(self.prior.J
                      [:, lay.pose_idx(d):lay.pose_idx(d) + FRAME_DIM]).sum()
         if col > 1e-9:
             self._marginalize_oldest()
@@ -1315,7 +1322,7 @@ class Estimator:
             self._shift_state_only(d)   # also remaps merged.right -> d
             return
         self.features.remove_frame(d, self.cfg.nf - 1)
-        merged = merge_preintegrations(self.pre[d - 1], self.pre[d])
+        merged = _host(merge_preintegrations(self.pre[d - 1], self.pre[d]))
         self.pre[d - 1] = merged
         # shift intervals left above d
         for k in range(d, self.cfg.nf - 2):
@@ -1340,10 +1347,9 @@ class Estimator:
 
     def _shift_arrays(self, state: WindowState, drop: int) -> WindowState:
         def sh(a):
-            a = np.asarray(a)
-            out = a.copy()
-            out[drop:-1] = a[drop + 1:]
-            return jnp.asarray(out)
+            out = np.array(a)
+            out[drop:-1] = out[drop + 1:].copy()
+            return out
         return state._replace(p=sh(state.p), q=sh(state.q), v=sh(state.v),
                               ba=sh(state.ba), bg=sh(state.bg),
                               clk=sh(state.clk))
@@ -1356,12 +1362,12 @@ class Estimator:
         perm = self._frame_perm(drop)
         # prior columns follow the moving states; freed last-frame slots get
         # zero columns (no info)
-        J = np.asarray(self.prior.J)[:, perm]
+        J = self.prior.J[:, perm]
         last = lay.nf - 1
         J[:, lay.pose_idx(last):lay.pose_idx(last) + FRAME_DIM] = 0.0
         J[:, lay.clk_idx(last):lay.clk_idx(last) + NCLOCK] = 0.0
         x0 = self._shift_arrays(self.prior.x0, drop)
-        self.prior = self.prior._replace(J=jnp.asarray(J), x0=x0)
+        self.prior = self.prior._replace(J=J, x0=x0)
 
     def _shift_window(self, drop: int):
         """Shift state, prior and bookkeeping after marginalizing ``drop``."""

@@ -73,6 +73,12 @@ class DoglegConfig(NamedTuple):
     # structurally-empty slots (e.g. 13*NF unused clock entries in VI mode)
     # from the Cholesky: cost scales with |keep|^3.
     reduced_keep: tuple = ()
+    # dtype for the inner linear solve ("same" | "float32").  float32 runs
+    # the Jacobi-scaled Cholesky/Schur on the MXU-friendly dtype while
+    # residuals, costs and the trust region stay in the ambient dtype — a
+    # slightly-inexact step direction only slows convergence, never corrupts
+    # the solution (accept/reject uses exact costs).  ~18x faster on TPU.
+    step_dtype: str = "same"
 
 
 class SolveResult(NamedTuple):
@@ -161,13 +167,20 @@ def _gn_step_schur(H, g, nl: int, reduced_keep: tuple = ()):
     return jnp.concatenate([dl.reshape(-1), dr])
 
 
-def _dogleg_step(H, g, radius, schur_nl: int = 0, reduced_keep: tuple = ()):
+def _dogleg_step(H, g, radius, schur_nl: int = 0, reduced_keep: tuple = (),
+                 step_dtype: str = "same"):
     """Powell dogleg step for min ½ pᵀHp + gᵀp s.t. |p| ≤ radius."""
+    ambient = H.dtype
+    if step_dtype == "float32":
+        H32, g32 = H.astype(jnp.float32), g.astype(jnp.float32)
+    else:
+        H32, g32 = H, g
     # Gauss-Newton step (H is regularized SPD by apply_free_mask)
     if schur_nl > 0:
-        p_gn = _gn_step_schur(H, g, schur_nl, reduced_keep)
+        p_gn = _gn_step_schur(H32, g32, schur_nl, reduced_keep)
     else:
-        p_gn = _gn_step_dense(H, g)
+        p_gn = _gn_step_dense(H32, g32)
+    p_gn = p_gn.astype(ambient)
     gn_norm = jnp.linalg.norm(p_gn)
 
     gHg = g @ (H @ g)
@@ -214,7 +227,8 @@ def dogleg_solve(eval_fn: Callable, retract_fn: Callable, state0,
     def body(_, carry: SolveResult):
         state, H, g, cost, radius, n_acc = carry
         Hm, gm, _ = apply_free_mask(H, g, free_mask)
-        p = _dogleg_step(Hm, gm, radius, cfg.schur_nl, cfg.reduced_keep)
+        p = _dogleg_step(Hm, gm, radius, cfg.schur_nl, cfg.reduced_keep,
+                         cfg.step_dtype)
         pred = -(gm @ p + 0.5 * p @ (Hm @ p))
         cand = retract_fn(state, p)
         Hc, gc, costc = eval_fn(cand)

@@ -76,6 +76,26 @@ def test_dogleg_solves_nonlinear_least_squares():
     assert float(res.cost) < 1e-12
 
 
+def test_dogleg_float32_step_converges_to_f64_solution():
+    """step_dtype=float32 runs the inner Cholesky in f32 but still reaches
+    the f64 solution: step inexactness only slows convergence (trust region
+    accept/reject stays in f64)."""
+    def residuals(x):
+        return jnp.stack([10.0 * (x[1] - x[0] ** 2), 1.0 - x[0]])
+
+    def eval_fn(x):
+        r = residuals(x)
+        J = jax.jacfwd(residuals)(x)
+        return J.T @ J, J.T @ r, 0.5 * jnp.sum(r * r)
+
+    x0 = jnp.asarray([-1.2, 1.0])
+    res = dogleg_solve(eval_fn, lambda x, dx: x + dx, x0,
+                       jnp.ones(2, bool),
+                       DoglegConfig(max_iters=80, step_dtype="float32"))
+    assert res.state.dtype == jnp.float64
+    np.testing.assert_allclose(res.state, [1.0, 1.0], atol=1e-5)
+
+
 def test_free_mask_fixes_parameters():
     rng = np.random.default_rng(2)
     D = 5
