@@ -38,7 +38,8 @@ from ..frontend.triangulation import triangulate_landmarks
 from ..gnss.preprocess import GnssEpoch, GnssPreprocessor, PreparedEpoch
 from ..ops import lie, lie_np
 from ..preintegration import ImuNoise, Preintegrated, preintegrate
-from ..solver import DoglegConfig, assemble, dogleg_solve, marginalize_dense
+from ..solver import (DoglegConfig, assemble, dogleg_solve,
+                      marginalize_dense_np, prior_from_hessian_np)
 from ..solver.chain_factors import chain_contrib, chain_retract
 from .chains import (ChainRecord, chain_device_inputs, merge_rows,
                      prepared_to_chain_rows, splice_records,
@@ -67,11 +68,13 @@ def _all_pair_cam_points(p, q, tic, qic, landmarks, pbg):
     )(p, q))(landmarks)
 
 
-def _prior_marg_cols(J, r0, mask):
-    """Fold the prior to information form and marginalize masked columns."""
+def _prior_marg_cols_np(J, r0, mask):
+    """Fold the prior to information form and marginalize masked columns
+    (host numpy — marginalization runs on the host, see
+    solver.marginalize_dense_np)."""
     H = J.T @ J
     g = J.T @ r0
-    return marginalize_dense(H, g, mask)
+    return marginalize_dense_np(H, g, mask)
 
 
 def _invdepth_to_world(p, q, tic, qic, pbg, hosts, hxy, rho):
@@ -855,12 +858,10 @@ class Estimator:
 
     def _marginalize_prior_cols(self, mask: np.ndarray):
         """Schur-eliminate the masked tangent columns out of the prior
-        (device pass: J -> H=JᵀJ, g=Jᵀr -> marginalize -> √-info prior)."""
-        J0, r0 = self._jit(_prior_marg_cols, "prior_marg")(
-            self.prior.J, self.prior.r0, mask)
+        (host LAPACK: J -> H=JᵀJ, g=Jᵀr -> masked Schur -> eigh √-info)."""
+        J0, r0 = _prior_marg_cols_np(self.prior.J, self.prior.r0, mask)
         self.prior = self.prior._replace(
-            J=np.array(J0), r0=np.array(r0),
-            valid_rows=np.ones(self.lay.dim, dtype=bool))
+            J=J0, r0=r0, valid_rows=np.ones(self.lay.dim, dtype=bool))
 
     def _dogleg_cfg(self) -> DoglegConfig:
         """Solver config for the pipeline solves.
@@ -1000,7 +1001,7 @@ class Estimator:
                 H = H.at[gidx[:, :, None], gidx[:, None, :]].add(Hb)
                 g = g.at[gidx].add(gb)
                 Hp, gp, _ = prior.hessian_contrib(state)
-                return marginalize_dense(H + Hp, g + gp, marg_mask)
+                return H + Hp, g + gp
 
             self._jit_cache[key] = marg
         return self._jit_cache[key]
@@ -1068,9 +1069,12 @@ class Estimator:
             Ddense[k, lay.pb_idx(r)] = -1.0
         Qdd = Ddense @ Cov @ Ddense.T
         Qdd = 0.5 * (Qdd + Qdd.T)
+        if not (np.isfinite(Qdd).all() and np.isfinite(b_float).all()):
+            self._note_no_fix()
+            return
         try:
             F, s = lambda_ils(b_float, Qdd, m=2)
-        except np.linalg.LinAlgError:
+        except (np.linalg.LinAlgError, ValueError):
             self._note_no_fix()
             return
         if not ratio_test(s, cfg.fix_ratio_threshold):
@@ -1121,11 +1125,9 @@ class Estimator:
             r0 = w * ((x0b[i] - x0b[r]) - n)
             H += np.outer(row, row)
             g += row * r0
-        from ..solver import prior_from_hessian
-        J0, r0v = self._jit(prior_from_hessian, "prior_from_h")(H, g)
+        J0, r0v = prior_from_hessian_np(H, g)
         self.prior = self.prior._replace(
-            J=np.array(J0), r0=np.array(r0v),
-            valid_rows=np.ones(lay.dim, dtype=bool))
+            J=J0, r0=r0v, valid_rows=np.ones(lay.dim, dtype=bool))
 
     # ------------------------------------------------------------------
     # marginalization + slide
@@ -1192,7 +1194,7 @@ class Estimator:
                 ]
                 H, g, cost = assemble(batches, lay.dim)
                 Hp, gp, _ = prior.hessian_contrib(state)
-                return marginalize_dense(H + Hp, g + gp, marg_mask)
+                return H + Hp, g + gp
 
             self._jit_cache[key] = marg
         return self._jit_cache[key]
@@ -1251,7 +1253,7 @@ class Estimator:
             # keyframe the same way (GlobalMarge blanket)
             cl = np.array([c.left == 0 for c in self.chains], dtype=bool)
             hid, st = self._chain_inputs(left_mask=cl)
-            J0, r0 = self._jit_marg_chains()(
+            Hm, gm = self._jit_marg_chains()(
                 self.x, hid, st, self.prior, marg_mask,
                 pre_stack, pre_valid0, vis,
                 only0(b_pr), only0(b_cp), only0(b_dopp),
@@ -1263,11 +1265,16 @@ class Estimator:
             self.chains = [c for c in self.chains if c.left != 0]
             self._chain_stats["died"] += len(dead_chains)
         else:
-            J0, r0 = self._jit_marg()(
+            Hm, gm = self._jit_marg()(
                 self.x, self.prior, marg_mask, pre_stack,
                 pre_valid0, vis, only0(b_pr), only0(b_cp), only0(b_dopp),
                 mag_f, mag_m, mag_v)
-        self.prior = MargPrior(J=np.array(J0), r0=np.array(r0), x0=self.x,
+        # the Schur + eigenvalue square root runs on the HOST: LAPACK f64
+        # is robust where TPU's emulated-f64 eigh is not, and this happens
+        # once per slide, off the per-iteration hot path
+        J0, r0 = marginalize_dense_np(np.asarray(Hm), np.asarray(gm),
+                                      marg_mask)
+        self.prior = MargPrior(J=J0, r0=r0, x0=self.x,
                                valid_rows=np.ones(lay.dim, dtype=bool))
         if not cfg.use_inverse_depth:
             # consumed tracks restart from scratch: their rows are in the

@@ -3,4 +3,6 @@ from .gauss_newton import (  # noqa: F401
     dogleg_solve,
     DoglegConfig,
 )
-from .marginalization import marginalize_dense, prior_from_hessian  # noqa: F401
+from .marginalization import (marginalize_dense,  # noqa: F401
+                              marginalize_dense_np, prior_from_hessian,
+                              prior_from_hessian_np, spd_solve)

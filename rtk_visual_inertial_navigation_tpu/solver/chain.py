@@ -32,6 +32,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .marginalization import spd_solve
+
 
 class ChainElem(NamedTuple):
     Hii: jnp.ndarray   # (..., d, d)
@@ -49,7 +51,7 @@ def _combine(L: ChainElem, R: ChainElem) -> ChainElem:
     # solve once against [L.Hijᵀ | R.Hij | m]
     rhs = jnp.concatenate(
         [jnp.swapaxes(L.Hij, -1, -2), R.Hij, m[..., None]], axis=-1)
-    sol = jnp.linalg.solve(M, rhs)
+    sol = spd_solve(M, rhs)
     X_L = sol[..., :d]             # M⁻¹ L.Hijᵀ
     X_R = sol[..., d:2 * d]        # M⁻¹ R.Hij
     x_m = sol[..., 2 * d]          # M⁻¹ m
@@ -160,7 +162,7 @@ def _combine_tail(L: ChainTailElem, R: ChainTailElem) -> ChainTailElem:
     C_N = L.HjN + R.HiN                       # (d, dn) coupling x_k ↔ N
     rhs = jnp.concatenate(
         [jnp.swapaxes(L.Hij, -1, -2), R.Hij, C_N, m[..., None]], axis=-1)
-    sol = jnp.linalg.solve(M, rhs)
+    sol = spd_solve(M, rhs)
     X_i = sol[..., :d]                        # M⁻¹ L.Hijᵀ
     X_j = sol[..., d:2 * d]                   # M⁻¹ R.Hij
     X_N = sol[..., 2 * d:2 * d + dn]          # M⁻¹ C_N
@@ -317,5 +319,5 @@ def solve_chain_interior(leaves: ChainTailElem, n_leaves, dx_i, dx_j, dx_N,
     Hm = H * mask[:, None] * mask[None, :] + jnp.diag(
         jnp.where(mask, 0.0, 1.0).astype(dtype))
     rv = rhs.reshape(-1) * mask
-    sol = jnp.linalg.solve(Hm, rv)
+    sol = spd_solve(Hm, rv)
     return (sol.reshape(m, d) * active[:, None]).astype(dtype)

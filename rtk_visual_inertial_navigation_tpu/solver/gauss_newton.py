@@ -119,14 +119,43 @@ def _jacobi_scale(H):
     return 1.0 / jnp.sqrt(jnp.maximum(d, 1e-12))
 
 
-def _gn_step_dense(H, g):
+def _chol_solve_scaled(A, b, step_dtype: str = "same", shift: float = 1e-5,
+                       refine: int = 2):
+    """Solve A x = b for SPD, Jacobi-scaled (unit-diagonal) A.
+
+    step_dtype="float32" uses a *shifted* f32 factorization plus f64
+    iterative refinement: the pipeline Hessians reach scaled condition
+    ~1e10 (GNSS geometry + gauge-weak directions), where a plain f32
+    Cholesky is not even positive definite.  chol(A + shift·I) always
+    exists in f32 (diag ≈ 1), and refinement against the *shifted* f64
+    operator converges to the damped-GN step (A + shift·I)⁻¹b — a proper
+    descent direction whose weak-direction damping the dogleg trust region
+    absorbs.  ~MXU-speed for the O(D³) factorization; the O(D²) refinement
+    matvecs stay in the ambient dtype.
+    """
+    if step_dtype != "float32" or A.dtype == jnp.float32:
+        L = jnp.linalg.cholesky(A)
+        return jax.scipy.linalg.cho_solve((L, True), b)
+    A32 = (A + shift * jnp.eye(A.shape[-1], dtype=A.dtype)
+           ).astype(jnp.float32)
+    L = jnp.linalg.cholesky(A32)
+    x = jax.scipy.linalg.cho_solve(
+        (L, True), b.astype(jnp.float32)).astype(A.dtype)
+    for _ in range(refine):
+        r = b - A @ x - shift * x
+        x = x + jax.scipy.linalg.cho_solve(
+            (L, True), r.astype(jnp.float32)).astype(A.dtype)
+    return x
+
+
+def _gn_step_dense(H, g, step_dtype: str = "same"):
     s = _jacobi_scale(H)
     Hs = H * s[:, None] * s[None, :]
-    L = jnp.linalg.cholesky(Hs)
-    return -s * jax.scipy.linalg.cho_solve((L, True), s * g)
+    return -s * _chol_solve_scaled(Hs, s * g, step_dtype)
 
 
-def _gn_step_schur(H, g, nl: int, reduced_keep: tuple = ()):
+def _gn_step_schur(H, g, nl: int, reduced_keep: tuple = (),
+                   step_dtype: str = "same"):
     """Gauss-Newton step eliminating the leading 3x3-block-diagonal landmark
     group first (DENSE_SCHUR semantics; group 0 of MyOrdering,
     rvi/swf/swf_gnss.cpp:629-783).  Cost drops from O(D³) to
@@ -154,14 +183,13 @@ def _gn_step_schur(H, g, nl: int, reduced_keep: tuple = ()):
         Sk = S[keep][:, keep]
         rk = rhs[keep]
         sk = _jacobi_scale(Sk)
-        Lk = jnp.linalg.cholesky(Sk * sk[:, None] * sk[None, :])
-        drk = -sk * jax.scipy.linalg.cho_solve((Lk, True), sk * rk)
+        drk = -sk * _chol_solve_scaled(Sk * sk[:, None] * sk[None, :],
+                                       sk * rk, step_dtype)
         dr = jnp.zeros_like(rhs).at[keep].set(drk)
     else:
         s = _jacobi_scale(S)
         Ss = S * s[:, None] * s[None, :]
-        L = jnp.linalg.cholesky(Ss)
-        dr = -s * jax.scipy.linalg.cho_solve((L, True), s * rhs)
+        dr = -s * _chol_solve_scaled(Ss, s * rhs, step_dtype)
     # back-substitute: dl = -Hll⁻¹ (gl + Hlr dr)
     dl = -(Hinv_gl + jnp.einsum("lir,r->li", HinvHlr, dr))
     return jnp.concatenate([dl.reshape(-1), dr])
@@ -170,17 +198,13 @@ def _gn_step_schur(H, g, nl: int, reduced_keep: tuple = ()):
 def _dogleg_step(H, g, radius, schur_nl: int = 0, reduced_keep: tuple = (),
                  step_dtype: str = "same"):
     """Powell dogleg step for min ½ pᵀHp + gᵀp s.t. |p| ≤ radius."""
-    ambient = H.dtype
-    if step_dtype == "float32":
-        H32, g32 = H.astype(jnp.float32), g.astype(jnp.float32)
-    else:
-        H32, g32 = H, g
-    # Gauss-Newton step (H is regularized SPD by apply_free_mask)
+    # Gauss-Newton step (H is regularized SPD by apply_free_mask); the
+    # landmark elimination and Schur formation stay in the ambient dtype,
+    # only the O(D³) factorization drops to f32 (see _chol_solve_scaled)
     if schur_nl > 0:
-        p_gn = _gn_step_schur(H32, g32, schur_nl, reduced_keep)
+        p_gn = _gn_step_schur(H, g, schur_nl, reduced_keep, step_dtype)
     else:
-        p_gn = _gn_step_dense(H32, g32)
-    p_gn = p_gn.astype(ambient)
+        p_gn = _gn_step_dense(H, g, step_dtype)
     gn_norm = jnp.linalg.norm(p_gn)
 
     gHg = g @ (H @ g)

@@ -19,7 +19,27 @@ matching marginalization_factor.cpp:335-349's eps=1e-8 treatment).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def spd_solve(M, rhs):
+    """Jacobi-scaled Cholesky solve for SPD systems.
+
+    TPU's LuDecomposition only implements F32/C64 — ``jnp.linalg.solve``
+    on f64 fails to compile there — while Cholesky lowers to blocked
+    matmuls in any dtype (and is ~2x cheaper anyway).  The 1/√diag
+    pre-scaling keeps the factorization stable when the information matrix
+    mixes ~1e11 projection weights with ~1e-9 jitter pivots.
+    """
+    d = jnp.diagonal(M, axis1=-2, axis2=-1)
+    s = 1.0 / jnp.sqrt(jnp.maximum(d, 1e-300))
+    Ms = M * s[..., :, None] * s[..., None, :]
+    L = jnp.linalg.cholesky(Ms)
+    r = rhs if rhs.ndim == M.ndim else rhs[..., None]
+    x = jax.scipy.linalg.cho_solve((L, True), s[..., :, None] * r)
+    x = s[..., :, None] * x
+    return x if rhs.ndim == M.ndim else x[..., 0]
 
 
 def _masked_schur(H, g, marg_mask, jitter=1e-9):
@@ -36,7 +56,7 @@ def _masked_schur(H, g, marg_mask, jitter=1e-9):
     Hmm_full = Hmm_full + jitter * jnp.diag(m)
     rhs = jnp.concatenate([H * m[:, None] * k[None, :],  # Hmk (cols kept)
                           (g * m)[:, None]], axis=1)
-    sol = jnp.linalg.solve(Hmm_full, rhs)               # Hmm⁻¹ [Hmk, gm]
+    sol = spd_solve(Hmm_full, rhs)                      # Hmm⁻¹ [Hmk, gm]
     Hmk_sol, gm_sol = sol[:, :-1], sol[:, -1]
     Hkm = H * k[:, None] * m[None, :]
     H_star = H * k[:, None] * k[None, :] - Hkm @ Hmk_sol
@@ -46,8 +66,35 @@ def _masked_schur(H, g, marg_mask, jitter=1e-9):
     return H_star, g_star
 
 
-def prior_from_hessian(H_star, g_star, eig_eps=1e-8):
-    """Square-root factorization (J₀, r₀) of a PSD information pair."""
+def prior_from_hessian(H_star, g_star, eig_eps=1e-8, method="auto"):
+    """Square-root factorization (J₀, r₀) of a PSD information pair.
+
+    method="direct": f64 eigh (CPU path).  method="scaled32": Jacobi-scale,
+    take the eigenbasis in float32, and form J₀ = √S Wᵀ D⁻¹ — an exact
+    square root of the f32-backward-stable factorization (info error ~1e-7
+    relative).  Needed on TPU, whose emulated-f64 eigh returns NaN on
+    ill-conditioned inputs (observed on real pipeline Hessians with
+    diag ∈ [0, 1e7]); "auto" picks per backend at trace time.
+    """
+    if method == "auto":
+        method = ("scaled32" if H_star.dtype == jnp.float64
+                  and jax.default_backend() == "tpu" else "direct")
+    if method == "scaled32":
+        d = jnp.diagonal(H_star)
+        s = 1.0 / jnp.sqrt(jnp.maximum(d, 1.0))
+        Hs = H_star * s[:, None] * s[None, :]
+        S32, W32 = jnp.linalg.eigh(Hs.astype(jnp.float32))
+        S = S32.astype(H_star.dtype)
+        W = W32.astype(H_star.dtype)
+        # threshold in scaled units, above f32 eigenvalue noise
+        ok = S > jnp.maximum(eig_eps, 3e-7)
+        sqrt_S = jnp.sqrt(jnp.where(ok, S, 1.0)) * ok
+        inv_sqrt_S = jnp.where(ok, 1.0 / jnp.sqrt(jnp.where(ok, S, 1.0)),
+                               0.0)
+        # H* = D⁻¹ W S Wᵀ D⁻¹  ⇒  J₀ = √S Wᵀ D⁻¹,  r₀ = √S⁻¹ Wᵀ D g*
+        J0 = sqrt_S[:, None] * (W.T / s[None, :])
+        r0 = inv_sqrt_S * (W.T @ (s * g_star))
+        return J0, r0
     S, V = jnp.linalg.eigh(H_star)
     ok = S > eig_eps
     sqrt_S = jnp.sqrt(jnp.where(ok, S, 1.0)) * ok
@@ -65,3 +112,42 @@ def marginalize_dense(H, g, marg_mask, eig_eps=1e-8):
     """
     H_star, g_star = _masked_schur(H, g, marg_mask)
     return prior_from_hessian(H_star, g_star, eig_eps)
+
+
+def marginalize_dense_np(H, g, marg_mask, eig_eps=1e-8):
+    """Host (numpy/LAPACK) mirror of ``marginalize_dense``.
+
+    The pipeline marginalizes on the HOST: it happens once per slide (not
+    per iteration), the prior lives host-side, and LAPACK f64 eigh is
+    robust where TPU's emulated-f64 eigh returns NaN on the ill-conditioned
+    information matrices real GNSS windows produce (diag spans 0..1e12).
+    """
+    import numpy as np
+
+    H = np.asarray(H, dtype=np.float64)
+    g = np.asarray(g, dtype=np.float64)
+    m = np.asarray(marg_mask, dtype=np.float64)
+    k = 1.0 - m
+    Hmm_full = H * m[:, None] * m[None, :] + np.diag(k) + 1e-9 * np.diag(m)
+    rhs = np.concatenate([H * m[:, None] * k[None, :], (g * m)[:, None]],
+                         axis=1)
+    sol = np.linalg.solve(Hmm_full, rhs)
+    Hmk_sol, gm_sol = sol[:, :-1], sol[:, -1]
+    Hkm = H * k[:, None] * m[None, :]
+    H_star = H * k[:, None] * k[None, :] - Hkm @ Hmk_sol
+    g_star = g * k - Hkm @ gm_sol
+    H_star = 0.5 * (H_star + H_star.T)
+    return prior_from_hessian_np(H_star, g_star, eig_eps)
+
+
+def prior_from_hessian_np(H_star, g_star, eig_eps=1e-8):
+    """Host (numpy/LAPACK) mirror of ``prior_from_hessian``."""
+    import numpy as np
+
+    S, V = np.linalg.eigh(np.asarray(H_star, dtype=np.float64))
+    ok = S > eig_eps
+    sqrt_S = np.sqrt(np.where(ok, S, 1.0)) * ok
+    inv_sqrt_S = np.where(ok, 1.0 / np.sqrt(np.where(ok, S, 1.0)), 0.0)
+    J0 = sqrt_S[:, None] * V.T
+    r0 = inv_sqrt_S * (V.T @ np.asarray(g_star, dtype=np.float64))
+    return J0, r0

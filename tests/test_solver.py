@@ -96,6 +96,26 @@ def test_dogleg_float32_step_converges_to_f64_solution():
     np.testing.assert_allclose(res.state, [1.0, 1.0], atol=1e-5)
 
 
+def test_prior_from_hessian_scaled32_matches_direct():
+    """The TPU-safe scaled-f32 eigenbasis square root reproduces the same
+    information pair (JᵀJ, Jᵀr) to f32 accuracy, including rank
+    deficiency and wildly-scaled diagonals."""
+    from rtk_visual_inertial_navigation_tpu.solver import prior_from_hessian
+    rng = np.random.default_rng(3)
+    n, r = 60, 40
+    A = rng.normal(size=(r, n)) * rng.uniform(1e-2, 3e3, (r, 1))
+    H = A.T @ A                      # PSD, rank 40, diag spans ~1e10
+    g = A.T @ rng.normal(size=r)
+    J0, r0 = prior_from_hessian(jnp.asarray(H), jnp.asarray(g),
+                                method="scaled32")
+    J0, r0 = np.asarray(J0), np.asarray(r0)
+    scale = np.abs(H).max()
+    assert np.abs(J0.T @ J0 - H).max() < 3e-6 * scale
+    # g reconstruction amplifies f32 eigenbasis error by 1/√S along weak
+    # directions (cancels only to first order): ~1e-4 relative is expected
+    assert np.abs(J0.T @ r0 - g).max() < 2e-4 * np.abs(g).max()
+
+
 def test_free_mask_fixes_parameters():
     rng = np.random.default_rng(2)
     D = 5
