@@ -58,6 +58,10 @@ class EstimatorConfig:
     # Jacobi-scaled Schur/Cholesky on the TPU MXU dtype; costs/trust region
     # stay f64 — see DoglegConfig.step_dtype)
     solve_step_dtype: str = "same"
+    # dogleg early exit: stop once an accepted step's cost decrease falls
+    # below f_tol·cost (ceres function_tolerance default; the reference
+    # runs stock ceres convergence tests inside its ≤8 iterations)
+    solve_f_tol: float = 1e-6
 
     # visual parameterization (USE_INVERSE_DEPTH, parameters.h:25): world
     # points (shipped default) or per-landmark inverse depth hosted at the

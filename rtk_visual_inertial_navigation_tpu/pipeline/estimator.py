@@ -68,6 +68,18 @@ def _all_pair_cam_points(p, q, tic, qic, landmarks, pbg):
     )(p, q))(landmarks)
 
 
+def _masked_cov_cols(H, free, cols):
+    """Selected covariance columns of the masked information matrix:
+    solve (H restricted to free slots, unit elsewhere) X = E[:, cols]."""
+    from ..solver import spd_solve
+    m = free & (jnp.diagonal(H) > 0)
+    md = m.astype(H.dtype)
+    Hm = H * md[:, None] * md[None, :] + jnp.diag(1.0 - md)
+    E = jnp.zeros((H.shape[0], cols.shape[0]), H.dtype)
+    E = E.at[cols, jnp.arange(cols.shape[0])].set(1.0)
+    return spd_solve(Hm, E)
+
+
 def _prior_marg_cols_np(J, r0, mask):
     """Fold the prior to information form and marginalize masked columns
     (host numpy — marginalization runs on the host, see
@@ -774,13 +786,14 @@ class Estimator:
             if self.cfg.use_gnss_chains:
                 hid, st = self._chain_inputs()
                 res = self._jit_solve_chains()(
-                    self.x, hid, st, self.prior, free, *inputs,
+                    self.x, hid, st, self._prior_device(), free, *inputs,
                     *gnss_inputs, *self._mag_inputs())
                 win, hid2 = res.state
                 self.x = _host(win)
                 writeback_hidden(self.chains, _host(hid2))
                 return res._replace(state=self.x)
-            res = self._jit_solve()(self.x, self.prior, free, *inputs,
+            res = self._jit_solve()(self.x, self._prior_device(), free,
+                                    *inputs,
                                     *gnss_inputs, *self._mag_inputs())
             self.x = _host(res.state)
             return res._replace(state=self.x)
@@ -882,7 +895,8 @@ class Estimator:
         return DoglegConfig(max_iters=cfg.max_iters,
                             initial_radius=cfg.init_trust_radius,
                             schur_nl=schur_nl, reduced_keep=keep,
-                            step_dtype=cfg.solve_step_dtype)
+                            step_dtype=cfg.solve_step_dtype,
+                            f_tol=cfg.solve_f_tol)
 
     def _jit_solve(self):
         key = "solve"
@@ -1025,14 +1039,19 @@ class Estimator:
         bias_tab = self.gnss.bias
         b_all = np.asarray(self.x.phase_bias)
 
-        # covariance of the free system at the solution (tail-block
-        # covariance of the ordered elimination — SURVEY.md §2.9; computed
-        # here as the masked inverse of the final Hessian)
-        H = np.asarray(self.last_solve.H)
-        free = np.asarray(self._free_mask())
-        m = free & (np.diag(H) > 0)
-        Hm = H * m[:, None] * m[None, :] + np.diag(~m * 1.0)
-        Cov = np.linalg.inv(Hm)
+        # covariance columns of the free system at the solution for all
+        # phase-bias slots (tail-block covariance of the ordered
+        # elimination — SURVEY.md §2.9).  Computed on-device from the
+        # solve's final Hessian (which stays there): one Cholesky + nb
+        # triangular solves instead of downloading H and inverting on host.
+        pb_cols_all = np.asarray([lay.pb_idx(s) for s in range(cfg.nb)],
+                                 dtype=np.int32)
+        X = np.asarray(self._jit(_masked_cov_cols, "intcov")(
+            self.last_solve.H, self._free_mask(), pb_cols_all))  # (D, nb)
+        if not np.isfinite(X).all():
+            self._note_no_fix()
+            return
+        Cov_pb = X[pb_cols_all]                                  # (nb, nb)
 
         # group by (sys, freq); build DD per group
         groups: dict[tuple, list[int]] = {}
@@ -1060,14 +1079,14 @@ class Estimator:
             return
 
         n_dd = len(D_rows)
-        pb_cols = np.asarray([lay.pb_idx(s) for s in range(cfg.nb)])
         b_float = np.asarray([b_all[i] - b_all[r] for i, r in D_rows])
-        # DD covariance from the full covariance
-        Ddense = np.zeros((n_dd, lay.dim))
+        # DD covariance via the phase-bias covariance block: D has ±1 only
+        # at phase-bias slots, so Qdd = D_pb Cov_pb D_pbᵀ
+        D_pb = np.zeros((n_dd, cfg.nb))
         for k, (i, r) in enumerate(D_rows):
-            Ddense[k, lay.pb_idx(i)] = 1.0
-            Ddense[k, lay.pb_idx(r)] = -1.0
-        Qdd = Ddense @ Cov @ Ddense.T
+            D_pb[k, i] = 1.0
+            D_pb[k, r] = -1.0
+        Qdd = D_pb @ Cov_pb @ D_pb.T
         Qdd = 0.5 * (Qdd + Qdd.T)
         if not (np.isfinite(Qdd).all() and np.isfinite(b_float).all()):
             self._note_no_fix()
@@ -1082,10 +1101,11 @@ class Estimator:
             return
 
         # conditioned (fixed) solution over the whole free tangent:
-        # dx = Cov Dᵀ (D Cov Dᵀ)⁻¹ (D b − ň)
+        # dx = Cov Dᵀ (D Cov Dᵀ)⁻¹ (D b − ň); Cov Dᵀ = X D_pbᵀ since D is
+        # supported on the phase-bias columns
         innov = b_float - F[0]
         K = np.linalg.solve(Qdd, innov)
-        dx = Cov @ (Ddense.T @ K)
+        dx = X @ (D_pb.T @ K)
         self.x = _host(self._jit(retract_window, "retract")(self.x, -dx))
         self.rtk_fixed = True
         self._fix_streak += 1
@@ -1254,7 +1274,7 @@ class Estimator:
             cl = np.array([c.left == 0 for c in self.chains], dtype=bool)
             hid, st = self._chain_inputs(left_mask=cl)
             Hm, gm = self._jit_marg_chains()(
-                self.x, hid, st, self.prior, marg_mask,
+                self.x, hid, st, self._prior_device(), marg_mask,
                 pre_stack, pre_valid0, vis,
                 only0(b_pr), only0(b_cp), only0(b_dopp),
                 mag_f, mag_m, mag_v)
@@ -1266,7 +1286,7 @@ class Estimator:
             self._chain_stats["died"] += len(dead_chains)
         else:
             Hm, gm = self._jit_marg()(
-                self.x, self.prior, marg_mask, pre_stack,
+                self.x, self._prior_device(), marg_mask, pre_stack,
                 pre_valid0, vis, only0(b_pr), only0(b_cp), only0(b_dopp),
                 mag_f, mag_m, mag_v)
         # the Schur + eigenvalue square root runs on the HOST: LAPACK f64
@@ -1415,10 +1435,39 @@ class Estimator:
             (float(t), np.asarray(self.x.p[i]), np.asarray(self.x.q[i]),
              np.asarray(self.x.v[i])))
 
+    # ------------------------------------------------------------------
+    # prior storage: host numpy is the source of truth (host marginalization
+    # + bookkeeping); a device copy is cached so the ~D² prior Jacobian is
+    # NOT re-uploaded on every per-frame solve — only after prior updates
+    # (marg / bake / dead-slot sync / column shifts)
+    @property
+    def prior(self):
+        return self._prior
+
+    @prior.setter
+    def prior(self, p):
+        self._prior = p
+        self._prior_dev_cache = None
+
+    def _prior_device(self):
+        if self._prior_dev_cache is None:
+            self._prior_dev_cache = jax.device_put(self._prior)
+        return self._prior_dev_cache
+
+    # small per-frame stages: sequential scans / tiny batched geometry that
+    # are latency-bound on an accelerator (a 128-step preintegration scan
+    # costs ~70 ms on TPU vs ~1 ms on host CPU).  Pinned to the CPU backend;
+    # only the window solves and marg assembly run on the accelerator.
+    _HOST_STAGES = frozenset(
+        {"preint", "tri", "depths", "campts", "id2w", "pnp", "retract"})
+
     def _jit(self, fn, key):
         if key not in self._jit_cache:
+            kw = {}
+            if key in self._HOST_STAGES:
+                kw["device"] = jax.devices("cpu")[0]
             if key == "preint":
-                self._jit_cache[key] = jax.jit(fn, static_argnums=(6,))
+                self._jit_cache[key] = jax.jit(fn, static_argnums=(6,), **kw)
             else:
-                self._jit_cache[key] = jax.jit(fn)
+                self._jit_cache[key] = jax.jit(fn, **kw)
         return self._jit_cache[key]

@@ -65,6 +65,11 @@ class DoglegConfig(NamedTuple):
     max_radius: float = 1e15
     min_radius: float = 1e-12
     min_rel_decrease: float = 1e-3  # ceres dogleg accept threshold on rho
+    # ceres-default function_tolerance: stop after an accepted step whose
+    # cost decrease is below f_tol·cost.  0 disables early exit (the loop
+    # always runs max_iters — required under vmap where per-problem exits
+    # would diverge; batched callers set 0).
+    f_tol: float = 0.0
     # number of leading landmark slots forming the 3x3-block-diagonal Schur
     # group 0 (the classic DENSE_SCHUR elimination; 0 = plain dense solve)
     schur_nl: int = 0
@@ -248,7 +253,7 @@ def dogleg_solve(eval_fn: Callable, retract_fn: Callable, state0,
     """
     H0, g0, cost0 = eval_fn(state0)
 
-    def body(_, carry: SolveResult):
+    def body(carry: SolveResult):
         state, H, g, cost, radius, n_acc = carry
         Hm, gm, _ = apply_free_mask(H, g, free_mask)
         p = _dogleg_step(Hm, gm, radius, cfg.schur_nl, cfg.reduced_keep,
@@ -272,11 +277,31 @@ def dogleg_solve(eval_fn: Callable, retract_fn: Callable, state0,
             jnp.minimum(2.0 * radius, cfg.max_radius),
             jnp.where(rho < 0.25,
                       jnp.maximum(0.5 * step_norm, cfg.min_radius), radius))
+        converged = accept & (actual <= cfg.f_tol * cost) \
+            if cfg.f_tol > 0 else jnp.asarray(False)
         return SolveResult(state, H, g, cost, radius,
-                           n_acc + accept.astype(jnp.int32))
+                           n_acc + accept.astype(jnp.int32)), converged
 
     init = SolveResult(state0, H0, g0, cost0,
                        jnp.asarray(cfg.initial_radius, cost0.dtype),
                        jnp.zeros((), jnp.int32))
-    out = jax.lax.fori_loop(0, cfg.max_iters, body, init)
+    if cfg.f_tol > 0:
+        # early-exit loop: stop after max_iters or once an accepted step's
+        # decrease drops below function_tolerance (ceres semantics) —
+        # steady-state window solves converge in 1-3 iterations
+        def cond(c):
+            _, it, done = c
+            return (it < cfg.max_iters) & ~done
+
+        def wbody(c):
+            carry, it, _ = c
+            carry, converged = body(carry)
+            return carry, it + 1, converged
+
+        out, _, _ = jax.lax.while_loop(
+            cond, wbody, (init, jnp.zeros((), jnp.int32),
+                          jnp.asarray(False)))
+        return out
+    out = jax.lax.fori_loop(0, cfg.max_iters,
+                            lambda _, c: body(c)[0], init)
     return out
