@@ -41,6 +41,7 @@ from ..preintegration import ImuNoise, Preintegrated, preintegrate
 from ..solver import (DoglegConfig, assemble, dogleg_solve,
                       marginalize_dense_np, prior_from_hessian_np)
 from ..solver.chain_factors import chain_contrib, chain_retract
+from ..solver.structured import projection_assemble
 from .chains import (ChainRecord, chain_device_inputs, merge_rows,
                      prepared_to_chain_rows, splice_records,
                      truncate_middle, writeback_hidden)
@@ -902,41 +903,58 @@ class Estimator:
         key = "solve"
         if key not in self._jit_cache:
             cfg = self.cfg
-            lay = self.lay
-            pbg, g_world = self._pbg, self.g_world
-            vis_batch = self._vis_batch_fn()
             dl_cfg = self._dogleg_cfg()
-
-            R_e = self._R_e
-
-            def eval_fn_factory(prior, pre_stack, pre_valid, vis,
-                                b_pr, b_cp, b_dopp, mag_f, mag_m, mag_v):
-                def eval_fn(state):
-                    batches = [
-                        imu_factor_batch(state, pre_stack, pbg, g_world,
-                                         pre_valid),
-                        vis_batch(state, vis),
-                        spp_pseudorange_batch(state, b_pr, R_e),
-                        spp_carrier_phase_batch(state, b_cp, R_e),
-                        doppler_batch(state, b_dopp, R_e),
-                        mag_factor_batch(state, mag_f, mag_m, mag_v),
-                    ]
-                    H, g, cost = assemble(batches, lay.dim)
-                    Hp, gp, cp = prior.hessian_contrib(state)
-                    return H + Hp, g + gp, cost + cp
-                return eval_fn
+            hg = self._hg_fn()
 
             @jax.jit
             def solve(state, prior, free, pre_stack, pre_valid, vis,
                       b_pr, b_cp, b_dopp, mag_f, mag_m, mag_v):
-                eval_fn = eval_fn_factory(prior, pre_stack, pre_valid, vis,
-                                          b_pr, b_cp, b_dopp, mag_f, mag_m,
-                                          mag_v)
+                def eval_fn(win):
+                    H, g, cost = hg(win, pre_stack, pre_valid, vis,
+                                    b_pr, b_cp, b_dopp, mag_f, mag_m, mag_v)
+                    Hp, gp, cp = prior.hessian_contrib(win)
+                    return H + Hp, g + gp, cost + cp
+
                 return dogleg_solve(eval_fn, retract_window, state, free,
                                     dl_cfg)
 
             self._jit_cache[key] = solve
         return self._jit_cache[key]
+
+    def _hg_fn(self):
+        """Shared (H, g, cost) evaluator over all factor families.
+
+        World-point mode assembles the visual rows (the dominant row count)
+        through the block-structured path (solver.structured) — one-hot
+        segment matmuls + static block placement instead of a (B,15,15)
+        scatter into H, the single biggest assembly cost on TPU (SURVEY.md
+        §5.8 single-chip plan)."""
+        cfg, lay = self.cfg, self.lay
+        pbg, g_world, R_e = self._pbg, self.g_world, self._R_e
+        use_struct = not cfg.use_inverse_depth
+        vis_batch = self._vis_batch_fn()
+
+        def hg(win, pre_stack, pre_valid, vis, b_pr, b_cp, b_dopp,
+               mag_f, mag_m, mag_v):
+            batches = [
+                imu_factor_batch(win, pre_stack, pbg, g_world, pre_valid),
+                spp_pseudorange_batch(win, b_pr, R_e),
+                spp_carrier_phase_batch(win, b_cp, R_e),
+                doppler_batch(win, b_dopp, R_e),
+                mag_factor_batch(win, mag_f, mag_m, mag_v),
+            ]
+            if use_struct:
+                f_ids, cam_ids, l_ids, xy, valid = vis
+                fb = projection_factor_batch(win, f_ids, cam_ids, l_ids,
+                                             xy, valid, pbg)
+                H, g, cost = assemble(batches, lay.dim)
+                Hv, gv, cv = projection_assemble(lay, f_ids, cam_ids,
+                                                 l_ids, fb.res, fb.jac)
+                return H + Hv, g + gv, cost + cv
+            batches.insert(1, vis_batch(win, vis))
+            return assemble(batches, lay.dim)
+
+        return hg
 
     def _jit_solve_chains(self):
         """Composite solve: window state + hidden chain states.  The chain
@@ -950,24 +968,16 @@ class Estimator:
             pbg, g_world = self._pbg, self.g_world
             R_e = self._R_e
             cap = cfg.chain_cap
-            vis_batch = self._vis_batch_fn()
             dl_cfg = self._dogleg_cfg()
+            hg = self._hg_fn()
 
             @jax.jit
             def solve(state, hid, st, prior, free, pre_stack, pre_valid,
                       vis, b_pr, b_cp, b_dopp, mag_f, mag_m, mag_v):
                 def eval_fn(comp):
                     win, h = comp
-                    batches = [
-                        imu_factor_batch(win, pre_stack, pbg, g_world,
-                                         pre_valid),
-                        vis_batch(win, vis),
-                        spp_pseudorange_batch(win, b_pr, R_e),
-                        spp_carrier_phase_batch(win, b_cp, R_e),
-                        doppler_batch(win, b_dopp, R_e),
-                        mag_factor_batch(win, mag_f, mag_m, mag_v),
-                    ]
-                    H, g, cost = assemble(batches, lay.dim)
+                    H, g, cost = hg(win, pre_stack, pre_valid, vis,
+                                    b_pr, b_cp, b_dopp, mag_f, mag_m, mag_v)
                     Hb, gb, gidx, ccost = chain_contrib(
                         win, h, st, lay, R_e, pbg, g_world, cap)
                     H = H.at[gidx[:, :, None], gidx[:, None, :]].add(Hb)
@@ -994,22 +1004,14 @@ class Estimator:
             pbg, g_world = self._pbg, self.g_world
             R_e = self._R_e
             cap = self.cfg.chain_cap
-            vis_batch = self._vis_batch_fn()
+            hg = self._hg_fn()
 
             @jax.jit
             def marg(state, hid, st, prior, marg_mask, pre_stack,
                      pre_valid0, vis, b_pr, b_cp, b_dopp,
                      mag_f, mag_m, mag_v):
-                batches = [
-                    imu_factor_batch(state, pre_stack, pbg, g_world,
-                                     pre_valid0),
-                    vis_batch(state, vis),
-                    spp_pseudorange_batch(state, b_pr, R_e),
-                    spp_carrier_phase_batch(state, b_cp, R_e),
-                    doppler_batch(state, b_dopp, R_e),
-                    mag_factor_batch(state, mag_f, mag_m, mag_v),
-                ]
-                H, g, cost = assemble(batches, lay.dim)
+                H, g, _ = hg(state, pre_stack, pre_valid0, vis,
+                             b_pr, b_cp, b_dopp, mag_f, mag_m, mag_v)
                 Hb, gb, gidx, _ = chain_contrib(
                     state, hid, st, lay, R_e, pbg, g_world, cap)
                 H = H.at[gidx[:, :, None], gidx[:, None, :]].add(Hb)
@@ -1189,30 +1191,18 @@ class Estimator:
     def _jit_marg(self):
         key = "marg"
         if key not in self._jit_cache:
-            lay = self.lay
-            pbg, g_world = self._pbg, self.g_world
-            vis_batch = self._vis_batch_fn()
-
-            R_e = self._R_e
+            hg = self._hg_fn()
 
             @jax.jit
             def marg(state, prior, marg_mask, pre_stack, pre_valid0, vis,
                      b_pr, b_cp, b_dopp, mag_f, mag_m, mag_v):
-                """Marginalize with the Markov blanket of frame 0:
+                """Blanket (H, g) of frame 0 for host marginalization:
                 prior + IMU(0->1) + dying-landmark projections + frame-0
                 GNSS + frame-0 mag factors.  ``pre_valid0`` masks every
                 interval except 0; the GNSS/mag batches arrive with validity
                 restricted to frame 0."""
-                batches = [
-                    imu_factor_batch(state, pre_stack, pbg, g_world,
-                                     pre_valid0),
-                    vis_batch(state, vis),
-                    spp_pseudorange_batch(state, b_pr, R_e),
-                    spp_carrier_phase_batch(state, b_cp, R_e),
-                    doppler_batch(state, b_dopp, R_e),
-                    mag_factor_batch(state, mag_f, mag_m, mag_v),
-                ]
-                H, g, cost = assemble(batches, lay.dim)
+                H, g, _ = hg(state, pre_stack, pre_valid0, vis,
+                             b_pr, b_cp, b_dopp, mag_f, mag_m, mag_v)
                 Hp, gp, _ = prior.hessian_contrib(state)
                 return H + Hp, g + gp
 

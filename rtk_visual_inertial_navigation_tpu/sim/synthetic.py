@@ -12,6 +12,7 @@ broadcast-like satellite constellation.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -201,6 +202,15 @@ def gnss_epoch_of(sim: "SimData", ei: int, pr_std=0.8, cp_std=0.01,
 
 
 def simulate(cfg: SimConfig) -> SimData:
+    """Generate a SimData sequence (host-side data generation: all jnp ops
+    pinned to the CPU device — eager f64 trig on a TPU backend costs tens
+    of seconds in emulation + tunnel transfers)."""
+    import jax as _jax
+    with _jax.default_device(_jax.devices("cpu")[0]):
+        return _simulate_impl(cfg)
+
+
+def _simulate_impl(cfg: SimConfig) -> SimData:
     rng = np.random.default_rng(cfg.seed)
     n = int(cfg.duration * cfg.imu_rate) + 1
     t = np.arange(n) / cfg.imu_rate
@@ -315,38 +325,41 @@ def simulate(cfg: SimConfig) -> SimData:
     ambiguities = rng.integers(-50, 50, C).astype(float)
     rtk_ambiguities = rng.integers(-30, 30, C).astype(float)
 
-    pr = np.zeros((E, C))
-    cp_cycles = np.zeros((E, C))
-    dopp = np.zeros((E, C))
-    rtk_pr = np.zeros((E, C))
-    rtk_cp = np.zeros((E, C))
     sat_valid = np.ones((E, C), dtype=bool)
     clk = cfg.clk0 + cfg.clk_drift * gnss_t
 
-    for ei, ni in enumerate(gnss_idx):
-        rr_ecef = anchor_ecef + enu_to_ecef @ p[ni]
-        vr_ecef = enu_to_ecef @ v[ni]
-        for c in range(C):
-            s = int(ch_sat[c])
-            r, e = earth.sagnac_range(jnp.asarray(rr_ecef),
-                                      jnp.asarray(sat_pos[ei, s]))
-            r = float(r)
-            rb, _ = earth.sagnac_range(jnp.asarray(anchor_ecef),
-                                       jnp.asarray(sat_pos[ei, s]))
-            rb = float(rb)
-            rate, _ = earth.range_rate(
-                jnp.asarray(rr_ecef), jnp.asarray(sat_pos[ei, s]),
-                jnp.asarray(vr_ecef), jnp.asarray(sat_vel[ei, s]))
-            # carrier-phase sign convention follows the reference residual
-            # ρ + dt − N·λ − L·λ = 0 (gnss_factor.cpp:57,119): the ambiguity
-            # enters the modeled phase with a MINUS sign.
-            pr[ei, c] = r + clk[ei] + rng.normal(0, cfg.pr_noise)
-            cp_cycles[ei, c] = ((r + clk[ei]) / lam[c] - ambiguities[c]
-                                + rng.normal(0, cfg.cp_noise))
-            dopp[ei, c] = float(rate) + cfg.clk_drift + rng.normal(0, cfg.dop_noise)
-            rtk_pr[ei, c] = r - rb + rng.normal(0, cfg.pr_noise * 0.5)
-            rtk_cp[ei, c] = ((r - rb) / lam[c] - rtk_ambiguities[c]
-                             + rng.normal(0, cfg.cp_noise * 0.5))
+    # batched geometry in TWO jitted host-CPU calls (an eager per-(epoch,
+    # channel) loop would pay an XLA dispatch each — minutes through the
+    # TPU tunnel for a 30 s sequence)
+    import jax as _jax
+    _cpu = _jax.devices("cpu")[0]
+    rr_all = anchor_ecef[None, :] + p[gnss_idx] @ enu_to_ecef.T   # (E,3)
+    vr_all = v[gnss_idx] @ enu_to_ecef.T                          # (E,3)
+    sp_ch = sat_pos[:, ch_sat]                                    # (E,C,3)
+    sv_ch = sat_vel[:, ch_sat]                                    # (E,C,3)
+
+    @functools.partial(_jax.jit, device=_cpu)
+    def _geom(rr, vr, sp, sv, anchor):
+        r, _ = _jax.vmap(_jax.vmap(earth.sagnac_range, (None, 0)), (0, 0))(
+            rr, sp)
+        rb, _ = _jax.vmap(_jax.vmap(earth.sagnac_range, (None, 0)),
+                          (None, 0))(anchor, sp)
+        rate, _ = _jax.vmap(_jax.vmap(earth.range_rate, (None, 0, None, 0)),
+                            (0, 0, 0, 0))(rr, sp, vr, sv)
+        return r, rb, rate
+
+    r_all, rb_all, rate_all = map(np.asarray, _geom(
+        rr_all, vr_all, sp_ch, sv_ch, anchor_ecef))
+    # carrier-phase sign convention follows the reference residual
+    # ρ + dt − N·λ − L·λ = 0 (gnss_factor.cpp:57,119): the ambiguity
+    # enters the modeled phase with a MINUS sign.
+    pr = r_all + clk[:, None] + rng.normal(0, cfg.pr_noise, (E, C))
+    cp_cycles = ((r_all + clk[:, None]) / lam[None, :] - ambiguities[None, :]
+                 + rng.normal(0, cfg.cp_noise, (E, C)))
+    dopp = rate_all + cfg.clk_drift + rng.normal(0, cfg.dop_noise, (E, C))
+    rtk_pr = r_all - rb_all + rng.normal(0, cfg.pr_noise * 0.5, (E, C))
+    rtk_cp = ((r_all - rb_all) / lam[None, :] - rtk_ambiguities[None, :]
+              + rng.normal(0, cfg.cp_noise * 0.5, (E, C)))
 
     return SimData(
         cfg=cfg, imu_t=t, acc=acc, gyr=gyr, mag=mag, p=p, q=q, v=v,
