@@ -348,9 +348,20 @@ def iter_bag_events(path: str, imu_topic="/imu", mag_topic="/mag",
     """Yield ('imu'|'mag'|'gnss'|'features', t, payload) in time order.
 
     Topic matching is by suffix so namespaced bags work; GNSS payloads are
-    decoded mea_t records converted to GnssEpoch."""
+    decoded mea_t records converted to GnssEpoch.  Container parsing + bz2
+    go through the native C++ reader when it builds; falls back to the
+    pure-Python parser otherwise."""
+    def _read(p):
+        try:
+            from ..native import read_bag_native
+            return read_bag_native(p)
+        except ValueError:
+            raise                # real parse error: both readers would fail
+        except Exception:        # no toolchain: pure-Python container parse
+            return read_bag(p)
+
     tracker = SlipTracker()
-    for m in read_bag(path):
+    for m in _read(path):
         if m.topic.endswith(imu_topic) or m.msg_type.endswith("Imu"):
             t, acc, gyr = parse_imu(m.raw)
             yield "imu", t, (acc, gyr)

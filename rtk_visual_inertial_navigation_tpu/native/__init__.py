@@ -1,10 +1,13 @@
 """Native (C++) runtime components, bound via ctypes.
 
-The hot compute path is JAX/XLA; the runtime around it — here the GNSS
-epoch wire codec replacing the reference's memcpy-into-struct ingest
-(rvi/main3.cpp:154-168) — is C++.  The shared library is compiled on first
-use with g++ (cached next to the source; rebuilt when the source changes).
-"""
+The hot compute path is JAX/XLA; the runtime around it is C++:
+  - ``mea_codec.cpp`` — GNSS epoch wire codec replacing the reference's
+    memcpy-into-struct ingest (rvi/main3.cpp:154-168);
+  - ``bag_reader.cpp`` — rosbag-2.0 container parser / replay data-loader
+    (the reference's rosbag::View replay, rvi/main3.cpp:232-252), with
+    native bz2 chunk decompression and zero-copy message access.
+Shared libraries are compiled on first use with g++ (cached next to the
+source; rebuilt when the source changes)."""
 
 from __future__ import annotations
 
@@ -17,24 +20,27 @@ from pathlib import Path
 import numpy as np
 
 _SRC = Path(__file__).parent / "mea_codec.cpp"
+_BAG_SRC = Path(__file__).parent / "bag_reader.cpp"
 NFREQ = 2
 
 
-def _build() -> Path:
-    tag = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
-    out = Path(__file__).parent / f"_mea_codec_{tag}.so"
+def _build(src: Path = _SRC, stem: str = "_mea_codec",
+           ldflags: tuple = ()) -> Path:
+    tag = hashlib.sha256(src.read_bytes()).hexdigest()[:16]
+    out = Path(__file__).parent / f"{stem}_{tag}.so"
     if out.exists():
         return out
     # clean superseded builds
-    for old in Path(__file__).parent.glob("_mea_codec_*.so"):
+    for old in Path(__file__).parent.glob(f"{stem}_*.so"):
         old.unlink(missing_ok=True)
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           str(_SRC), "-o", str(out)]
+           str(src), "-o", str(out), *ldflags]
     subprocess.run(cmd, check=True, capture_output=True)
     return out
 
 
 _lib = None
+_bag_lib = None
 
 
 def _get_lib():
@@ -46,6 +52,68 @@ def _get_lib():
         _lib.mea_decode.restype = ctypes.c_int
         _lib.mea_encode_epoch.restype = ctypes.c_longlong
     return _lib
+
+
+def _get_bag_lib():
+    global _bag_lib
+    if _bag_lib is None:
+        # the image ships the bz2 runtime .so without the dev symlink;
+        # link against the versioned name directly
+        lib = ctypes.CDLL(str(_build(
+            _BAG_SRC, "_bag_reader", ("-l:libbz2.so.1.0",))))
+        lib.rvi_bag_open.restype = ctypes.c_void_p
+        lib.rvi_bag_open.argtypes = [ctypes.c_char_p]
+        lib.rvi_bag_count.restype = ctypes.c_longlong
+        lib.rvi_bag_count.argtypes = [ctypes.c_void_p]
+        lib.rvi_bag_topic_count.restype = ctypes.c_int
+        lib.rvi_bag_topic_count.argtypes = [ctypes.c_void_p]
+        lib.rvi_bag_topic_name.restype = ctypes.c_int
+        lib.rvi_bag_topic_name.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
+        lib.rvi_bag_msg.restype = ctypes.c_int
+        lib.rvi_bag_msg.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.POINTER(ctypes.c_longlong)]
+        lib.rvi_bag_close.restype = None
+        lib.rvi_bag_close.argtypes = [ctypes.c_void_p]
+        _bag_lib = lib
+    return _bag_lib
+
+
+def read_bag_native(path: str):
+    """Native-parsed rosbag 2.0 -> time-sorted BagMessage list (drop-in for
+    io.reference_bag.read_bag; C++ does container parsing + bz2)."""
+    from ..io.reference_bag import BagMessage
+
+    lib = _get_bag_lib()
+    h = lib.rvi_bag_open(os.fspath(path).encode())
+    if not h:
+        raise ValueError(f"failed to parse rosbag 2.0 file: {path}")
+    try:
+        topics = []
+        buf = ctypes.create_string_buffer(4096)
+        for tid in range(lib.rvi_bag_topic_count(h)):
+            lib.rvi_bag_topic_name(h, tid, buf, len(buf))
+            topic, _, mtype = buf.value.decode().partition("\t")
+            topics.append((topic, mtype))
+        msgs = []
+        tid = ctypes.c_int()
+        t = ctypes.c_double()
+        data = ctypes.POINTER(ctypes.c_ubyte)()
+        dlen = ctypes.c_longlong()
+        for i in range(lib.rvi_bag_count(h)):
+            lib.rvi_bag_msg(h, i, ctypes.byref(tid), ctypes.byref(t),
+                            ctypes.byref(data), ctypes.byref(dlen))
+            topic, mtype = (topics[tid.value] if 0 <= tid.value < len(topics)
+                            else ("?", "?"))
+            msgs.append(BagMessage(
+                topic, mtype, t.value,
+                ctypes.string_at(data, dlen.value)))
+        return msgs
+    finally:
+        lib.rvi_bag_close(h)
 
 
 def _ptr(a):

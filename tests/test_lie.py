@@ -92,3 +92,28 @@ def test_skew(rng):
     a, b = rng.normal(size=3), rng.normal(size=3)
     np.testing.assert_allclose(
         lie.skew(jnp.asarray(a)) @ b, np.cross(a, b), atol=1e-12)
+
+
+def test_lie_np_matches_jnp(rng):
+    """Host-side numpy quaternion helpers (ops.lie_np, used by the pipeline
+    driver's per-frame bookkeeping) match the jnp versions exactly."""
+    from rtk_visual_inertial_navigation_tpu.ops import lie_np
+
+    q = rand_quat(rng, (7,))
+    p = rand_quat(rng, (7,))
+    v = rng.normal(size=(7, 3))
+    th = np.concatenate([rng.normal(size=(6, 3)),
+                         np.zeros((1, 3))])  # incl. the small-angle branch
+    np.testing.assert_allclose(
+        lie_np.quat_mul(q, p), lie.quat_mul(jnp.asarray(q), jnp.asarray(p)),
+        atol=1e-14)
+    np.testing.assert_allclose(
+        lie_np.quat_rotate(q, v),
+        lie.quat_rotate(jnp.asarray(q), jnp.asarray(v)), atol=1e-14)
+    np.testing.assert_allclose(
+        lie_np.quat_normalize(q * 3.0),
+        lie.quat_normalize(jnp.asarray(q * 3.0)), atol=1e-14)
+    np.testing.assert_allclose(
+        lie_np.quat_exp(th), lie.quat_exp(jnp.asarray(th)), atol=1e-9)
+    np.testing.assert_allclose(lie_np.quat_identity(),
+                               lie.quat_identity(), atol=0)

@@ -70,3 +70,33 @@ def test_truncated_stream_rejected():
     stream = encode_epoch(1.0, np.zeros(3), 1.0, make_obs(rng, 5))
     with pytest.raises(ValueError):
         decode_epochs(stream[:-10])
+
+
+def test_native_bag_reader_matches_python(tmp_path):
+    """The C++ rosbag reader (native.read_bag_native) produces the same
+    time-sorted message stream as the pure-Python reader, for both plain
+    and bz2-compressed chunks."""
+    from rtk_visual_inertial_navigation_tpu.io.reference_bag import read_bag
+    from rtk_visual_inertial_navigation_tpu.native import read_bag_native
+    from test_reference_bag import _write_bag
+
+    for use_bz2 in (False, True):
+        path = tmp_path / f"n_{use_bz2}.bag"
+        _write_bag(path, use_bz2)
+        py = read_bag(str(path))
+        nat = read_bag_native(str(path))
+        assert len(nat) == len(py) > 0
+        for a, b in zip(nat, py):
+            assert a.topic == b.topic
+            assert a.msg_type == b.msg_type
+            assert abs(a.t - b.t) < 1e-9
+            assert a.raw == b.raw
+
+
+def test_native_bag_reader_rejects_garbage(tmp_path):
+    from rtk_visual_inertial_navigation_tpu.native import read_bag_native
+    p = tmp_path / "bad.bag"
+    p.write_bytes(b"not a bag at all")
+    import pytest
+    with pytest.raises(ValueError):
+        read_bag_native(str(p))
