@@ -785,18 +785,18 @@ class Estimator:
 
         def run():
             if self.cfg.use_gnss_chains:
-                hid, st = self._chain_inputs()
-                res = self._jit_solve_chains()(
-                    self.x, hid, st, self._prior_device(), free, *inputs,
-                    *gnss_inputs, *self._mag_inputs())
+                res, X = self._jit_solve_chains()(
+                    self.x, *self._chain_inputs(), self._prior_device(),
+                    free, *inputs, *gnss_inputs, *self._mag_inputs())
                 win, hid2 = res.state
                 self.x = _host(win)
                 writeback_hidden(self.chains, _host(hid2))
-                return res._replace(state=self.x)
-            res = self._jit_solve()(self.x, self._prior_device(), free,
-                                    *inputs,
-                                    *gnss_inputs, *self._mag_inputs())
-            self.x = _host(res.state)
+            else:
+                res, X = self._jit_solve()(
+                    self.x, self._prior_device(), free, *inputs,
+                    *gnss_inputs, *self._mag_inputs())
+                self.x = _host(res.state)
+            self._last_cov_cols = X
             return res._replace(state=self.x)
 
         res = run()
@@ -905,6 +905,7 @@ class Estimator:
             cfg = self.cfg
             dl_cfg = self._dogleg_cfg()
             hg = self._hg_fn()
+            cov_cols = self._cov_cols_const()
 
             @jax.jit
             def solve(state, prior, free, pre_stack, pre_valid, vis,
@@ -915,11 +916,23 @@ class Estimator:
                     Hp, gp, cp = prior.hessian_contrib(win)
                     return H + Hp, g + gp, cost + cp
 
-                return dogleg_solve(eval_fn, retract_window, state, free,
-                                    dl_cfg)
+                res = dogleg_solve(eval_fn, retract_window, state, free,
+                                   dl_cfg)
+                if cov_cols is None:
+                    return res, None
+                # phase-bias covariance columns for LAMBDA, from the final
+                # Hessian while it is still on device (IntegerSolve's
+                # exported-Schur covariance, SURVEY.md §3.4)
+                return res, _masked_cov_cols(res.H, free, cov_cols)
 
             self._jit_cache[key] = solve
         return self._jit_cache[key]
+
+    def _cov_cols_const(self):
+        if not (self.cfg.use_rtk and self.cfg.use_n_resolve):
+            return None
+        return np.asarray([self.lay.pb_idx(s) for s in range(self.cfg.nb)],
+                          dtype=np.int32)
 
     def _hg_fn(self):
         """Shared (H, g, cost) evaluator over all factor families.
@@ -970,6 +983,7 @@ class Estimator:
             cap = cfg.chain_cap
             dl_cfg = self._dogleg_cfg()
             hg = self._hg_fn()
+            cov_cols = self._cov_cols_const()
 
             @jax.jit
             def solve(state, hid, st, prior, free, pre_stack, pre_valid,
@@ -991,8 +1005,11 @@ class Estimator:
                                        g_world, cap)
                     return (retract_window(win, dx), h2)
 
-                return dogleg_solve(eval_fn, retract_fn, (state, hid), free,
-                                    dl_cfg)
+                res = dogleg_solve(eval_fn, retract_fn, (state, hid), free,
+                                   dl_cfg)
+                if cov_cols is None:
+                    return res, None
+                return res, _masked_cov_cols(res.H, free, cov_cols)
 
             self._jit_cache[key] = solve
         return self._jit_cache[key]
@@ -1046,10 +1063,12 @@ class Estimator:
         # elimination — SURVEY.md §2.9).  Computed on-device from the
         # solve's final Hessian (which stays there): one Cholesky + nb
         # triangular solves instead of downloading H and inverting on host.
-        pb_cols_all = np.asarray([lay.pb_idx(s) for s in range(cfg.nb)],
-                                 dtype=np.int32)
-        X = np.asarray(self._jit(_masked_cov_cols, "intcov")(
-            self.last_solve.H, self._free_mask(), pb_cols_all))  # (D, nb)
+        pb_cols_all = self._cov_cols_const()
+        if getattr(self, "_last_cov_cols", None) is not None:
+            X = np.asarray(self._last_cov_cols)                  # (D, nb)
+        else:
+            X = np.asarray(self._jit(_masked_cov_cols, "intcov")(
+                self.last_solve.H, self._free_mask(), pb_cols_all))
         if not np.isfinite(X).all():
             self._note_no_fix()
             return
