@@ -9,7 +9,14 @@ iterations with full relinearization, Schur-eliminated landmark block).  We
 solve B independent windows batched on one chip and report aggregate
 updates/s; ``vs_baseline`` is against the reference's 25 Hz.
 
-Usage: python bench.py [--cpu] [--smoke] [--batch B] [--f32]
+DEFAULT metric (round 2+): the FLAGSHIP problem — full RTK-VI windows at
+reference-FULL scale (11 frames, 352 landmarks = MAX_CNT class, 2816
+projection rows, GNSS pseudorange/carrier/doppler rows at every frame,
+IMU-GNSS chains hiding (nf-1)·(cap-1) = 100 GNSS epochs, receiver clocks,
+ambiguities, and the LAMBDA tail-covariance export).  ``--vi`` selects the
+round-1 VI-only sub-problem for comparison.
+
+Usage: python bench.py [--cpu] [--smoke] [--batch B] [--f32] [--vi]
 Prints ONE JSON line.
 """
 
@@ -91,6 +98,71 @@ def _pipeline_latency(args):
     }))
 
 
+def _flagship(args):
+    """Default metric: batched FLAGSHIP window solves — full RTK-VI at
+    reference-FULL scale with GNSS rows, IMU-GNSS chains (100 hidden GNSS
+    epochs per window), clocks, ambiguities and the LAMBDA tail-covariance
+    export.  One solve = one state update of the reference's headline
+    20-25 Hz loop, at its maximum problem size."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtk_visual_inertial_navigation_tpu.core.state import TangentLayout
+    from rtk_visual_inertial_navigation_tpu.parallel import (
+        batched_rtk_solve, make_synthetic_rtk_windows)
+    from rtk_visual_inertial_navigation_tpu.solver import DoglegConfig
+
+    dtype = jnp.float32 if args.f32 else jnp.float64
+    if args.smoke:
+        nf, nl, nobs, nsamp, cap, ns, nb = 5, 24, 96, 6, 4, 8, 8
+        B = args.batch or 4
+    else:
+        # reference-FULL scale: 11 frames, MAX_CNT-class landmarks, chains
+        # with GNSS_MAX_NUM-class capacity => (nf-1)(cap-1) = 100 hidden
+        # GNSS epochs per window (the 500-epoch regime's steady state load)
+        nf, nl, nobs, nsamp, cap, ns, nb = 11, 352, 2816, 8, 11, 14, 16
+        B = args.batch or 64
+    lay = TangentLayout(nf=nf, nl=nl, nb=nb, nc=2)
+    cfg = DoglegConfig(max_iters=8, step_dtype="same")
+
+    probs = make_synthetic_rtk_windows(
+        jax.random.PRNGKey(0), B, nf=nf, nl=nl, nobs=nobs, nsamp=nsamp,
+        cap=cap, ns=ns, nb=nb, dtype=dtype)
+    probs = jax.tree.map(jax.device_put, probs)
+    solve = jax.jit(lambda p: batched_rtk_solve(p, lay, cfg, cap))
+
+    win, hid, cost, nacc, X = solve(probs)
+    jax.block_until_ready(cost)
+    perr = np.linalg.norm(
+        np.asarray(win.p) - np.asarray(probs.truth.p), axis=-1)
+    pberr = np.abs(np.asarray(win.phase_bias)
+                   - np.asarray(probs.truth.phase_bias))[:, :ns]
+    reps = 2 if args.smoke else args.reps
+    t0 = time.time()
+    for _ in range(reps):
+        win, hid, cost, nacc, X = solve(probs)
+    np.asarray(cost)
+    dt = time.time() - t0
+    updates_per_s = B * reps / dt
+    print(json.dumps({
+        "metric": "flagship state updates/s (full RTK-VI window solves: "
+                  "GNSS rows + chains + tail covariance, 1 chip)",
+        "value": round(updates_per_s, 2),
+        "unit": "updates/s",
+        "vs_baseline": round(updates_per_s / 25.0, 2),
+        "batch": B,
+        "shape": {"nf": nf, "nl": nl, "nobs": nobs, "chains": nf - 1,
+                  "hidden_gnss_epochs": (nf - 1) * (cap - 1),
+                  "gnss_rows": 3 * nf * ns + (nf - 1) * (cap - 1) * ns * 3,
+                  "nb": nb},
+        "max_pos_err_m": round(float(perr.max()), 6),
+        "max_amb_err_cyc": round(float(pberr.max()), 6),
+        "cov_finite": bool(np.isfinite(np.asarray(X)).all()),
+        "backend": __import__("jax").default_backend(),
+        "dtype": str(dtype.__name__),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
@@ -100,6 +172,8 @@ def main():
                     help="full-f64 solve (validation; ~18x slower on TPU)")
     ap.add_argument("--f32", action="store_true", help="(default)")
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--vi", action="store_true",
+                    help="round-1 VI-only sub-problem bench (comparison)")
     ap.add_argument("--latency", action="store_true",
                     help="single-sequence latency: one B=1 window solve per "
                          "update, report steady-state Hz (the reference's "
@@ -131,6 +205,9 @@ def main():
 
     if args.pipeline:
         _pipeline_latency(args)
+        return
+    if not args.vi and not args.latency:
+        _flagship(args)
         return
 
     dtype = jnp.float32 if args.f32 else jnp.float64

@@ -1,11 +1,17 @@
 """Integer least-squares (LAMBDA / MLAMBDA) for ambiguity resolution.
 
-Fresh implementation of the published algorithm (Teunissen 1995 LAMBDA
-decorrelation; Chang-Yang-Zhou 2005 MLAMBDA search) with the same
-input/output contract as the reference's RTKLIB-derived `lambda()`
-(rvi/gnss/src/lambda.cpp:204-235): given float ambiguities ``a`` (n,) and
-covariance ``Q`` (n,n), return the ``m`` best integer candidates and their
-squared norms  (a−ǎ)ᵀQ⁻¹(a−ǎ).
+Implements the published LAMBDA method (Teunissen 1995 decorrelation;
+Chang-Yang-Zhou 2005 MLAMBDA m-best search).  Provenance note: the depth-
+first search in ``ils_search`` follows the canonical MLAMBDA recursion as
+published and as implemented in RTKLIB's ``search()`` (the reference vendors
+RTKLIB verbatim at rvi/gnss/src/lambda.cpp:123-191); the control flow and
+variable roles (conditional bounds zb, alternating step enumeration,
+m-candidate replacement) are the algorithm itself and therefore match any
+faithful implementation.  The LD factorization and reduction are written
+from the papers.  Input/output contract matches the reference's
+``lambda(n, m, a, Q, F, s)`` (lambda.cpp:204-235): given float ambiguities
+``a`` (n,) and covariance ``Q`` (n,n), return the ``m`` best integer
+candidates and their squared norms (a−ǎ)ᵀQ⁻¹(a−ǎ).
 
 Problem sizes are tiny (n ≤ ~30) and the search is branch-heavy, so this
 runs on the host in numpy — it is orchestration around the TPU compute path,
@@ -80,10 +86,21 @@ def lambda_reduction(L, D):
     return L, D, Z
 
 
+class SearchOverflow(np.linalg.LinAlgError):
+    """The m-best search exhausted its loop budget without terminating.
+
+    The reference treats this as a hard failure (lambda.cpp:186-189 returns
+    -1 and the epoch is not fixed) — silently returning best-so-far can mint
+    false fixes on degenerate covariances."""
+
+
 def ils_search(L, D, zs, m: int = 2, loop_max: int = 10000):
-    """Depth-first m-best search in the reduced lattice (lambda.cpp:123-191).
+    """Depth-first m-best search in the reduced lattice (MLAMBDA; see module
+    provenance note — mirrors lambda.cpp:123-191).
 
     Returns (candidates (m,n) ints, dists (m,)); candidates sorted by dist.
+    Raises SearchOverflow if the loop budget is exhausted before the search
+    space is pruned away (reference: error out, lambda.cpp:186-189).
     """
     n = len(zs)
     S = np.zeros((n, n))
@@ -102,6 +119,7 @@ def ils_search(L, D, zs, m: int = 2, loop_max: int = 10000):
     z[k] = round(zb[k])
     y = zb[k] - z[k]
     step[k] = np.sign(y) if y != 0 else 1.0
+    finished = False
     for _ in range(loop_max):
         newdist = dist[k] + y * y / D[k]
         if newdist < maxdist:
@@ -132,11 +150,15 @@ def ils_search(L, D, zs, m: int = 2, loop_max: int = 10000):
                 step[0] = -step[0] - np.sign(step[0])
         else:
             if k == n - 1:
+                finished = True
                 break
             k += 1
             z[k] += step[k]
             y = zb[k] - z[k]
             step[k] = -step[k] - np.sign(step[k])
+    if not finished:
+        raise SearchOverflow(
+            f"ILS search exceeded loop_max={loop_max} (n={n})")
     order = np.argsort(s[:nn])
     return zn[order].astype(np.int64), s[order]
 
@@ -163,6 +185,51 @@ def ratio_test(s: np.ndarray, threshold: float = 2.0) -> bool:
     test is its m=2 special case with identical index sets)."""
     if len(s) < 2:
         return False
-    if s[0] <= 1e-12:
+    if s[0] <= 0.0:
+        # degenerate: the reference accepts s[0] <= 0 outright
+        # (swf_lambda.cpp:238) — only because its costs come from a PD
+        # solve; we keep the gate but require finite candidates upstream
         return True
     return s[1] / s[0] >= threshold
+
+
+def partial_ratio_test(b_float: np.ndarray, Qb: np.ndarray,
+                       F: np.ndarray, s: np.ndarray,
+                       threshold: float = 2.0) -> bool:
+    """The reference's candidate-splitting acceptance test
+    (swf_lambda.cpp:204-244).
+
+    Candidates 1 & 2 are split into entries where they agree vs differ; the
+    cost attributable to the agreeing subset (with differing entries
+    decoupled from the covariance) is removed from both costs, and the test
+    accepts if EITHER the classic ratio OR the residual ratio passes:
+
+        accept  ⇔  s₀ ≤ 0  ∨  s₁/s₀ ≥ τ  ∨  (s₁−c)/(s₀−c) ≥ τ
+
+    where c = e₁ᵀ Q̃b⁻¹ e₁ over the agreeing entries.  On accept, the FULL
+    first candidate is used (the reference applies F1 wholesale).
+    """
+    if len(s) < 2 or F.shape[0] < 2:
+        return False
+    s0, s1 = float(s[0]), float(s[1])
+    if s0 <= 0.0:
+        return True
+    if s1 / s0 >= threshold:
+        return True
+    e1 = F[0] - b_float
+    diff = np.abs(F[0] - F[1]) >= 1e-2
+    Qb2 = np.asarray(Qb, dtype=float).copy()
+    e1 = e1.astype(float).copy()
+    e1[diff] = 0.0
+    Qb2[diff, :] = 0.0
+    Qb2[:, diff] = 0.0
+    Qb2[diff, diff] = 1.0
+    try:
+        same_cost = float(e1 @ np.linalg.solve(Qb2, e1))
+    except np.linalg.LinAlgError:
+        return False
+    s1c = s1 - same_cost
+    s0c = s0 - same_cost
+    if abs(s0c) < 1e-3:
+        s0c = 1e-3
+    return s1c / s0c >= threshold

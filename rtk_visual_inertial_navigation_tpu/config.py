@@ -92,8 +92,11 @@ class EstimatorConfig:
     # IMU-GNSS chain condensation (IMUGNSSBase, SURVEY.md §2.6): runs of
     # GNSS frames between visual frames leave the window into condensed
     # chains, extending the effective GNSS window far beyond nf (the
-    # reference holds up to GNSS_WINDOW_SIZE=500 epochs this way)
-    use_gnss_chains: bool = False
+    # reference holds up to GNSS_WINDOW_SIZE=500 epochs this way).  ON by
+    # default — this IS the reference's GNSS window regime (the IMUGNSS
+    # factor forms whenever ≥1 GNSS frame sits between keyframes,
+    # rvi/swf/swf.cpp:669-730); no-op without GNSS frames
+    use_gnss_chains: bool = True
     chain_cap: int = 32          # max leaves per chain (GNSS_MAX_NUM=30)
     max_chains: int = 0          # 0 -> nf - 1
     max_chain_rows: int = 512    # GNSS observation rows per chain

@@ -25,8 +25,10 @@ class TrackerFrontend:
                  min_dist: int = 12, levels: int = 3, win: int = 9,
                  iters: int = 12, fb_thresh: float = 0.75,
                  use_ransac: bool = True,
-                 ransac_thresh: float = 3.0 / 460.0):
+                 ransac_thresh: float = 3.0 / 460.0,
+                 camera_right: Optional[PinholeCamera] = None):
         self.cam = camera
+        self.cam_r = camera_right or camera
         self.max_cnt = max_cnt
         self.min_dist = min_dist
         self.levels = levels
@@ -43,8 +45,12 @@ class TrackerFrontend:
         self._pyr_prev = None
         self._frame_no = 0
 
-    def process(self, img: np.ndarray, predicted: Optional[dict] = None):
-        """Track one frame. Returns (ids (M,), unit_plane_xy (M,2)).
+    def process(self, img: np.ndarray, predicted: Optional[dict] = None,
+                img_right: Optional[np.ndarray] = None):
+        """Track one frame. Returns (ids (M,), unit_plane_xy (M,2)), or —
+        when ``img_right`` is given — (ids, xy, ids_r (K,), xy_r (K,2)) with
+        the stereo left→right matches appended (the reference's stereo LK
+        with back-check, rvi/feature/feature_tracker.cpp:171-207).
 
         ``predicted``: optional {feature_id: (x, y) pixel} map of predicted
         positions (e.g. gyro-propagated, the reference's setPrediction path,
@@ -110,4 +116,21 @@ class TrackerFrontend:
         live = self.ok & (self.ids >= 0)
         rays = np.asarray(self.cam.lift_projective(
             jnp.asarray(self.pts[live])))
-        return self.ids[live], rays[:, :2]
+        if img_right is None:
+            return self.ids[live], rays[:, :2]
+
+        # stereo: left→right pyramidal LK with forward-backward check
+        # (feature_tracker.cpp:171-207; lk_track_fb's FB pass IS the
+        # reference's reverse-flow check); matches give cam-1 observations
+        pyr_r = build_pyramid(jnp.asarray(img_right, dtype=jnp.float32),
+                              self.levels)
+        pts_r, ok_r = lk_track_fb(pyr, pyr_r, jnp.asarray(self.pts),
+                                  jnp.asarray(live), self.win, self.iters,
+                                  self.fb_thresh,
+                                  guess=jnp.asarray(self.pts))
+        pts_r = np.asarray(pts_r)
+        ok_r = np.asarray(ok_r) & live
+        rays_r = np.asarray(self.cam_r.lift_projective(
+            jnp.asarray(pts_r[ok_r])))
+        return (self.ids[live], rays[:, :2],
+                self.ids[ok_r], rays_r[:, :2])

@@ -48,3 +48,26 @@ def quat_exp(theta):
     s = np.where(small, 0.5, np.sin(half) / np.maximum(ang, 1e-300))
     w = np.cos(half)
     return np.concatenate([w, s * theta], axis=-1)
+
+
+def quat_to_rot(q):
+    """Unit quaternion (w-first) -> rotation matrix (numpy mirror of
+    ops/lie.quat_to_rot)."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return np.stack([
+        np.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                  2 * (x * z + w * y)], -1),
+        np.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                  2 * (y * z - w * x)], -1),
+        np.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                  1 - 2 * (x * x + y * y)], -1),
+    ], axis=-2)
+
+
+def rot_to_ypr_deg(R):
+    """Rotation matrix -> yaw/pitch/roll in degrees (Utility::R2ypr
+    convention, rvi/utility/utility.h; matches ops/lie.rot_to_ypr)."""
+    yaw = np.arctan2(R[..., 1, 0], R[..., 0, 0])
+    pitch = np.arcsin(-np.clip(R[..., 2, 0], -1.0, 1.0))
+    roll = np.arctan2(R[..., 2, 1], R[..., 2, 2])
+    return np.rad2deg(np.stack([yaw, pitch, roll], -1))

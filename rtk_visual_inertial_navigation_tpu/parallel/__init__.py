@@ -1,4 +1,7 @@
 from .problems import VIWindowProblem, make_synthetic_windows  # noqa: F401
+from .problems_gnss import (RTKWindowProblem,  # noqa: F401
+                            make_synthetic_rtk_windows,
+                            batched_rtk_solve, sharded_rtk_solve)
 from .mesh import batched_vi_solve, sharded_vi_solve  # noqa: F401
 from .multihost import (global_mesh, distribute_local_problems,  # noqa: F401
                         initialize_from_env, multihost_vi_solve)

@@ -1,0 +1,435 @@
+"""On-device synthesis of batched FLAGSHIP-mode window problems: RTK-VI
+windows with GNSS observation rows, condensed IMU-GNSS chains between every
+pair of frames, receiver clocks, carrier-phase ambiguities, and tail
+covariance extraction for LAMBDA.
+
+This is the bench/dry-run problem generator for the reference's actual
+operating regime (SURVEY.md §2.6/§5.7: 10 visual keyframes + hundreds of
+GNSS epochs hidden inside IMUGNSS chains, rvi/parameter/parameters.h:19-21)
+— unlike problems.py, which builds the VI-only sub-problem.
+
+Construction (all in JAX, vmappable over the batch):
+  1. every window interval (k, k+1) is covered by one chain of ``cap``
+     sub-preintegrations; truth states propagate through all of them, so
+     frame truths AND hidden-epoch truths are exactly IMU-consistent;
+  2. landmarks are projected from the frame truths (consistent vision);
+  3. GNSS measurements (pseudorange / carrier phase / doppler) are
+     synthesized by EVALUATING the factor models at the truth — residuals
+     are exactly zero at the truth by construction, for both window-frame
+     rows (factors/gnss.py) and hidden-epoch rows (solver/chain_factors);
+  4. the initial guess perturbs frames, hidden states, landmarks, clocks
+     and ambiguities; the solve must pull everything back.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.state import (FRAME_DIM, NCLOCK, POSE_DIM, TangentLayout,
+                          WindowState, retract_window)
+from ..factors.gnss import (GnssObsBatch, doppler_batch,
+                            spp_carrier_phase_batch, spp_pseudorange_batch)
+from ..factors.inertial import imu_factor_batch
+from ..factors.priors import MargPrior
+from ..factors.visual import projection_factor_batch
+from ..ops import lie
+from ..preintegration import preintegrate
+from ..solver import (DoglegConfig, assemble, dogleg_solve, masked_cov_cols)
+from ..solver.chain_factors import (ChainHidden, ChainRows, ChainStatic,
+                                    chain_contrib, chain_retract,
+                                    empty_chain_mid, _gnss_row_eval)
+from ..solver.structured import projection_assemble
+from .problems import IMU_NOISE
+
+# fixed site for the synthetic constellation (the sim's anchor); the bench
+# measures compute, not geodesy variety
+_ANCHOR_ECEF = jnp.asarray([-2411798.13, 5380966.80, 2437762.98])
+_R_ENU2ECEF = None  # computed lazily (needs geodesy at f64)
+
+
+def _anchor_frame():
+    global _R_ENU2ECEF
+    if _R_ENU2ECEF is None:
+        from ..geodesy import earth
+        llh = earth.ecef_to_geodetic(_ANCHOR_ECEF)
+        _R_ENU2ECEF = earth.enu_rotation(llh[0], llh[1]).T
+    return _ANCHOR_ECEF, _R_ENU2ECEF
+
+
+class RTKWindowProblem(NamedTuple):
+    state0: WindowState      # initial guess (perturbed), incl. clk/pb
+    hid0: ChainHidden        # (NCH, cap-1, ...) hidden initial guess
+    st: ChainStatic          # (NCH, ...) chain static data
+    pre: object              # window-interval preintegrations (unused: all
+    #                          intervals are chain-covered; kept for shape)
+    pre_valid: jnp.ndarray   # (NF-1,) all False
+    f_ids: jnp.ndarray
+    l_ids: jnp.ndarray
+    obs_xy: jnp.ndarray
+    obs_valid: jnp.ndarray
+    b_pr: GnssObsBatch       # window-frame pseudorange rows
+    b_cp: GnssObsBatch       # window-frame carrier-phase rows
+    b_dopp: GnssObsBatch     # window-frame doppler rows
+    prior_J: jnp.ndarray
+    prior_r0: jnp.ndarray
+    prior_x0: WindowState
+    free_mask: jnp.ndarray
+    cov_cols: jnp.ndarray    # (nb,) tangent indices of the ambiguity tail
+    truth: WindowState
+    hid_truth: ChainHidden
+
+
+def _sat_constellation(key, ns, dtype):
+    """ns satellites on a 2.66e7 m shell above the anchor."""
+    anchor, R_e = _anchor_frame()
+    up = anchor / jnp.linalg.norm(anchor)
+    e1 = R_e[:, 0]
+    n1 = R_e[:, 1]
+    k1, k2 = jax.random.split(key)
+    az = jax.random.uniform(k1, (ns,), dtype, 0.0, 2.0 * jnp.pi)
+    el = jax.random.uniform(k2, (ns,), dtype, jnp.deg2rad(35.0),
+                            jnp.deg2rad(80.0))
+    dirs = (jnp.cos(el)[:, None]
+            * (jnp.sin(az)[:, None] * e1 + jnp.cos(az)[:, None] * n1)
+            + jnp.sin(el)[:, None] * up)
+    pos = anchor + dirs * (2.66e7 - jnp.linalg.norm(anchor))
+    pos = pos / jnp.linalg.norm(pos, axis=-1, keepdims=True) * 2.66e7
+    tang = jnp.cross(jnp.broadcast_to(up, pos.shape), pos)
+    vel = tang / jnp.linalg.norm(tang, axis=-1, keepdims=True) * 3874.0
+    return pos, vel
+
+
+def _geom_rows(sat_pos):
+    anchor, _ = _anchor_frame()
+    d0 = anchor[None, :] - sat_pos
+    r0 = jnp.linalg.norm(d0, axis=-1)
+    r0u = d0 / r0[:, None]
+    return r0u, r0
+
+
+def _make_one_rtk(key, nf, nl, nobs, nsamp, cap, ns, nb,
+                  dtype=jnp.float64):
+    lay = TangentLayout(nf=nf, nl=nl, nb=nb, nc=2)
+    anchor, R_e = _anchor_frame()
+    R_e = R_e.astype(dtype)
+    keys = jax.random.split(key, 16)
+    g_world = jnp.asarray([0.0, 0.0, 9.81], dtype)
+    nch = nf - 1
+    n_hidden = cap - 1
+
+    # ---- IMU: (nch, cap) sub-intervals, truth propagated through all ----
+    dt = 0.1 / (nsamp - 1)         # each leaf ~0.1 s => interval ~cap/10 s
+    acc = 0.5 * jax.random.normal(keys[0], (nch, cap, 1, 3), dtype) \
+        + jnp.asarray([0.0, 0.0, 9.81])
+    gyr = 0.3 * jax.random.normal(keys[1], (nch, cap, 1, 3), dtype)
+    accs = jnp.broadcast_to(acc, (nch, cap, nsamp, 3))
+    gyrs = jnp.broadcast_to(gyr, (nch, cap, nsamp, 3))
+    dts = jnp.full((nch, cap, nsamp), dt, dtype)
+    valid = jnp.ones((nch, cap, nsamp), dtype=bool)
+    zeros3 = jnp.zeros((nch, cap, 3), dtype)
+    pre_leaf = jax.vmap(jax.vmap(
+        preintegrate, in_axes=(0, 0, 0, 0, 0, 0, None)),
+        in_axes=(0, 0, 0, 0, 0, 0, None))(
+        dts, accs, gyrs, valid, zeros3, zeros3, IMU_NOISE)
+
+    flat_pre = jax.tree.map(
+        lambda x: x.reshape((nch * cap,) + x.shape[2:]), pre_leaf)
+
+    def step(carry, pre_k):
+        p, q, v = carry
+        T = pre_k.sum_dt
+        g = -g_world
+        p1 = p + v * T + 0.5 * g * T * T + lie.quat_rotate(q, pre_k.delta_p)
+        v1 = v + g * T + lie.quat_rotate(q, pre_k.delta_v)
+        q1 = lie.quat_normalize(lie.quat_mul(q, pre_k.delta_q))
+        return (p1, q1, v1), (p1, q1, v1)
+
+    p0 = jnp.zeros(3, dtype)
+    q0 = lie.quat_identity(dtype=dtype)
+    v0 = 0.3 * jax.random.normal(keys[2], (3,), dtype)
+    _, (ps_all, qs_all, vs_all) = jax.lax.scan(step, (p0, q0, v0), flat_pre)
+    ps_all = jnp.concatenate([p0[None], ps_all])     # (nch*cap+1, 3)
+    qs_all = jnp.concatenate([q0[None], qs_all])
+    vs_all = jnp.concatenate([v0[None], vs_all])
+
+    frame_idx = jnp.arange(nf) * cap
+    ps, qs, vs = ps_all[frame_idx], qs_all[frame_idx], vs_all[frame_idx]
+    hid_idx = (jnp.arange(nch)[:, None] * cap
+               + jnp.arange(1, cap)[None, :])        # (nch, cap-1)
+    hp, hq, hv = ps_all[hid_idx], qs_all[hid_idx], vs_all[hid_idx]
+
+    # ---- truth states: clocks + integer ambiguities ----
+    clk_truth = jnp.zeros((nf, NCLOCK), dtype)
+    clk_truth = clk_truth.at[:, 0].set(0.4)          # RTK dtur
+    clk_truth = clk_truth.at[:, 6].set(
+        1.2 + 0.01 * jnp.arange(nf, dtype=dtype))    # SPP dtgps
+    clk_truth = clk_truth.at[:, 12].set(0.05)        # doppler drift
+    pb_truth = jax.random.randint(keys[3], (nb,), -30, 30).astype(dtype)
+    lam = jnp.full((nb,), 0.19029367279836487, dtype)
+
+    truth = WindowState.zeros(nf, nl, nb, dtype=dtype)._replace(
+        p=ps, q=qs, v=vs, clk=clk_truth, phase_bias=pb_truth)
+
+    hclk = jnp.broadcast_to(clk_truth[0], (nch, n_hidden, NCLOCK))
+    hid_truth = ChainHidden(
+        p=hp, q=hq, v=hv,
+        ba=jnp.zeros((nch, n_hidden, 3), dtype),
+        bg=jnp.zeros((nch, n_hidden, 3), dtype),
+        clk=hclk)
+
+    # ---- landmarks + projections (as problems.py) ----
+    lm = jnp.stack([
+        jax.random.uniform(keys[4], (nl,), dtype, -8.0, 8.0),
+        jax.random.uniform(keys[5], (nl,), dtype, -6.0, 6.0),
+        jax.random.uniform(keys[6], (nl,), dtype, 8.0, 35.0),
+    ], axis=-1)
+    truth = truth._replace(landmarks=lm)
+    f_ids = jnp.tile(jnp.arange(nf, dtype=jnp.int32), nl)[:nobs]
+    l_ids = jnp.repeat(jnp.arange(nl, dtype=jnp.int32), nf)[:nobs]
+
+    def project(f, l):
+        pc = lie.quat_rotate_inv(qs[f], lm[l] - ps[f])
+        return pc[0:2] / pc[2], pc[2] > 1.0
+
+    obs_xy, ok = jax.vmap(project)(f_ids, l_ids)
+    obs_valid = ok & (jnp.abs(obs_xy[:, 0]) < 2.0) \
+        & (jnp.abs(obs_xy[:, 1]) < 2.0)
+
+    # ---- satellites + WINDOW-frame GNSS rows (z from the model @truth) ----
+    sat_pos, sat_vel = _sat_constellation(keys[7], ns, dtype)
+    r0u, r0 = _geom_rows(sat_pos)
+    nrow = nf * ns
+    row_f = jnp.repeat(jnp.arange(nf, dtype=jnp.int32), ns)
+    row_s = jnp.tile(jnp.arange(ns, dtype=jnp.int32), nf)
+
+    def mk_batch(clk_slot, pb, w):
+        return GnssObsBatch(
+            frame_ids=row_f,
+            clk_slot=jnp.full((nrow,), clk_slot, jnp.int32),
+            drift_slot=jnp.full((nrow,), 12, jnp.int32),
+            pb_slot=pb,
+            r0_unit=r0u[row_s], r0=r0[row_s],
+            sat_xy=sat_pos[row_s, :2], sat_vel=sat_vel[row_s],
+            z=jnp.zeros((nrow,), dtype),
+            wavelength=lam[jnp.clip(row_s, 0, nb - 1)],
+            weight=jnp.full((nrow,), w, dtype),
+            valid=jnp.ones((nrow,), dtype=bool))
+
+    pb_rows = jnp.clip(row_s, 0, nb - 1)
+    # pseudorange and carrier phase SHARE clock slot 0 (the RTD+RTK dtur
+    # pairing): without a pseudorange anchor on the carrier clock, a
+    # common-mode (N, clk) shift is a gauge freedom and the ambiguity tail
+    # covariance is singular
+    b_pr = mk_batch(0, jnp.zeros((nrow,), jnp.int32), 1.0 / 0.8)
+    b_cp = mk_batch(0, pb_rows, 1.0 / 0.004)
+    b_dopp = mk_batch(12, jnp.zeros((nrow,), jnp.int32), 1.0 / 0.1)
+
+    # synthesize measurements: residual(z=0) = w·model  =>  z = model
+    def z_of(fn, batch):
+        fb = fn(truth, batch, R_e)
+        return batch._replace(z=fb.res[:, 0] / batch.weight)
+
+    b_pr = z_of(spp_pseudorange_batch, b_pr)
+    b_cp = z_of(spp_carrier_phase_batch, b_cp)
+    b_dopp = z_of(doppler_batch, b_dopp)
+
+    # ---- chain static data: rows at every hidden epoch ----
+    cr = n_hidden * ns * 3
+    h_si = jnp.repeat(jnp.arange(1, cap, dtype=jnp.int32), ns * 3)
+    h_sat = jnp.tile(jnp.repeat(jnp.arange(ns, dtype=jnp.int32), 3),
+                     n_hidden)
+    h_kind = jnp.tile(jnp.arange(3, dtype=jnp.int32), n_hidden * ns)
+    h_clk = jnp.where(h_kind == 2, 12, 0).astype(jnp.int32)
+    h_pb = jnp.clip(h_sat, 0, nb - 1)
+    h_w = jnp.where(h_kind == 0, 1.0 / 0.8,
+                    jnp.where(h_kind == 1, 1.0 / 0.004, 1.0 / 0.1)) \
+        .astype(dtype)
+
+    def chain_rows_of(c):
+        rows = ChainRows(
+            state_idx=h_si, kind=h_kind, clk_slot=h_clk, pb_slot=h_pb,
+            r0_unit=r0u[h_sat], r0=r0[h_sat], sat_xy=sat_pos[h_sat, :2],
+            sat_vel=sat_vel[h_sat], z=jnp.zeros((cr,), dtype),
+            wavelength=lam[h_pb], weight=h_w,
+            valid=jnp.ones((cr,), dtype=bool))
+        hidc = jax.tree.map(lambda x: x[c], hid_truth)
+        res, _ = _gnss_row_eval(hidc, pb_truth, rows, R_e)
+        return rows._replace(z=res[:, 0] / h_w)
+
+    rows_all = jax.vmap(chain_rows_of)(jnp.arange(nch))
+    st = ChainStatic(
+        left=jnp.arange(nch, dtype=jnp.int32),
+        right=jnp.arange(1, nf, dtype=jnp.int32),
+        n_leaves=jnp.full((nch,), cap, jnp.int32),
+        active=jnp.ones((nch,), dtype=bool),
+        pre=pre_leaf,
+        pre_valid=jnp.ones((nch, cap), dtype=bool),
+        rows=rows_all,
+        mid=jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (nch,) + x.shape),
+            empty_chain_mid(nb, dtype)))
+
+    # ---- prior: pin frame 0 (gauge; GNSS-mode bootstrap weights) ----
+    prior_J = jnp.zeros((lay.dim, lay.dim), dtype)
+    dvec = jnp.zeros((lay.dim,), dtype)
+    i0 = lay.pose_idx(0)
+    s0 = lay.sb_idx(0)
+    dvec = dvec.at[i0:i0 + POSE_DIM].set(2e2)
+    dvec = dvec.at[s0:s0 + 9].set(1e1)
+    prior_J = prior_J + jnp.diag(dvec)
+
+    # ---- perturbed initial guess ----
+    pk = jax.random.split(keys[8], 8)
+    mask0 = (jnp.arange(nf) > 0).astype(dtype)[:, None]
+    state0 = truth._replace(
+        p=truth.p + 0.1 * jax.random.normal(pk[0], (nf, 3), dtype) * mask0,
+        q=lie.quat_boxplus(
+            truth.q,
+            0.02 * jax.random.normal(pk[1], (nf, 3), dtype) * mask0),
+        v=truth.v + 0.1 * jax.random.normal(pk[2], (nf, 3), dtype) * mask0,
+        landmarks=truth.landmarks
+        + 0.3 * jax.random.normal(pk[3], (nl, 3), dtype),
+        clk=truth.clk + 0.3 * jax.random.normal(pk[4], (nf, NCLOCK), dtype),
+        phase_bias=truth.phase_bias
+        + 0.2 * jax.random.normal(pk[5], (nb,), dtype))
+    hid0 = ChainHidden(
+        p=hid_truth.p + 0.05 * jax.random.normal(
+            pk[6], hid_truth.p.shape, dtype),
+        q=lie.quat_boxplus(hid_truth.q, 0.01 * jax.random.normal(
+            pk[7], (nch, n_hidden, 3), dtype)),
+        v=hid_truth.v, ba=hid_truth.ba, bg=hid_truth.bg,
+        clk=hid_truth.clk)
+
+    free = jnp.zeros((lay.dim,), dtype=bool)
+    free = free.at[lay.lm_off:3 * nl].set(True)
+    free = free.at[lay.frame_off:lay.frame_off + FRAME_DIM * nf].set(True)
+    free = free.at[lay.clk_off:lay.clk_off + NCLOCK * nf].set(True)
+    free = free.at[lay.pb_off:lay.pb_off + nb].set(True)
+
+    cov_cols = lay.pb_off + jnp.arange(nb, dtype=jnp.int32)
+
+    # window-interval pres: structurally absent (all intervals chain-covered)
+    pre_win = jax.tree.map(lambda x: x[:, 0], pre_leaf)   # (nch=nf-1, ...)
+
+    return RTKWindowProblem(
+        state0=state0, hid0=hid0, st=st, pre=pre_win,
+        pre_valid=jnp.zeros((nf - 1,), dtype=bool),
+        f_ids=f_ids, l_ids=l_ids, obs_xy=obs_xy, obs_valid=obs_valid,
+        b_pr=b_pr, b_cp=b_cp, b_dopp=b_dopp,
+        prior_J=prior_J, prior_r0=jnp.zeros((lay.dim,), dtype),
+        prior_x0=truth, free_mask=free, cov_cols=cov_cols,
+        truth=truth, hid_truth=hid_truth)
+
+
+def make_synthetic_rtk_windows(key, batch: int, nf: int = 11, nl: int = 352,
+                               nobs: int = 2816, nsamp: int = 8,
+                               cap: int = 11, ns: int = 14, nb: int = 16,
+                               dtype=jnp.float64) -> RTKWindowProblem:
+    """Synthesize in f64, then cast (as make_synthetic_windows)."""
+    keys = jax.random.split(key, batch)
+    probs = jax.vmap(lambda k: _make_one_rtk(
+        k, nf, nl, nobs, nsamp, cap, ns, nb, jnp.float64))(keys)
+    if dtype != jnp.float64:
+        probs = jax.tree.map(
+            lambda x: x.astype(dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, probs)
+    return probs
+
+
+# ---------------------------------------------------------------------------
+# solve path (mirror of Estimator._jit_solve_chains on synthesized inputs)
+# ---------------------------------------------------------------------------
+def _solve_one_rtk(prob: RTKWindowProblem, lay: TangentLayout,
+                   cfg: DoglegConfig, cap: int, axis_name=None):
+    dtype = prob.state0.p.dtype
+    _, R_e = _anchor_frame()
+    R_e = R_e.astype(dtype)
+    pbg = jnp.zeros(3, dtype)
+    g_world = jnp.asarray([0.0, 0.0, 9.81], dtype)
+    prior = MargPrior(J=prob.prior_J, r0=prob.prior_r0, x0=prob.prior_x0,
+                      valid_rows=jnp.ones(prob.prior_r0.shape, dtype=bool))
+    prior_contrib = prior.precompute()
+
+    def eval_fn(comp):
+        win, hid = comp
+        cam_ids = jnp.zeros_like(prob.f_ids)
+        b_proj = projection_factor_batch(
+            win, prob.f_ids, cam_ids, prob.l_ids,
+            prob.obs_xy, prob.obs_valid, pbg)
+        H, g, cost = projection_assemble(lay, prob.f_ids, cam_ids,
+                                         prob.l_ids, b_proj.res, b_proj.jac)
+        # chains: one 30+nb block per chain, psum-reducible across shards
+        Hb, gb, gidx, ccost = chain_contrib(
+            win, hid, prob.st, lay, R_e, pbg, g_world, cap)
+        H = H.at[gidx[:, :, None], gidx[:, None, :]].add(Hb)
+        g = g.at[gidx].add(gb)
+        cost = cost + ccost
+        if axis_name is not None:
+            # factor-parallel reduction over the mesh axis: this shard holds
+            # a slice of the projection rows AND a slice of the chains
+            H = jax.lax.psum(H, axis_name)
+            g = jax.lax.psum(g, axis_name)
+            cost = jax.lax.psum(cost, axis_name)
+        batches = [
+            imu_factor_batch(win, prob.pre, pbg, g_world, prob.pre_valid),
+            spp_pseudorange_batch(win, prob.b_pr, R_e),
+            spp_carrier_phase_batch(win, prob.b_cp, R_e),
+            doppler_batch(win, prob.b_dopp, R_e),
+        ]
+        Hg, gg, cg = assemble(batches, lay.dim)
+        Hp, gp, cp = prior_contrib(win)
+        return H + Hg + Hp, g + gg + gp, cost + cg + cp
+
+    def retract_fn(comp, dx):
+        win, hid = comp
+        h2 = chain_retract(win, hid, prob.st, dx, lay, R_e, pbg, g_world,
+                           cap)
+        return (retract_window(win, dx), h2)
+
+    res = dogleg_solve(eval_fn, retract_fn, (prob.state0, prob.hid0),
+                       prob.free_mask, cfg)
+    # ambiguity tail covariance for LAMBDA, from the final Hessian
+    X = masked_cov_cols(res.H, prob.free_mask, prob.cov_cols)
+    win, hid = res.state
+    return win, hid, res.cost, res.n_accepted, X
+
+
+def batched_rtk_solve(probs: RTKWindowProblem, lay: TangentLayout,
+                      cfg: DoglegConfig, cap: int):
+    """vmap over the window batch (single device): the flagship bench op."""
+    return jax.vmap(lambda p: _solve_one_rtk(p, lay, cfg, cap))(probs)
+
+
+def sharded_rtk_solve(mesh, probs: RTKWindowProblem, lay: TangentLayout,
+                      cfg: DoglegConfig, cap: int):
+    """dp×fp sharded flagship solve: windows over dp; within each window the
+    projection rows AND the chains are sharded over fp with a psum Schur
+    reduction (SURVEY.md §5.7: "shard long chains … reduce Schur complements
+    with psum")."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    batch_spec = P("dp")
+    obs_spec = P("dp", "fp")
+    chain_spec = jax.tree.map(lambda _: obs_spec, probs.st)
+    hid_spec = jax.tree.map(lambda _: obs_spec, probs.hid0)
+
+    in_specs = jax.tree.map(lambda _: batch_spec, probs)
+    in_specs = in_specs._replace(
+        f_ids=obs_spec, l_ids=obs_spec, obs_xy=obs_spec,
+        obs_valid=obs_spec, st=chain_spec, hid0=hid_spec)
+    out_specs = (batch_spec, jax.tree.map(lambda _: obs_spec, probs.hid0),
+                 batch_spec, batch_spec, batch_spec)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(in_specs,),
+             out_specs=out_specs, check_vma=False)
+    def run(local):
+        return jax.vmap(
+            lambda p: _solve_one_rtk(p, lay, cfg, cap, axis_name="fp"))(
+            local)
+
+    return run(probs)

@@ -73,6 +73,14 @@ def save_checkpoint(est: Estimator, path: str):
         "nofix_streak": est._nofix_streak,
         "imu_buf": [[t, a.tolist(), g.tolist()] for t, a, g in
                     zip(est._imu_t, est._imu_acc, est._imu_gyr)],
+        # round-2 scalar state: first-fix latch, fix/outage timing, per-IMU
+        # output bookkeeping (mirror is re-based on the next frame anyway)
+        "gnss_initialized": bool(est._gnss_initialized),
+        "last_fix_time": float(est._last_fix_time),
+        "last_lambda_t": float(est._last_lambda_t),
+        "last_gnss_frame_t": float(est._last_gnss_frame_t),
+        "recent_frame_times": list(est._recent_frame_times),
+        "mag_yaw": float(est.mag_yaw),
     }
     # condensed IMU-GNSS chains (full records, incl. mid-chain marginals)
     ch_meta = []
@@ -161,6 +169,13 @@ def load_checkpoint(est: Estimator, path: str):
     est.rtk_fixed = header["rtk_fixed"]
     est._fix_streak = header["fix_streak"]
     est._nofix_streak = header["nofix_streak"]
+    est._gnss_initialized = header.get(
+        "gnss_initialized", est.initialized or not est.cfg.use_gnss)
+    est._last_fix_time = header.get("last_fix_time", -np.inf)
+    est._last_lambda_t = header.get("last_lambda_t", -np.inf)
+    est._last_gnss_frame_t = header.get("last_gnss_frame_t", -np.inf)
+    est._recent_frame_times = list(header.get("recent_frame_times", []))
+    est.mag_yaw = header.get("mag_yaw", 0.0)
     est._imu_t = [b[0] for b in header["imu_buf"]]
     est._imu_acc = [np.asarray(b[1]) for b in header["imu_buf"]]
     est._imu_gyr = [np.asarray(b[2]) for b in header["imu_buf"]]

@@ -47,6 +47,29 @@ from .chains import (ChainRecord, chain_device_inputs, merge_rows,
                      truncate_middle, writeback_hidden)
 
 
+# jitted-stage cache shared across Estimator instances: every closure the
+# estimator jits depends ONLY on the config (capacities, flags, solver
+# options, pbg/g/R_e constants), so estimators with identical configs reuse
+# each other's traced+compiled executables — re-tracing the 8-iteration
+# vmapped-autodiff solves per instance dominated the test-suite wall time
+_GLOBAL_JIT_CACHE: dict = {}
+
+
+def _cfg_signature(cfg) -> tuple:
+    return (cfg.nf, cfg.nl, cfg.nb, cfg.max_obs, cfg.imu_capacity,
+            cfg.use_inverse_depth, cfg.use_stereo, cfg.use_gnss,
+            cfg.use_rtk, cfg.use_rtd, cfg.use_spp_phase,
+            cfg.use_spp_correction, cfg.use_doppler, cfg.use_n_resolve,
+            cfg.use_mag, cfg.use_mag_correct_yaw, cfg.estimate_extrinsic,
+            cfg.max_iters, float(cfg.init_trust_radius),
+            cfg.solve_step_dtype, float(cfg.solve_f_tol),
+            cfg.use_gnss_chains, cfg.chain_cap, cfg.max_chains,
+            cfg.max_chain_rows, cfg.max_gnss_pr, cfg.max_gnss_cp,
+            cfg.max_gnss_dopp, float(cfg.g),
+            np.asarray(cfg.pbg, dtype=float).tobytes(),
+            np.asarray(cfg.enu_to_ecef, dtype=float).tobytes())
+
+
 def _host(tree):
     """Device pytree -> writable host-numpy pytree (one transfer).
 
@@ -169,9 +192,34 @@ class Estimator:
         self._fix_streak = 0
         self._nofix_streak = 0
         self._last_fix: list = []
+        self._last_fix_time = -np.inf      # last accepted fix (save_result
+        #                                    rtk_fix flag, visualization.cpp:254)
+        self._last_lambda_t = -np.inf      # 2 s outage fix-state reset
+        #                                    (swf_lambda.cpp:84-91)
 
-        self._jit_cache: dict = {}
+        # GNSS first-fix initialization state (GnssProcess init_gnss flag,
+        # rvi/swf/swf_gnss.cpp:189-258): before the first usable epoch, the
+        # window lives in an arbitrary local frame; the first epoch anchors
+        # it to the GNSS frame via a single-epoch SPP solve
+        self._gnss_initialized = not cfg.use_gnss
+
+        # per-IMU-sample dead-reckoning output (IMUProcess propagation +
+        # save_result per sample, rvi/swf/swf_imu.cpp:179-213)
+        self.writer = None
+        self._dr: Optional[dict] = None
+        self.mag_yaw = 0.0
+        self._last_gnss_frame_t = -np.inf
+        self._recent_frame_times: list[float] = []
+
+        self._jit_cache: dict = _GLOBAL_JIT_CACHE.setdefault(
+            _cfg_signature(cfg), {})
         self.trajectory: list[tuple[float, np.ndarray, np.ndarray, np.ndarray]] = []
+
+    def attach_writer(self, writer):
+        """Attach a ResultWriter: one CSV row per IMU sample from then on
+        (the reference's save_result-per-sample protocol that evaluate.py's
+        2.5 ms ground-truth association relies on)."""
+        self.writer = writer
 
     # ------------------------------------------------------------------
     # inputs
@@ -183,6 +231,59 @@ class Estimator:
         if not self.initialized:
             self._init_acc.append(np.asarray(acc, dtype=float))
             self._init_gyr.append(np.asarray(gyr, dtype=float))
+        elif self.writer is not None:
+            self._dr_step(float(t), np.asarray(acc, dtype=float),
+                          np.asarray(gyr, dtype=float))
+
+    # ------------------------------------------------------------------
+    # per-IMU-sample dead reckoning + CSV output (IMUProcess semantics,
+    # rvi/swf/swf_imu.cpp:179-213: midpoint propagation of the newest frame
+    # state per sample, one save_result row per sample)
+    # ------------------------------------------------------------------
+    def _dr_step(self, t, acc, gyr):
+        d = self._dr
+        if d is None:
+            return
+        dt = t - d["t"]
+        g = self.g_world           # +z gravity magnitude; world accel −g
+        if 0.0 < dt < 1.0:
+            un_gyr = 0.5 * (d["gyr"] + gyr) - d["bg"]
+            a0 = lie_np.quat_rotate(d["q"], d["acc"] - d["ba"]) - g
+            d["q"] = lie_np.quat_normalize(
+                lie_np.quat_mul(d["q"], lie_np.quat_exp(un_gyr * dt)))
+            a1 = lie_np.quat_rotate(d["q"], acc - d["ba"]) - g
+            a = 0.5 * (a0 + a1)
+            d["p"] = d["p"] + d["v"] * dt + 0.5 * a * dt * dt
+            d["v"] = d["v"] + a * dt
+        d["t"], d["acc"], d["gyr"] = t, acc, gyr
+        fc = self.frame_count
+        # "a GNSS frame is among the newest 3" (visualization.cpp:250-252);
+        # with chain condensation GNSS frames leave the window, so the
+        # creation-time equivalent is used: the last GNSS frame was created
+        # no earlier than the 3rd-newest frame
+        rt = self._recent_frame_times
+        havegps = (bool(self.frame_is_gnss[max(0, fc - 3):fc].any())
+                   or (len(rt) >= 3 and self._last_gnss_frame_t >= rt[-3]))
+        # acc_w written without bias subtraction, matching save_result
+        # (visualization.cpp:244: InitRwgwᵀ(Rs·acc_0) − G)
+        acc_w = lie_np.quat_rotate(d["q"], acc) - g
+        self.writer.write(
+            t, d["p"], d["q"], d["v"], d["ba"], d["bg"], acc_w=acc_w,
+            rtk_fix=int(abs(t - self._last_fix_time) < 0.2),
+            mag_yaw=self.mag_yaw, havegps=int(havegps), pbg=self._pbg)
+
+    def _dr_rebase(self, t):
+        """Re-base the dead-reckoning mirror on the newest solved frame."""
+        if self.writer is None:
+            return
+        i = self.frame_count - 1
+        acc = self._imu_acc[-1] if self._imu_acc else np.zeros(3)
+        gyr = self._imu_gyr[-1] if self._imu_gyr else np.zeros(3)
+        self._dr = dict(
+            t=float(t), p=np.array(self.x.p[i]), q=np.array(self.x.q[i]),
+            v=np.array(self.x.v[i]), ba=np.array(self.x.ba[i]),
+            bg=np.array(self.x.bg[i]), acc=np.asarray(acc),
+            gyr=np.asarray(gyr))
 
     def process_mag(self, t, mag):
         """Buffer magnetometer samples (nearest-to-frame selection,
@@ -200,6 +301,23 @@ class Estimator:
         if abs(tt - t) < 0.5:
             self.frame_mag[fidx] = mm
             self.frame_mag_valid[fidx] = True
+            self._update_mag_yaw(fidx, mm)
+
+    def _update_mag_yaw(self, fidx: int, mag: np.ndarray):
+        """TRIAD yaw from (estimated gravity direction, magnetometer): the
+        reference's per-frame mag_yaw telemetry (MagProcess,
+        rvi/swf/swf_imu.cpp:244-251)."""
+        R = lie_np.quat_to_rot(np.asarray(self.x.q[fidx]))
+        z0 = R.T @ np.array([0.0, 0.0, 1.0])
+        x0 = np.cross(np.asarray(mag) + np.asarray(self.x.mag_bias), z0)
+        nx = np.linalg.norm(x0)
+        if nx < 1e-9:
+            return
+        x0 /= nx
+        y0 = np.cross(z0, x0)
+        y0 /= max(np.linalg.norm(y0), 1e-12)
+        Rwb0 = np.stack([x0, y0, z0])
+        self.mag_yaw = float(np.rad2deg(np.arctan2(Rwb0[1, 0], Rwb0[0, 0])))
 
     def process_image(self, t, ids, xys, ids_r=None, xys_r=None):
         """One camera frame with tracked features (id, unit-plane xy).
@@ -241,6 +359,10 @@ class Estimator:
         self._select_mag(fidx, ep.t)
         self.frame_is_gnss[fidx] = True
         self.gnss_store[fidx] = prep
+        self._last_gnss_frame_t = float(ep.t)
+        if not self._gnss_initialized:
+            self._gnss_first_fix(fidx, prep)
+            self._gnss_initialized = True
         self._detect_cycle_slips(fidx, prep)
         self._init_new_biases(fidx, prep)
         if self.frame_count >= 3:
@@ -440,6 +562,131 @@ class Estimator:
         self.x = self.x._replace(phase_bias=pb)
 
     # ------------------------------------------------------------------
+    # GNSS first-fix initialization (GnssProcess !init_gnss branch,
+    # rvi/swf/swf_gnss.cpp:189-258): single-epoch SPP least squares at the
+    # newest frame, then a rigid transform of the whole window (states +
+    # landmarks) onto the GNSS solution, then a rebuilt prior with the
+    # GNSS-mode bootstrap weights (InitializeSqrtInfo rover>0 branch,
+    # swf_core.cpp:500-513: pos/vel nearly free, attitude ~5°).
+    # ------------------------------------------------------------------
+    def _gnss_first_fix(self, fidx: int, prep: PreparedEpoch):
+        sol = self._single_epoch_spp(fidx, prep)
+        if sol is None:
+            return
+        p_new, v_new, clk_new = sol
+        dp = p_new - np.asarray(self.x.p[fidx])
+        # our world frame is already ENU at the anchor with mag-derived yaw
+        # (when USE_MAG_INIT_YAW), so newR·oldRᵀ = I: the reference's
+        # InitializePos(Rwgw) would reproduce the bootstrap attitude
+        x = self.x
+        p = x.p + dp[None, :]
+        lms = x.landmarks.copy()
+        if not self.cfg.use_inverse_depth:
+            solved = self.features.active & self.features.solved
+            lms[solved] = lms[solved] + dp[None, :]
+        self.features.point[self.features.active] += dp[None, :]
+        v = x.v.copy()
+        v[:self.frame_count] = v_new[None, :]
+        clk = x.clk.copy()
+        clk[:self.frame_count] = clk_new[None, :]
+        self.x = x._replace(p=p, v=v, clk=clk, landmarks=lms)
+        self._build_gnss_prior()
+
+    def _single_epoch_spp(self, fidx: int, prep: PreparedEpoch):
+        """Host GN least squares on one epoch's pseudorange (+RB-SD) rows
+        for position+clocks, then a linear Doppler solve for velocity+drift
+        (the reference runs a 20-iteration ceres solve over the same rows,
+        swf_gnss.cpp:203-215).  Returns (p_enu, v_enu, clk[13]) or None."""
+        from ..geodesy.earth import CLIGHT, OMGE
+        pr_rows = np.flatnonzero((prep.kind == 0) | (prep.kind == 2))
+        if len(pr_rows) < 4:
+            return None
+        R_e = np.asarray(self._R_e)
+        p = np.array(self.x.p[fidx], dtype=float)
+        clk = np.zeros(NCLOCK)
+        slots = np.unique(prep.clk_slot[pr_rows])
+        slot_of = {int(s): k for k, s in enumerate(slots)}
+        nc = len(slots)
+        w = prep.weight[pr_rows]
+        for _ in range(12):
+            x_e = R_e @ p
+            proj = prep.r0_unit[pr_rows] @ x_e
+            t_ = 2.0 * proj + (x_e @ x_e) / prep.r0[pr_rows]
+            delta = t_ / (1.0 + np.sqrt(np.maximum(
+                1.0 + t_ / prep.r0[pr_rows], 1e-12)))
+            sag = OMGE * (prep.sat_xy[pr_rows, 0] * x_e[1]
+                          - prep.sat_xy[pr_rows, 1] * x_e[0]) / CLIGHT
+            res = delta + sag + clk[prep.clk_slot[pr_rows]] - prep.z[pr_rows]
+            J = np.zeros((len(pr_rows), 3 + nc))
+            J[:, :3] = prep.r0_unit[pr_rows] @ R_e     # ∂ρ/∂p_enu ≈ êᵀR_e
+            for k, r in enumerate(pr_rows):
+                J[k, 3 + slot_of[int(prep.clk_slot[r])]] = 1.0
+            A = (J * w[:, None]).T @ (J * w[:, None])
+            b = (J * w[:, None]).T @ (w * res)
+            try:
+                dx = np.linalg.solve(A + 1e-9 * np.eye(A.shape[0]), b)
+            except np.linalg.LinAlgError:
+                return None
+            p -= dx[:3]
+            for k, s in enumerate(slots):
+                clk[int(s)] -= dx[3 + k]
+            if np.linalg.norm(dx) < 1e-4:
+                break
+        if not np.isfinite(p).all():
+            return None
+        # velocity + clock drift from Doppler (linear given the geometry)
+        v = np.array(self.x.v[fidx], dtype=float)
+        dp_rows = np.flatnonzero(prep.kind == 4)
+        if len(dp_rows) >= 4:
+            x_e = R_e @ p
+            num = prep.r0_unit[dp_rows] * prep.r0[dp_rows][:, None] \
+                + x_e[None, :]
+            e = num / np.linalg.norm(num, axis=1)[:, None]
+            sag_v = (OMGE / CLIGHT) * (
+                prep.sat_vel[dp_rows, 1] * x_e[0]
+                - prep.sat_vel[dp_rows, 0] * x_e[1])
+            wd = prep.weight[dp_rows]
+            Jv = np.zeros((len(dp_rows), 4))
+            # ∂rate/∂v_enu: sag term of v is tiny — absorbed in residual
+            Jv[:, :3] = e @ R_e
+            Jv[:, 3] = 1.0
+            z = prep.z[dp_rows] - sag_v + np.einsum(
+                "ij,ij->i", e, prep.sat_vel[dp_rows])
+            A = (Jv * wd[:, None]).T @ (Jv * wd[:, None])
+            b = (Jv * wd[:, None]).T @ (wd * z)
+            try:
+                sol = np.linalg.solve(A + 1e-9 * np.eye(4), b)
+                v = sol[:3]
+                clk[12] = sol[3]
+            except np.linalg.LinAlgError:
+                pass
+        return p, v, clk
+
+    def _build_gnss_prior(self):
+        """Replace the prior with the GNSS-mode bootstrap weights
+        (InitializeSqrtInfo with rover_count > 0, swf_core.cpp:500-513:
+        pos/vel 1e-3 = nearly free, attitude 180/π/5 ≈ 5° std, ba 1e1,
+        bg 1e2)."""
+        lay = self.lay
+        J = np.zeros((lay.dim, lay.dim))
+        d = np.zeros(lay.dim)
+        i0 = lay.pose_idx(0)
+        d[i0:i0 + 3] = 1e-3
+        d[i0 + 3:i0 + 6] = 180.0 / np.pi / 5.0
+        s0 = lay.sb_idx(0)
+        d[s0:s0 + 3] = 1e-3
+        d[s0 + 3:s0 + 6] = 1e1
+        d[s0 + 6:s0 + 9] = 1e2
+        if self.cfg.estimate_extrinsic:
+            d[lay.ext_off:lay.ext_off + POSE_DIM * 2] = 1e3
+        if self.cfg.use_mag_correct_yaw:
+            d[lay.mag_off:lay.mag_off + 3] = 1.0
+        np.fill_diagonal(J, d)
+        self.prior = MargPrior(
+            J=J, r0=np.zeros(lay.dim),
+            x0=self.x, valid_rows=d > 0)
+
+    # ------------------------------------------------------------------
     # initialization (InitializePos semantics, rvi/swf/swf_imu.cpp:5-37:
     # roll/pitch from mean specific force; yaw = 0 without mag)
     # ------------------------------------------------------------------
@@ -499,6 +746,10 @@ class Estimator:
         d[s0:s0 + 3] = 1e1          # velocity
         d[s0 + 3:s0 + 6] = 1e1      # ba
         d[s0 + 6:s0 + 9] = 1e2      # bg
+        if self.cfg.estimate_extrinsic:
+            # extrinsic bootstrap prior, weight 1e3 (InitializeSqrtInfo
+            # ESTIMATE_EXTRINSIC branch, swf_core.cpp:516-528)
+            d[lay.ext_off:lay.ext_off + POSE_DIM * 2] = 1e3
         if self.cfg.use_mag_correct_yaw:
             # mag-bias prior, weight 1 (InitialFactor33 via sqrt_info_pose4,
             # swf_core.cpp:531-537) — without it the (bias, yaw) pair drifts
@@ -544,6 +795,7 @@ class Estimator:
         self.x = self.x._replace(p=xp, q=xq, v=xv, ba=xba, bg=xbg)
         self.frame_count += 1
         self.frame_times.append(float(t))
+        self._recent_frame_times = (self._recent_frame_times + [float(t)])[-4:]
         self._reset_imu_buffer()
 
     def _predict(self, pre: Preintegrated, k):
@@ -1044,13 +1296,22 @@ class Estimator:
     # rvi/swf/swf_gnss.cpp:128-171 + swf_lambda.cpp)
     # ------------------------------------------------------------------
     def _integer_solve(self, fidx: int):
-        from ..ambiguity import (choose_reference, double_difference,
-                                 lambda_ils, ratio_test)
+        from ..ambiguity import (SearchOverflow, choose_reference,
+                                 double_difference, lambda_ils,
+                                 partial_ratio_test)
 
         cfg, lay = self.cfg, self.lay
         prep = self.gnss_store[fidx]
         if prep is None:
             return
+        # 2 s GNSS-outage fix-state reset (swf_lambda.cpp:84-91): a gap in
+        # epochs invalidates fix continuity and the not-fixed counter
+        t_now = self.frame_times[fidx]
+        if t_now - self._last_lambda_t > 2.0:
+            self._fix_streak = 0
+            self._nofix_streak = 0
+            self.rtk_fixed = False
+        self._last_lambda_t = t_now
         # RTK carrier-phase bias slots observed at the newest epoch
         newest_slots = np.unique(prep.pb_slot[prep.kind == 3])
         if len(newest_slots) < 4:
@@ -1114,10 +1375,12 @@ class Estimator:
             return
         try:
             F, s = lambda_ils(b_float, Qdd, m=2)
-        except (np.linalg.LinAlgError, ValueError):
+        except (SearchOverflow, np.linalg.LinAlgError, ValueError):
             self._note_no_fix()
             return
-        if not ratio_test(s, cfg.fix_ratio_threshold):
+        # candidate-splitting partial ratio test (swf_lambda.cpp:204-244)
+        if not partial_ratio_test(b_float, Qdd, F, s,
+                                  cfg.fix_ratio_threshold):
             self._note_no_fix()
             return
 
@@ -1131,13 +1394,15 @@ class Estimator:
         self.rtk_fixed = True
         self._fix_streak += 1
         self._nofix_streak = 0
+        self._last_fix_time = t_now
         self._last_fix = [(i, r, int(n)) for (i, r), n in zip(D_rows, F[0])]
 
         # after enough consecutive fixes, bake FixedInteger constraints into
-        # the prior (swf_lambda.cpp:249-355 re-marginalization)
+        # the prior — then every accepted epoch re-bakes, as the reference
+        # does (fixcount keeps growing past FIX_CONTINUE_THRESHOLD,
+        # swf_lambda.cpp:249-355)
         if self._fix_streak >= cfg.fix_continue_threshold:
             self._bake_fixed_integers(D_rows, F[0])
-            self._fix_streak = 0
 
     def _note_no_fix(self):
         self.rtk_fixed = False
@@ -1151,22 +1416,45 @@ class Estimator:
             self._nofix_streak = 0
 
     def _bake_fixed_integers(self, D_rows, n_fixed):
-        """Fold w·((N_i − N_ref) − ň) rows into the prior information and
-        re-factorize (FixedIntegerFactor weight 1/0.03, gnss_factor.h:137)."""
+        """Fold FixedInteger constraints into the prior RELATIVE to a
+        per-(sys,freq) datum and re-factorize (swf_lambda.cpp:249-355).
+
+        The reference introduces one auxiliary datum scalar ``tf`` per
+        (sys,f) group, adds w·((N_ref − tf) − 0) for the group's reference
+        ambiguity and w·((N_i − tf) − ň_i) for each fixed one (weight
+        w = 1/0.03, gnss_factor.h:137), then marginalizes the datums out —
+        which correlates the per-group rows exactly as a common-mode-free
+        constraint should (an absolute per-pair encoding would overweight
+        the reference satellite)."""
+        from ..solver import masked_schur_np
         lay = self.lay
         w = 1.0 / 0.03
-        H = self.prior.J.T @ self.prior.J
-        g = self.prior.J.T @ self.prior.r0
-        x0b = self.prior.x0.phase_bias
+        # one datum per reference slot (D_rows groups share their ref slot
+        # per (sys,freq), FindReferenceSatellites semantics)
+        groups: dict[int, list] = {}
         for (i, r), n in zip(D_rows, n_fixed):
-            row = np.zeros(lay.dim)
-            row[lay.pb_idx(i)] = w
-            row[lay.pb_idx(r)] = -w
-            # residual at the prior linearization point
-            r0 = w * ((x0b[i] - x0b[r]) - n)
-            H += np.outer(row, row)
-            g += row * r0
-        J0, r0v = prior_from_hessian_np(H, g)
+            groups.setdefault(int(r), []).append((int(i), int(n)))
+        ng = len(groups)
+        dim = lay.dim
+        D = dim + ng
+        H = np.zeros((D, D))
+        g = np.zeros(D)
+        H[:dim, :dim] = self.prior.J.T @ self.prior.J
+        g[:dim] = self.prior.J.T @ self.prior.r0
+        x0b = self.prior.x0.phase_bias
+        for k, (r, members) in enumerate(groups.items()):
+            tf_col = dim + k
+            for slot, n in [(r, 0)] + members:
+                row = np.zeros(D)
+                row[lay.pb_idx(slot)] = w
+                row[tf_col] = -w
+                r0v = w * (x0b[slot] - n)      # tf linearized at 0
+                H += np.outer(row, row)
+                g += row * r0v
+        mask = np.zeros(D, dtype=bool)
+        mask[dim:] = True
+        H_star, g_star = masked_schur_np(H, g, mask)
+        J0, r0v = prior_from_hessian_np(H_star[:dim, :dim], g_star[:dim])
         self.prior = self.prior._replace(
             J=J0, r0=r0v, valid_rows=np.ones(lay.dim, dtype=bool))
 
@@ -1443,6 +1731,7 @@ class Estimator:
         self.trajectory.append(
             (float(t), np.asarray(self.x.p[i]), np.asarray(self.x.q[i]),
              np.asarray(self.x.v[i])))
+        self._dr_rebase(t)
 
     # ------------------------------------------------------------------
     # prior storage: host numpy is the source of truth (host marginalization

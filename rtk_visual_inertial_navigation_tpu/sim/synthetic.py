@@ -51,6 +51,10 @@ class SimConfig:
     mag_noise: float = 0.0
     # constant initial yaw offset [rad] (tests mag-based yaw init)
     yaw0: float = 0.0
+    # constant start offset from the anchor [m] (tests GNSS first-fix
+    # initialization: the estimator boots at its local origin and must
+    # recover the true absolute position from the first epoch's SPP solve)
+    p0: np.ndarray = field(default_factory=lambda: np.zeros(3))
     # receiver clock offset [m] and drift [m/s]
     clk0: float = 40.0
     clk_drift: float = 1.5
@@ -216,6 +220,7 @@ def _simulate_impl(cfg: SimConfig) -> SimData:
     t = np.arange(n) / cfg.imu_rate
 
     p, v, a, R, w_body = _trajectory(t, rng, cfg.yaw0)
+    p = p + np.asarray(cfg.p0)[None, :]
     q = np.asarray(lie.rot_to_quat(jnp.asarray(R)))
     g_vec = np.array([0.0, 0.0, -cfg.g])
 

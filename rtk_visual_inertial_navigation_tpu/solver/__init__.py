@@ -4,5 +4,7 @@ from .gauss_newton import (  # noqa: F401
     DoglegConfig,
 )
 from .marginalization import (marginalize_dense,  # noqa: F401
-                              marginalize_dense_np, prior_from_hessian,
+                              masked_cov_cols,
+                              marginalize_dense_np, masked_schur_np,
+                              prior_from_hessian,
                               prior_from_hessian_np, spd_solve)

@@ -114,14 +114,10 @@ def marginalize_dense(H, g, marg_mask, eig_eps=1e-8):
     return prior_from_hessian(H_star, g_star, eig_eps)
 
 
-def marginalize_dense_np(H, g, marg_mask, eig_eps=1e-8):
-    """Host (numpy/LAPACK) mirror of ``marginalize_dense``.
-
-    The pipeline marginalizes on the HOST: it happens once per slide (not
-    per iteration), the prior lives host-side, and LAPACK f64 eigh is
-    robust where TPU's emulated-f64 eigh returns NaN on the ill-conditioned
-    information matrices real GNSS windows produce (diag spans 0..1e12).
-    """
+def masked_schur_np(H, g, marg_mask):
+    """Host (numpy) masked Schur complement: eliminate masked slots from
+    (H, g) without reordering; returns (H*, g*) with zero rows/cols at the
+    eliminated slots."""
     import numpy as np
 
     H = np.asarray(H, dtype=np.float64)
@@ -137,6 +133,18 @@ def marginalize_dense_np(H, g, marg_mask, eig_eps=1e-8):
     H_star = H * k[:, None] * k[None, :] - Hkm @ Hmk_sol
     g_star = g * k - Hkm @ gm_sol
     H_star = 0.5 * (H_star + H_star.T)
+    return H_star, g_star
+
+
+def marginalize_dense_np(H, g, marg_mask, eig_eps=1e-8):
+    """Host (numpy/LAPACK) mirror of ``marginalize_dense``.
+
+    The pipeline marginalizes on the HOST: it happens once per slide (not
+    per iteration), the prior lives host-side, and LAPACK f64 eigh is
+    robust where TPU's emulated-f64 eigh returns NaN on the ill-conditioned
+    information matrices real GNSS windows produce (diag spans 0..1e12).
+    """
+    H_star, g_star = masked_schur_np(H, g, marg_mask)
     return prior_from_hessian_np(H_star, g_star, eig_eps)
 
 
@@ -151,3 +159,19 @@ def prior_from_hessian_np(H_star, g_star, eig_eps=1e-8):
     J0 = sqrt_S[:, None] * V.T
     r0 = inv_sqrt_S * (V.T @ np.asarray(g_star, dtype=np.float64))
     return J0, r0
+
+
+def masked_cov_cols(H, free, cols):
+    """Selected covariance columns of the masked information matrix.
+
+    Solves (H restricted to free slots, unit diagonal elsewhere) X = E[:,
+    cols] — the tail-block covariance export of the ordered elimination
+    (IntegerSolve's Qy = A⁻¹ over the exported Schur system, SURVEY.md
+    §2.9/§3.4), computed on-device from the solve's final Hessian.
+    """
+    m = free & (jnp.diagonal(H) > 0)
+    md = m.astype(H.dtype)
+    Hm = H * md[:, None] * md[None, :] + jnp.diag(1.0 - md)
+    E = jnp.zeros((H.shape[0], cols.shape[0]), H.dtype)
+    E = E.at[cols, jnp.arange(cols.shape[0])].set(1.0)
+    return spd_solve(Hm, E)

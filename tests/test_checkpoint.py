@@ -33,7 +33,9 @@ def test_checkpoint_resume_bit_identical(tmp_path):
                              seed=0))
     n = len(sim.imu_t)
     half = n // 2
-    cfg = spp_cfg(sim, use_spp_phase=True)
+    # chains off here: the no-chain checkpoint path gets its own coverage
+    # (the chains variant below covers chain serialization)
+    cfg = spp_cfg(sim, use_spp_phase=True, use_gnss_chains=False)
 
     # uninterrupted
     est_a = drive(Estimator(cfg), sim, range(n))

@@ -1,0 +1,62 @@
+"""Online extrinsic calibration (ESTIMATE_EXTRINSIC=1): a perturbed
+body_T_cam must be recovered during the replay and persist through the
+extrinsic-yaml round trip (printStatistics persistence,
+rvi/utility/visualization.cpp:133-147)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rtk_visual_inertial_navigation_tpu.config import EstimatorConfig
+from rtk_visual_inertial_navigation_tpu.io.writer import (
+    load_extrinsic_yaml, save_extrinsic_yaml)
+from rtk_visual_inertial_navigation_tpu.ops import lie, lie_np
+from rtk_visual_inertial_navigation_tpu.pipeline import Estimator
+from rtk_visual_inertial_navigation_tpu.sim import SimConfig, simulate
+
+
+def test_online_extrinsic_recovery(tmp_path):
+    """Rotation perturbation recovery.  Translation is NOT perturbed: with
+    the reference's 1e3 extrinsic bootstrap prior (std 1 mm,
+    swf_core.cpp:516-528) and landmarks at 18-45 m, per-window translation
+    information (~w²/depth² per row) stays below the prior — the reference
+    calibrates tic only over minutes of accumulated marginalization.
+    Rotation information is depth-free and converges within seconds."""
+    sim = simulate(SimConfig(duration=10.0, imu_rate=200.0, cam_rate=4.0,
+                             n_landmarks=70, n_sats=4, seed=12))
+    q_true = np.asarray(lie.rot_to_quat(jnp.asarray(sim.cfg.r_ic)))
+    # perturb: ~1.5 deg rotation
+    dq = lie_np.quat_exp(np.array([0.015, -0.02, 0.01]))
+    q0 = lie_np.quat_normalize(lie_np.quat_mul(q_true, dq))
+    t0 = sim.cfg.t_ic.copy()
+
+    cfg = EstimatorConfig(
+        nf=10, nl=80, nb=1, max_obs=512, imu_capacity=64, average_imu=40,
+        qic=np.tile(q0, (2, 1)), tic=np.tile(t0, (2, 1)),
+        estimate_extrinsic=True)
+    est = Estimator(cfg)
+    ids = np.arange(sim.landmarks.shape[0])
+    cam_ptr = 0
+    for i, t in enumerate(sim.imu_t):
+        est.process_imu(t, sim.acc[i], sim.gyr[i])
+        if cam_ptr < len(sim.cam_idx) and sim.cam_idx[cam_ptr] == i:
+            vis = sim.obs_valid[cam_ptr]
+            est.process_image(t, ids[vis], sim.obs_xy[cam_ptr][vis])
+            cam_ptr += 1
+    assert est.initialized
+
+    tic_est = np.asarray(est.x.tic[0])
+    qic_est = np.asarray(est.x.qic[0])
+    # rotation error vs truth well under the injected ~0.027 rad
+    dth = np.asarray(lie.quat_boxminus(jnp.asarray(qic_est),
+                                       jnp.asarray(q_true)))
+    assert np.linalg.norm(dth) < 0.012, np.rad2deg(np.linalg.norm(dth))
+    # translation stays pinned near truth (not perturbed; prior std 1 mm)
+    assert np.linalg.norm(tic_est - sim.cfg.t_ic) < 0.01, tic_est
+
+    # persistence round trip (reference writes body_T_cam to yaml)
+    path = tmp_path / "extrinsic.yaml"
+    save_extrinsic_yaml(str(path), est.x.tic, est.x.qic)
+    tic2, qic2 = load_extrinsic_yaml(str(path))
+    np.testing.assert_allclose(tic2[0], tic_est, atol=1e-9)
+    q_rt = qic2[0] if qic2[0, 0] * qic_est[0] >= 0 else -qic2[0]
+    np.testing.assert_allclose(q_rt, qic_est, atol=1e-9)

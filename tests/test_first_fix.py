@@ -1,0 +1,85 @@
+"""GNSS first-fix initialization (GnssProcess !init_gnss branch,
+rvi/swf/swf_gnss.cpp:175-262): the estimator boots VI-only at its local
+origin; when the first usable GNSS epoch arrives, a single-epoch SPP solve
+re-anchors the whole window (states + landmarks + prior) to the absolute
+GNSS frame.  The sim starts 100+ m from the anchor with a yaw offset."""
+
+import numpy as np
+import pytest
+
+from rtk_visual_inertial_navigation_tpu.sim import SimConfig, simulate
+from rtk_visual_inertial_navigation_tpu.pipeline import Estimator
+from rtk_visual_inertial_navigation_tpu.sim.synthetic import gnss_epoch_of
+
+from test_pipeline_gnss import spp_cfg
+
+
+@pytest.fixture(scope="module")
+def sim_far():
+    return simulate(SimConfig(
+        duration=8.0, imu_rate=200.0, cam_rate=2.0, gnss_rate=2.0,
+        n_landmarks=60, n_sats=10, seed=5, yaw0=0.35,
+        p0=np.array([130.0, -70.0, 4.0])))
+
+
+def _replay_with_mag(sim, cfg, gnss_from=0.0):
+    est = Estimator(cfg)
+    ids = np.arange(sim.landmarks.shape[0])
+    cam_ptr, g_ptr = 0, 0
+    for i, t in enumerate(sim.imu_t):
+        est.process_imu(t, sim.acc[i], sim.gyr[i])
+        if i % 10 == 0:
+            est.process_mag(t, sim.mag[i])
+        if g_ptr < len(sim.gnss_idx) and sim.gnss_idx[g_ptr] == i:
+            if t >= gnss_from:
+                est.process_gnss(gnss_epoch_of(sim, g_ptr))
+            g_ptr += 1
+        if cam_ptr < len(sim.cam_idx) and sim.cam_idx[cam_ptr] == i:
+            vis = sim.obs_valid[cam_ptr]
+            est.process_image(t, ids[vis], sim.obs_xy[cam_ptr][vis])
+            cam_ptr += 1
+    return est
+
+
+def _late_errs(est, sim):
+    errs = [np.linalg.norm(p - sim.p[np.argmin(np.abs(sim.imu_t - t))])
+            for (t, p, q, v) in est.trajectory]
+    errs = np.asarray(errs)
+    return errs
+
+
+def test_first_fix_reanchors_window(sim_far):
+    """Start 147 m from the anchor: the first epoch must snap the window to
+    the true absolute position and converge to cm-level."""
+    cfg = spp_cfg(sim_far, use_mag=True, use_mag_correct_yaw=True)
+    est = _replay_with_mag(sim_far, cfg)
+    assert est._gnss_initialized
+    errs = _late_errs(est, sim_far)
+    assert errs[len(errs) // 2:].max() < 0.1, errs.max()
+
+
+def test_first_fix_after_vi_leadin(sim_far):
+    """GNSS withheld for the first 3 s: the estimator runs VI-only in its
+    local frame (position error ~ |p0|), then the first epoch re-anchors
+    mid-run — including already-triangulated landmarks and the prior."""
+    cfg = spp_cfg(sim_far, use_mag=True, use_mag_correct_yaw=True)
+    est = _replay_with_mag(sim_far, cfg, gnss_from=3.0)
+    errs = _late_errs(est, sim_far)
+    times = np.asarray([t for (t, p, q, v) in est.trajectory])
+    # before GNSS: the estimator lives at its local origin, ~|p0| off
+    pre = errs[times < 2.9]
+    assert pre.min() > 50.0, "lead-in should be un-anchored"
+    # after the first epoch: re-anchored and locked
+    post = errs[times > 5.0]
+    assert post.max() < 0.1, post.max()
+
+
+def test_first_fix_rtk_mode(sim_far):
+    """RTD/RTK rows (RB-SD pseudorange) also drive the first-fix solve."""
+    cfg = spp_cfg(sim_far, use_mag=True, use_mag_correct_yaw=True,
+                  use_rtk=True, use_rtd=True, use_n_resolve=True,
+                  min_fix_continuity=1, fix_continue_threshold=3)
+    est = _replay_with_mag(sim_far, cfg)
+    errs = _late_errs(est, sim_far)
+    assert errs[-5:].max() < 0.05, errs[-5:].max()
+    assert est.rtk_fixed

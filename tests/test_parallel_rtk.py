@@ -1,0 +1,85 @@
+"""Flagship-mode batched/sharded solves: RTK windows with GNSS rows,
+IMU-GNSS chains and ambiguity-tail covariance (parallel/problems_gnss.py).
+
+Checks (tiny shapes, CPU):
+  - the batched solve pulls perturbed windows back to truth (positions,
+    clocks, ambiguities) with exactly-consistent synthetic measurements;
+  - the dp x fp sharded solve (projection rows AND chains sharded over fp,
+    psum Schur reduction) produces the same solution as the batched one;
+  - the exported ambiguity covariance columns are finite and PSD-ish.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtk_visual_inertial_navigation_tpu.core.state import TangentLayout
+from rtk_visual_inertial_navigation_tpu.parallel import (
+    batched_rtk_solve, make_synthetic_rtk_windows, sharded_rtk_solve)
+from rtk_visual_inertial_navigation_tpu.solver import DoglegConfig
+
+NF, NL, NOBS, NSAMP, CAP, NS, NB = 5, 12, 40, 6, 4, 6, 8
+B = 2
+
+
+@pytest.fixture(scope="module")
+def probs():
+    return make_synthetic_rtk_windows(
+        jax.random.PRNGKey(7), B, nf=NF, nl=NL, nobs=NOBS, nsamp=NSAMP,
+        cap=CAP, ns=NS, nb=NB)
+
+
+@pytest.fixture(scope="module")
+def lay():
+    return TangentLayout(nf=NF, nl=NL, nb=NB, nc=2)
+
+
+def test_batched_rtk_solve_recovers_truth(probs, lay):
+    cfg = DoglegConfig(max_iters=6)
+    win, hid, cost, nacc, X = jax.jit(
+        lambda p: batched_rtk_solve(p, lay, cfg, CAP))(probs)
+    assert bool(jnp.all(jnp.isfinite(cost)))
+    perr = np.linalg.norm(np.asarray(win.p) - np.asarray(probs.truth.p),
+                          axis=-1)
+    assert perr.max() < 5e-3, perr.max()
+    # hidden chain states recovered
+    herr = np.linalg.norm(np.asarray(hid.p)
+                          - np.asarray(probs.hid_truth.p), axis=-1)
+    assert herr.max() < 5e-3, herr.max()
+    # ambiguities recovered to millicycles
+    pberr = np.abs(np.asarray(win.phase_bias)
+                   - np.asarray(probs.truth.phase_bias))
+    assert pberr[:, :NS].max() < 1e-2, pberr.max()
+    # clocks: used slots recovered (0 = shared dtur, 12 = doppler drift;
+    # other slots are structurally empty and stay at their initial values)
+    cerr = np.abs(np.asarray(win.clk) - np.asarray(probs.truth.clk))
+    assert cerr[..., [0, 12]].max() < 1e-2
+    # covariance columns: finite, diagonal entries positive for used slots
+    X = np.asarray(X)
+    assert np.isfinite(X).all()
+    pb_rows = np.asarray(probs.cov_cols[0])
+    diag = X[0][pb_rows, np.arange(NB)]
+    assert (diag[:NS] > 0).all()
+
+
+def test_sharded_rtk_matches_batched(probs, lay):
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest forces an 8-device CPU mesh"
+    mesh = Mesh(np.asarray(devs[:8]).reshape(2, 4), ("dp", "fp"))
+    cfg = DoglegConfig(max_iters=4)
+    win_b, hid_b, cost_b, _, Xb = jax.jit(
+        lambda p: batched_rtk_solve(p, lay, cfg, CAP))(probs)
+    win_s, hid_s, cost_s, _, Xs = jax.jit(
+        lambda p: sharded_rtk_solve(mesh, p, lay, cfg, CAP))(probs)
+    # costs converge to ~machine zero on exactly-consistent data; compare
+    # with an absolute floor
+    np.testing.assert_allclose(np.asarray(cost_s), np.asarray(cost_b),
+                               rtol=1e-6, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(win_s.p), np.asarray(win_b.p),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(win_s.phase_bias),
+                               np.asarray(win_b.phase_bias), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(Xs), np.asarray(Xb), atol=1e-8)

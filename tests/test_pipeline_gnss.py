@@ -38,6 +38,12 @@ def replay(sim, cfg):
 
 def spp_cfg(sim, nb=32, nf=10, **kw):
     q_ic = np.asarray(lie.rot_to_quat(jnp.asarray(sim.cfg.r_ic)))
+    # test-tier chain capacities (cap 8, 256 rows): the compile cost of the
+    # chains solve scales with cap x max_chain_rows, and the 2-4 Hz test
+    # sims never grow chains past a few leaves; the reference-scale caps
+    # (32/512) are exercised by the slow-tier regime test
+    kw.setdefault("chain_cap", 8)
+    kw.setdefault("max_chain_rows", 256)
     return EstimatorConfig(
         nf=nf, nl=48, nb=nb, max_obs=256, imu_capacity=128, average_imu=40,
         qic=np.tile(q_ic, (2, 1)), tic=np.tile(sim.cfg.t_ic, (2, 1)),
@@ -48,7 +54,10 @@ def spp_cfg(sim, nb=32, nf=10, **kw):
 
 
 def test_spp_vi_locks_to_truth(sim):
-    est = replay(sim, spp_cfg(sim))
+    # chains off: this test reads clock states off in-window GNSS frames
+    # (with chains — the default — interior GNSS frames condense away; that
+    # path is covered by test_pipeline_chains.py)
+    est = replay(sim, spp_cfg(sim, use_gnss_chains=False))
     assert est.initialized
     errs, clk_errs = [], []
     for (t, p, q, v) in est.trajectory:

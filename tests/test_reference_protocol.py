@@ -1,0 +1,131 @@
+"""Reference-protocol loop in miniature: simulate -> reference-format bag
+-> load the REFERENCE'S OWN yaml (load_reference_config) -> replay_bag ->
+per-IMU-sample CSV -> evaluate (the full VERDICT-r1-item-1 path; the
+full-length fill of BASELINE.md runs via tools/run_reference_protocol.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rtk_visual_inertial_navigation_tpu.config import EstimatorConfig
+from rtk_visual_inertial_navigation_tpu.io.bag_writer import sim_to_bag
+from rtk_visual_inertial_navigation_tpu.io.config_compat import (
+    load_reference_config)
+from rtk_visual_inertial_navigation_tpu.io.evaluate import (
+    evaluate_trajectory)
+from rtk_visual_inertial_navigation_tpu.io.reference_bag import replay_bag
+from rtk_visual_inertial_navigation_tpu.io.writer import ResultWriter
+from rtk_visual_inertial_navigation_tpu.ops import lie, lie_np
+from rtk_visual_inertial_navigation_tpu.pipeline import Estimator
+from rtk_visual_inertial_navigation_tpu.sim import SimConfig, simulate
+
+REF_YAML = "/root/reference/yaml"
+PTG = np.array([0.04128228786, -0.02040929358, -0.1396607903])
+
+
+@pytest.fixture(scope="module")
+def sim():
+    return simulate(SimConfig(
+        duration=14.0, imu_rate=100.0, cam_rate=5.0, gnss_rate=5.0,
+        n_landmarks=60, n_sats=10, n_systems=2, seed=21,
+        pr_noise=0.3, cp_noise=0.004, dop_noise=0.05,
+        yaw0=0.3, p0=np.array([80.0, -40.0, 3.0])))
+
+
+def _cfg_from_yaml(sim, yaml_name, **kw):
+    import os
+    q_ic = np.asarray(lie.rot_to_quat(jnp.asarray(sim.cfg.r_ic)))
+    path = os.path.join(REF_YAML, yaml_name)
+    if not os.path.exists(path):
+        pytest.skip("reference yaml not available")
+    return load_reference_config(
+        path, nf=9, nl=64, nb=48, max_obs=512, imu_capacity=32,
+        max_gnss_pr=256, max_gnss_cp=256, max_gnss_dopp=256,
+        anchor_ecef=sim.anchor_ecef, enu_to_ecef=sim.enu_to_ecef,
+        tic=np.tile(sim.cfg.t_ic, (2, 1)), qic=np.tile(q_ic, (2, 1)),
+        pbg=np.zeros(3), g=sim.cfg.g, average_imu=60,
+        min_sats_per_epoch=8, min_fix_continuity=1,
+        fix_continue_threshold=5, **kw)
+
+
+@pytest.mark.slow
+def test_rtk_protocol_end_to_end(sim, tmp_path):
+    bag = tmp_path / "R9M9.bag"
+    gt = tmp_path / "R9M9_ground.csv"
+    sim_to_bag(sim, str(bag), str(gt), prism_offset=PTG)
+
+    cfg = _cfg_from_yaml(sim, "rtk_visual_inertial_config.yaml")
+    assert cfg.use_rtk and cfg.use_rtd and cfg.use_n_resolve \
+        and cfg.use_doppler and cfg.use_gnss
+    est = Estimator(cfg)
+    csv = tmp_path / "R9M9_rtk.csv"
+    writer = ResultWriter(str(csv), anchor_ecef=sim.anchor_ecef,
+                          enu_to_ecef=sim.enu_to_ecef)
+    est.attach_writer(writer)
+    replay_bag(str(bag), est)
+    writer.close()
+    assert est.initialized and est._gnss_initialized
+
+    import csv as csvmod
+    with open(csv) as f:
+        rows = list(csvmod.DictReader(f))
+    est_t = np.asarray([float(r["time"]) * 1e-9 for r in rows])
+    est_p = np.asarray([[float(r["px"]), float(r["py"]), float(r["pz"])]
+                        for r in rows])
+    ypr = np.asarray([[float(r["yaw"]), float(r["pitch"]),
+                       float(r["roll"])] for r in rows])
+
+    gt_rows = np.loadtxt(gt, delimiter=",", skiprows=1)
+    keep = gt_rows[:, 0] > 5.0            # post-bootstrap
+    m = evaluate_trajectory(est_t, est_p, gt_rows[keep, 0],
+                            gt_rows[keep, 1:], align=False,
+                            est_ypr_deg=ypr, prism_offset=PTG)
+    # noisy RTK on the full protocol path: decimeter-class MAE (the sim
+    # starts 89 m from the anchor with a 17 deg yaw offset — the first-fix
+    # SPP solve + integer fixing must both engage)
+    assert m.n_associated >= int(keep.sum() * 0.95)
+    assert m.mae_3d < 0.3, m.mae_3d
+    assert est.rtk_fixed
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("yaml_name,mode", [
+    ("spp_visual_inertial_config.yaml", "spp"),
+    ("spp_CP_visual_inertial_config.yaml", "spp_cp"),
+    ("rtd_visual_inertial_config.yaml", "rtd"),
+    ("visual_inertial_config.yaml", "vi"),
+])
+def test_other_modes_protocol(sim, tmp_path, yaml_name, mode):
+    bag = tmp_path / "R9M9.bag"
+    gt = tmp_path / "R9M9_ground.csv"
+    sim_to_bag(sim, str(bag), str(gt), prism_offset=PTG)
+    cfg = _cfg_from_yaml(sim, yaml_name)
+    est = Estimator(cfg)
+    csv = tmp_path / f"R9M9_{mode}.csv"
+    writer = ResultWriter(str(csv))
+    est.attach_writer(writer)
+    replay_bag(str(bag), est)
+    writer.close()
+    assert est.initialized
+    import csv as csvmod
+    with open(csv) as f:
+        rows = list(csvmod.DictReader(f))
+    est_t = np.asarray([float(r["time"]) * 1e-9 for r in rows])
+    est_p = np.asarray([[float(r["px"]), float(r["py"]), float(r["pz"])]
+                        for r in rows])
+    ypr = np.asarray([[float(r["yaw"]), float(r["pitch"]),
+                       float(r["roll"])] for r in rows])
+    gt_rows = np.loadtxt(gt, delimiter=",", skiprows=1)
+    keep = gt_rows[:, 0] > 5.0
+    m = evaluate_trajectory(est_t, est_p, gt_rows[keep, 0],
+                            gt_rows[keep, 1:], align=True,
+                            est_ypr_deg=ypr, prism_offset=PTG)
+    assert m.n_associated >= int(keep.sum() * 0.9)
+    if mode == "vi":
+        # VI-only from an 89 m offset start: mean-aligned drift only
+        assert m.plane_rmse < 1.0, m.plane_rmse
+    else:
+        assert m.plane_rmse < 0.5, m.plane_rmse
+        assert m.height_rmse < 0.8, m.height_rmse

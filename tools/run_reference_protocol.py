@@ -1,0 +1,218 @@
+#!/usr/bin/env python
+"""End-to-end reference-protocol run (VERDICT r1 item 1).
+
+Drives the ENTIRE reference data protocol on synthetic sequences:
+
+  simulate (400 Hz IMU / 25 Hz features / 10 Hz GNSS, realistic noise)
+    -> write a reference-format rosbag (mea_t blobs + feature PointCloud,
+       io/bag_writer.py)
+    -> for each of the five navigation modes: load the REFERENCE'S OWN
+       yaml (load_reference_config) -> replay_bag -> per-IMU-sample CSV
+       (ResultWriter, 400 Hz rows)
+    -> score with io.evaluate AND emit the file layout the reference's
+       evaluate/evaluate.py consumes (R?M?_{ground,spp,rtk}.csv).
+
+Usage:
+  python tools/run_reference_protocol.py --duration 120 --seq R1M1 \
+      --modes rtk,rtd,spp,spp_cp,vi --out runs/protocol
+
+Each (seq, mode) pair prints one JSON line with the metrics; the summary
+table is appended to BASELINE.md by hand (or --update-baseline).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax  # noqa: E402
+
+# this image boots an axon TPU plugin from sitecustomize BEFORE env vars are
+# read; force the cpu backend the same way tests/conftest.py does
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+from jax._src import xla_bridge as _xb  # noqa: E402
+
+if _xb.backends_are_initialized():  # pragma: no cover
+    from jax.extend.backend import clear_backends
+    clear_backends()
+
+from rtk_visual_inertial_navigation_tpu.io.bag_writer import sim_to_bag  # noqa: E402
+from rtk_visual_inertial_navigation_tpu.io.config_compat import (  # noqa: E402
+    load_reference_config)
+from rtk_visual_inertial_navigation_tpu.io.evaluate import (  # noqa: E402
+    evaluate_trajectory)
+from rtk_visual_inertial_navigation_tpu.io.reference_bag import (  # noqa: E402
+    replay_bag)
+from rtk_visual_inertial_navigation_tpu.io.writer import ResultWriter  # noqa: E402
+from rtk_visual_inertial_navigation_tpu.ops import lie  # noqa: E402
+from rtk_visual_inertial_navigation_tpu.pipeline import Estimator  # noqa: E402
+from rtk_visual_inertial_navigation_tpu.sim import (  # noqa: E402
+    SimConfig, simulate)
+
+import jax.numpy as jnp  # noqa: E402
+
+REF_YAML = Path(os.environ.get("REF_YAML_DIR", "/root/reference/yaml"))
+MODES = {
+    "rtk": "rtk_visual_inertial_config.yaml",
+    "rtd": "rtd_visual_inertial_config.yaml",
+    "spp": "spp_visual_inertial_config.yaml",
+    "spp_cp": "spp_CP_visual_inertial_config.yaml",
+    "vi": "visual_inertial_config.yaml",
+}
+# the reference's hardcoded imu-prism calibration (evaluate/evaluate.py:70)
+PTG = np.array([0.04128228786, -0.02040929358, -0.1396607903])
+
+
+def make_sim(args, seed):
+    """Reference-rate sequence with realistic sensor noise (BMI088 yaml
+    noise, 1 px vision, 0.5 m pseudorange, 0.01 cyc carrier)."""
+    return simulate(SimConfig(
+        duration=args.duration, imu_rate=400.0, cam_rate=25.0,
+        gnss_rate=10.0, n_landmarks=args.landmarks, n_sats=args.sats,
+        n_systems=3, seed=seed, g=9.805,
+        acc_noise=0.05 if not args.noiseless else 0.0,
+        gyr_noise=0.005 if not args.noiseless else 0.0,
+        pix_noise=(1.0 / 460.0) if not args.noiseless else 0.0,
+        pr_noise=0.5 if not args.noiseless else 0.0,
+        cp_noise=0.01 if not args.noiseless else 0.0,
+        dop_noise=0.1 if not args.noiseless else 0.0,
+        ba=np.array([0.02, -0.01, 0.03]) if not args.noiseless
+        else np.zeros(3),
+        bg=np.array([0.001, -0.002, 0.0005]) if not args.noiseless
+        else np.zeros(3),
+        mag_noise=0.01 if not args.noiseless else 0.0,
+        yaw0=np.deg2rad(args.yaw0),
+        p0=np.array([args.offset, -0.5 * args.offset, 2.0]),
+        clk0=40.0, clk_drift=1.5,
+    ))
+
+
+def build_config(mode, sim, args):
+    """Reference yaml -> EstimatorConfig; geometry overridden to the sim's
+    rig (anchor/extrinsics) — the protocol under test is the data path and
+    mode matrix, not the authors' physical site."""
+    q_ic = np.asarray(lie.rot_to_quat(jnp.asarray(sim.cfg.r_ic)))
+    cfg = load_reference_config(
+        str(REF_YAML / MODES[mode]),
+        nf=11, nl=args.nl, nb=48,
+        max_obs=args.max_obs, imu_capacity=64,
+        max_gnss_pr=384, max_gnss_cp=384, max_gnss_dopp=384,
+        chain_cap=args.chain_cap, max_chain_rows=512,
+        anchor_ecef=sim.anchor_ecef, enu_to_ecef=sim.enu_to_ecef,
+        tic=np.tile(sim.cfg.t_ic, (2, 1)), qic=np.tile(q_ic, (2, 1)),
+        pbg=np.zeros(3),
+        g=sim.cfg.g,
+        average_imu=args.average_imu,
+        min_sats_per_epoch=8,
+        solve_step_dtype="same",
+        min_fix_continuity=2,
+        fix_continue_threshold=40,
+    )
+    return cfg
+
+
+def run_mode(mode, sim, bag_path, out_dir, args):
+    cfg = build_config(mode, sim, args)
+    est = Estimator(cfg)
+    csv_path = out_dir / f"{args.seq}_{mode}.csv"
+    writer = ResultWriter(str(csv_path), anchor_ecef=sim.anchor_ecef,
+                          enu_to_ecef=sim.enu_to_ecef)
+    est.attach_writer(writer)
+    t0 = time.time()
+    replay_bag(str(bag_path), est)
+    wall = time.time() - t0
+    writer.close()
+
+    # score: per-IMU-sample CSV vs ground truth (the reference protocol)
+    import pandas as pd
+    data = pd.read_csv(csv_path)
+    est_t = data["time"].values / 1e9
+    est_p = data[["px", "py", "pz"]].values
+    ypr = data[["yaw", "pitch", "roll"]].values
+    stride = max(1, int(round(sim.cfg.imu_rate / 10.0)))
+    gidx = np.arange(0, len(sim.imu_t), stride)
+    from rtk_visual_inertial_navigation_tpu.ops import lie_np
+    gt_p = sim.p[gidx] - np.einsum(
+        "nij,j->ni", lie_np.quat_to_rot(sim.q[gidx]), PTG)
+    # skip the bootstrap (reference evaluate.py drops the first 10 GT rows
+    # = 1 s; our runs include a VI-only lead-in before the first fix)
+    skip = max(10, int(args.skip_s * 10))
+    m = evaluate_trajectory(
+        est_t, est_p, sim.imu_t[gidx][skip:], gt_p[skip:],
+        align=(mode not in ("rtk", "rtd")),
+        est_ypr_deg=ypr, prism_offset=PTG)
+    fix_rate = float(data["rtk_fix"].mean()) if "rtk_fix" in data else 0.0
+    n_rows = len(data)
+    frames = len(est.trajectory)
+    res = dict(seq=args.seq, mode=mode, plane_rmse=m.plane_rmse,
+               height_rmse=m.height_rmse, mae_3d=m.mae_3d,
+               associated=m.n_associated, fix_rate=round(fix_rate, 4),
+               csv_rows=n_rows, frames=frames,
+               wall_s=round(wall, 1), fps=round(frames / wall, 2),
+               chain_stats=est._chain_stats)
+    print(json.dumps(res), flush=True)
+    return res
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--duration", type=float, default=120.0)
+    ap.add_argument("--seq", default="R1M1")
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--modes", default="rtk,rtd,spp,spp_cp,vi")
+    ap.add_argument("--out", default="runs/protocol")
+    ap.add_argument("--landmarks", type=int, default=120)
+    ap.add_argument("--sats", type=int, default=14)
+    ap.add_argument("--nl", type=int, default=96)
+    ap.add_argument("--max-obs", type=int, default=768)
+    ap.add_argument("--chain-cap", type=int, default=16)
+    ap.add_argument("--average-imu", type=int, default=400)
+    ap.add_argument("--yaw0", type=float, default=25.0)
+    ap.add_argument("--offset", type=float, default=120.0,
+                    help="start offset from the anchor [m] (first-fix test)")
+    ap.add_argument("--skip-s", type=float, default=5.0,
+                    help="skip the first N s of GT (bootstrap lead-in)")
+    ap.add_argument("--noiseless", action="store_true")
+    ap.add_argument("--compression", default="none")
+    args = ap.parse_args()
+
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    seed = args.seed if args.seed is not None else \
+        {"R1M1": 11, "R1M2": 12, "R2M1": 21, "R2M2": 22}.get(args.seq, 0)
+
+    sim = make_sim(args, seed)
+    bag_path = out_dir / f"{args.seq}.bag"
+    gt_path = out_dir / f"{args.seq}_ground.csv"
+    sim_to_bag(sim, str(bag_path), str(gt_path), prism_offset=PTG,
+               compression=args.compression)
+    print(json.dumps(dict(seq=args.seq, bag=str(bag_path),
+                          bag_mb=round(bag_path.stat().st_size / 1e6, 1),
+                          duration=args.duration, seed=seed)), flush=True)
+
+    results = []
+    for mode in args.modes.split(","):
+        results.append(run_mode(mode.strip(), sim, bag_path, out_dir, args))
+
+    # the reference's evaluate.py expects {seq}_spp.csv / {seq}_rtk.csv
+    for mode, tag in (("spp", "spp"), ("rtk", "rtk")):
+        src = out_dir / f"{args.seq}_{mode}.csv"
+        dst = out_dir / f"{args.seq}_{tag}.csv"
+        if src.exists() and src != dst:
+            dst.write_bytes(src.read_bytes())
+
+    with open(out_dir / f"{args.seq}_results.json", "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
