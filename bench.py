@@ -112,7 +112,13 @@ def _flagship(args):
         batched_rtk_solve, make_synthetic_rtk_windows)
     from rtk_visual_inertial_navigation_tpu.solver import DoglegConfig
 
+    # f32 with DENSE_SCHUR group-0: eliminating the (3·nl)-dim landmark
+    # block in closed form (batched 3x3 inverses) both removes the bulk of
+    # the dimension from the Cholesky AND conditions it — a flat dense f32
+    # factorization of the full 1395-dim system stalls (measured 0.27 m /
+    # 0.39 cyc, NaN covariance); full-f64 ambient is emulated-slow on TPU.
     dtype = jnp.float32 if args.f32 else jnp.float64
+    step = "same"
     if args.smoke:
         nf, nl, nobs, nsamp, cap, ns, nb = 5, 24, 96, 6, 4, 8, 8
         B = args.batch or 4
@@ -121,9 +127,9 @@ def _flagship(args):
         # with GNSS_MAX_NUM-class capacity => (nf-1)(cap-1) = 100 hidden
         # GNSS epochs per window (the 500-epoch regime's steady state load)
         nf, nl, nobs, nsamp, cap, ns, nb = 11, 352, 2816, 8, 11, 14, 16
-        B = args.batch or 64
+        B = args.batch or 32
     lay = TangentLayout(nf=nf, nl=nl, nb=nb, nc=2)
-    cfg = DoglegConfig(max_iters=8, step_dtype="same")
+    cfg = DoglegConfig(max_iters=8, schur_nl=nl, step_dtype=step)
 
     probs = make_synthetic_rtk_windows(
         jax.random.PRNGKey(0), B, nf=nf, nl=nl, nobs=nobs, nsamp=nsamp,
@@ -160,6 +166,7 @@ def _flagship(args):
         "cov_finite": bool(np.isfinite(np.asarray(X)).all()),
         "backend": __import__("jax").default_backend(),
         "dtype": str(dtype.__name__),
+        "step_dtype": step,
     }))
 
 

@@ -147,12 +147,19 @@ def _make_one(key, nf: int, nl: int, nobs: int, n_samples: int,
 def make_synthetic_windows(key, batch: int, nf: int = 8, nl: int = 64,
                            nobs: int = 448, n_samples: int = 16,
                            dtype=jnp.float64) -> VIWindowProblem:
-    """Synthesize in f64 (whitening/covariance require it), then cast."""
-    keys = jax.random.split(key, batch)
-    probs = jax.vmap(
-        lambda k: _make_one(k, nf, nl, nobs, n_samples, jnp.float64))(keys)
-    if dtype != jnp.float64:
-        probs = jax.tree.map(
-            lambda x: x.astype(dtype)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, probs)
-    return probs
+    """Synthesize in f64 (whitening/covariance require it), then cast.
+
+    Jitted as one program: eager vmapped construction dispatches hundreds
+    of ops — minutes through a remote-TPU tunnel at ~27 ms each."""
+    def build(k):
+        keys = jax.random.split(k, batch)
+        probs = jax.vmap(
+            lambda kk: _make_one(kk, nf, nl, nobs, n_samples,
+                                 jnp.float64))(keys)
+        if dtype != jnp.float64:
+            probs = jax.tree.map(
+                lambda x: x.astype(dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, probs)
+        return probs
+
+    return jax.jit(build)(key)

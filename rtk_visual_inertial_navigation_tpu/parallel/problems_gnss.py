@@ -45,18 +45,31 @@ from ..solver.structured import projection_assemble
 from .problems import IMU_NOISE
 
 # fixed site for the synthetic constellation (the sim's anchor); the bench
-# measures compute, not geodesy variety
-_ANCHOR_ECEF = jnp.asarray([-2411798.13, 5380966.80, 2437762.98])
-_R_ENU2ECEF = None  # computed lazily (needs geodesy at f64)
+# measures compute, not geodesy variety.  Computed in HOST numpy: jnp ops
+# here would become tracers when the synthesis runs under jit (a lazy
+# jnp-computed module global leaks the first caller's trace).
+import numpy as _np
+
+
+def _anchor_frame_np():
+    from ..io.writer import ecef_to_geodetic_np
+    anchor = _np.asarray([-2411798.13, 5380966.80, 2437762.98])
+    lat, lon, _ = ecef_to_geodetic_np(anchor)
+    sl, cl = _np.sin(lon), _np.cos(lon)
+    sp, cp = _np.sin(lat), _np.cos(lat)
+    # rows of ENU rotation (E, N, U in ECEF); enu_to_ecef = transpose
+    E = _np.array([[-sl, cl, 0.0],
+                   [-sp * cl, -sp * sl, cp],
+                   [cp * cl, cp * sl, sp]])
+    return anchor, E.T
+
+
+_ANCHOR_NP, _R_E_NP = _anchor_frame_np()
+_ANCHOR_ECEF = jnp.asarray(_ANCHOR_NP)
 
 
 def _anchor_frame():
-    global _R_ENU2ECEF
-    if _R_ENU2ECEF is None:
-        from ..geodesy import earth
-        llh = earth.ecef_to_geodetic(_ANCHOR_ECEF)
-        _R_ENU2ECEF = earth.enu_rotation(llh[0], llh[1]).T
-    return _ANCHOR_ECEF, _R_ENU2ECEF
+    return _ANCHOR_ECEF, jnp.asarray(_R_E_NP)
 
 
 class RTKWindowProblem(NamedTuple):
@@ -328,15 +341,22 @@ def make_synthetic_rtk_windows(key, batch: int, nf: int = 11, nl: int = 352,
                                nobs: int = 2816, nsamp: int = 8,
                                cap: int = 11, ns: int = 14, nb: int = 16,
                                dtype=jnp.float64) -> RTKWindowProblem:
-    """Synthesize in f64, then cast (as make_synthetic_windows)."""
-    keys = jax.random.split(key, batch)
-    probs = jax.vmap(lambda k: _make_one_rtk(
-        k, nf, nl, nobs, nsamp, cap, ns, nb, jnp.float64))(keys)
-    if dtype != jnp.float64:
-        probs = jax.tree.map(
-            lambda x: x.astype(dtype)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, probs)
-    return probs
+    """Synthesize in f64, then cast (as make_synthetic_windows).
+
+    The whole synthesis runs under ONE jit: eagerly-vmapped construction
+    dispatches hundreds of small ops — minutes through a remote-TPU tunnel
+    at ~27 ms/dispatch."""
+    def build(k):
+        keys = jax.random.split(k, batch)
+        probs = jax.vmap(lambda kk: _make_one_rtk(
+            kk, nf, nl, nobs, nsamp, cap, ns, nb, jnp.float64))(keys)
+        if dtype != jnp.float64:
+            probs = jax.tree.map(
+                lambda x: x.astype(dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, probs)
+        return probs
+
+    return jax.jit(build)(key)
 
 
 # ---------------------------------------------------------------------------

@@ -74,6 +74,7 @@ def test_first_fix_after_vi_leadin(sim_far):
     assert post.max() < 0.1, post.max()
 
 
+@pytest.mark.slow
 def test_first_fix_rtk_mode(sim_far):
     """RTD/RTK rows (RB-SD pseudorange) also drive the first-fix solve."""
     cfg = spp_cfg(sim_far, use_mag=True, use_mag_correct_yaw=True,

@@ -60,6 +60,7 @@ def test_rtk_chains_integer_fix(sim):
     assert np.all(bias.active[pinned])
 
 
+@pytest.mark.slow
 def test_chains_match_no_chain_estimate(sim):
     """With and without chains the estimates must agree closely on
     noiseless data (same information, different structure)."""
@@ -73,6 +74,7 @@ def test_chains_match_no_chain_estimate(sim):
     assert d.max() < 0.05, d.max()
 
 
+@pytest.mark.slow
 def test_chain_truncation_in_pipeline():
     """A tiny chain_cap forces mid-chain marginalization during replay
     (MiddleMargGnssFrame analog): 10 Hz GNSS / 2 Hz camera puts ~5-epoch

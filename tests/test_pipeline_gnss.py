@@ -137,6 +137,7 @@ def test_rtk_vi_integer_fix(sim):
     assert max(errs) < 0.02, max(errs)
 
 
+@pytest.mark.slow
 def test_mag_yaw_init_enables_gnss_with_yaw_offset():
     """With a nonzero true initial yaw, gravity-only init (yaw=0) breaks the
     GNSS/vision consistency; TRIAD init from the magnetometer fixes it
@@ -200,6 +201,7 @@ def test_cycle_slip_detection_recovers():
     assert abs(est_N - true_after_slip) < 0.1, (est_N, true_after_slip)
 
 
+@pytest.mark.slow
 def test_spp_correction_mode(sim):
     """USE_SPP_CORRECTION: the SPP_P0 channel gets per-satellite correction
     biases (SppCarrierPhaseFactor reuse, swf_core.cpp:174-186).  Feed
@@ -239,6 +241,7 @@ def test_spp_correction_mode(sim):
     assert got >= 6
 
 
+@pytest.mark.slow
 def test_rtk_multiconstellation_dual_freq():
     """3 systems x 2 frequencies: separate dtur clock slots per (sys,freq)
     and per-group DD fixing must all work (the reference's GPS+BDS+GAL
