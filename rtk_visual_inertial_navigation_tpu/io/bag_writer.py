@@ -296,6 +296,7 @@ def sim_to_bag(sim, bag_path: str, gt_path: str | None = None,
     events.sort(key=lambda e: (e[0], e[1]))
 
     slip_count = np.zeros(len(ch_sat), dtype=int)
+    n_feature_points = 0
 
     with BagWriter(bag_path, compression=compression) as bag:
         for t, kind, idx in events:
@@ -319,6 +320,7 @@ def sim_to_bag(sim, bag_path: str, gt_path: str | None = None,
                         cams = np.concatenate(
                             [cams, np.ones(len(ids_r))])
                 uv = xy * focal + np.array([376.0, 240.0])
+                n_feature_points += len(ids)
                 bag.write("/feature", "sensor_msgs/PointCloud", t,
                           serialize_feature_cloud(t, ids, cams, xy, uv))
             else:
@@ -349,6 +351,13 @@ def sim_to_bag(sim, bag_path: str, gt_path: str | None = None,
                 blob = encode_mea(t, anchor, rows)
                 bag.write("/gnss", "std_msgs/ByteMultiArray", t,
                           serialize_byte_multi_array(blob))
+
+    if n_feature_points == 0 and len(sim.cam_t):
+        # an all-empty feature topic silently degrades every "VI" replay
+        # to IMU dead reckoning — fail loudly instead
+        raise ValueError(
+            "sim_to_bag: no visible landmarks in any camera frame "
+            "(check landmark placement vs the p0-displaced trajectory)")
 
     if gt_path is not None:
         write_ground_truth(sim, gt_path, prism_offset=prism_offset,

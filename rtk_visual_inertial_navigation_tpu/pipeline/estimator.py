@@ -139,6 +139,7 @@ class Estimator:
         self.x = self.x._replace(tic=np.asarray(cfg.tic, dtype=float),
                                  qic=np.asarray(cfg.qic, dtype=float))
         self.features = FeatureTable(cfg.nl, cfg.nf)
+        self._n_feat_in = 0   # cumulative ingested feature observations
         self.frame_count = 0
         self.frame_times: list[float] = []
         self.initialized = False
@@ -330,6 +331,7 @@ class Estimator:
             self._add_frame(t)
         fidx = self.frame_count - 1
         self._select_mag(fidx, t)
+        self._n_feat_in += len(ids)
         self.features.add_frame(fidx, np.asarray(ids), np.asarray(xys),
                                 ids_r, xys_r)
         if self._last_interval_bad:

@@ -246,10 +246,13 @@ def _simulate_impl(cfg: SimConfig) -> SimData:
     F = len(cam_idx)
 
     # landmarks in a ring shell around the trajectory volume so a
-    # forward-looking camera always sees a healthy subset
+    # forward-looking camera always sees a healthy subset.  The shell must
+    # be centered on the (p0-displaced) trajectory — centering on the
+    # origin left a p0=120 m sequence with ZERO visible landmarks, turning
+    # every "VI" replay into pure IMU dead reckoning.
     az_lm = rng.uniform(0, 2 * np.pi, cfg.n_landmarks)
     rad_lm = rng.uniform(18, 45, cfg.n_landmarks)
-    landmarks = np.stack([
+    landmarks = np.asarray(cfg.p0)[None, :] + np.stack([
         rad_lm * np.cos(az_lm),
         rad_lm * np.sin(az_lm),
         rng.uniform(-5, 15, cfg.n_landmarks),

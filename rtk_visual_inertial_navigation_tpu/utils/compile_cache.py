@@ -1,0 +1,31 @@
+"""Persistent XLA compilation cache.
+
+The estimator's solve jits (nf=11 window, chains, Schur) take tens of
+seconds to compile on a small host; across the test suite and the
+reference-protocol runs the same programs are compiled again and again.
+Enabling JAX's persistent compilation cache amortizes that across
+processes and sessions.
+
+Call `enable()` before the first jit trace (idempotent).
+"""
+
+import os
+
+
+def enable(cache_dir: str | None = None) -> str:
+    """Enable the persistent compilation cache; returns the directory."""
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "RVI_TPU_JAX_CACHE",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"),
+        )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # cache everything, even fast compiles: the suite re-runs hundreds of
+    # small jits and the 2-core host pays full price for each otherwise
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return cache_dir

@@ -30,3 +30,12 @@ if _xb.backends_are_initialized():  # pragma: no cover
     clear_backends()
 
 assert jax.default_backend() == "cpu", jax.default_backend()
+
+# Persistent compilation cache: the suite's dominant cost on a small host
+# is recompiling the same solve programs in every process.
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from rtk_visual_inertial_navigation_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.enable()

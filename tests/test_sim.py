@@ -81,3 +81,15 @@ def test_gnss_consistency():
         d = sim.sat_pos[0, s] - sim.anchor_ecef
         azel = earth.sat_azel(llh, jnp.asarray(d / np.linalg.norm(d)))
         assert float(azel[1]) > np.deg2rad(15)
+
+
+def test_landmarks_follow_p0_offset():
+    """Landmark shell must be centered on the p0-displaced trajectory:
+    a 120 m start offset previously left ZERO visible landmarks, silently
+    degrading every bag-protocol 'VI' replay to IMU dead reckoning."""
+    sim = simulate(SimConfig(duration=4.0, imu_rate=100.0, cam_rate=5.0,
+                             n_landmarks=80, seed=11,
+                             p0=np.array([120.0, -60.0, 2.0])))
+    per_frame = sim.obs_valid.sum(axis=1)
+    assert per_frame.mean() > 10, per_frame
+    assert (per_frame > 0).all()

@@ -45,6 +45,10 @@ if _xb.backends_are_initialized():  # pragma: no cover
     from jax.extend.backend import clear_backends
     clear_backends()
 
+from rtk_visual_inertial_navigation_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.enable()
+
 from rtk_visual_inertial_navigation_tpu.io.bag_writer import sim_to_bag  # noqa: E402
 from rtk_visual_inertial_navigation_tpu.io.config_compat import (  # noqa: E402
     load_reference_config)
@@ -146,9 +150,14 @@ def run_mode(mode, sim, bag_path, out_dir, args):
     # skip the bootstrap (reference evaluate.py drops the first 10 GT rows
     # = 1 s; our runs include a VI-only lead-in before the first fix)
     skip = max(10, int(args.skip_s * 10))
+    # alignment gauge per mode: RTK/RTD absolute (reference is_rtk path),
+    # SPP modes mean-aligned (reference align=True path), VI-only 4-DoF
+    # yaw+translation (no global reference exists in that mode)
+    align = False if mode in ("rtk", "rtd") else \
+        ("yaw" if mode == "vi" else True)
     m = evaluate_trajectory(
         est_t, est_p, sim.imu_t[gidx][skip:], gt_p[skip:],
-        align=(mode not in ("rtk", "rtd")),
+        align=align,
         est_ypr_deg=ypr, prism_offset=PTG)
     fix_rate = float(data["rtk_fix"].mean()) if "rtk_fix" in data else 0.0
     n_rows = len(data)
@@ -157,6 +166,7 @@ def run_mode(mode, sim, bag_path, out_dir, args):
                height_rmse=m.height_rmse, mae_3d=m.mae_3d,
                associated=m.n_associated, fix_rate=round(fix_rate, 4),
                csv_rows=n_rows, frames=frames,
+               feat_per_frame=round(est._n_feat_in / max(frames, 1), 1),
                wall_s=round(wall, 1), fps=round(frames / wall, 2),
                chain_stats=est._chain_stats)
     print(json.dumps(res), flush=True)
@@ -201,7 +211,11 @@ def main():
 
     results = []
     for mode in args.modes.split(","):
-        results.append(run_mode(mode.strip(), sim, bag_path, out_dir, args))
+        r = run_mode(mode.strip(), sim, bag_path, out_dir, args)
+        results.append(r)
+        # incremental: a killed run keeps its completed modes
+        with open(out_dir / f"{args.seq}_results.jsonl", "a") as f:
+            f.write(json.dumps(r) + "\n")
 
     # the reference's evaluate.py expects {seq}_spp.csv / {seq}_rtk.csv
     for mode, tag in (("spp", "spp"), ("rtk", "rtk")):

@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Score reference-protocol CSV outputs against the ground CSV.
+
+Standalone rescoring: reads `{seq}_{mode}.csv` (per-IMU-sample estimator
+output, io/writer.py schema) and `{seq}_ground.csv` (10 Hz prism ground
+truth, as written by sim_to_bag and consumed verbatim by the reference's
+evaluate/evaluate.py) and computes the reference's metrics with the proper
+per-mode alignment gauge.  Works on partial CSVs from interrupted replays.
+
+Usage:
+  python tools/score_protocol.py --out runs/protocol --seq R1M1 \
+      --modes rtk,rtd,spp,spp_cp,vi --skip-s 5
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from rtk_visual_inertial_navigation_tpu.io.evaluate import (  # noqa: E402
+    evaluate_trajectory)
+
+# the reference's hardcoded imu-prism calibration (evaluate/evaluate.py:70)
+PTG = np.array([0.04128228786, -0.02040929358, -0.1396607903])
+
+
+def score(out_dir: Path, seq: str, mode: str, skip_s: float):
+    csv_path = out_dir / f"{seq}_{mode}.csv"
+    gt_path = out_dir / f"{seq}_ground.csv"
+    if not csv_path.exists() or not gt_path.exists():
+        return None
+    data = pd.read_csv(csv_path)
+    gt = pd.read_csv(gt_path)
+    est_t = data["time"].values / 1e9
+    est_p = data[["px", "py", "pz"]].values
+    ypr = data[["yaw", "pitch", "roll"]].values
+    skip = max(10, int(skip_s * 10))
+    gt_t = gt["time"].values[skip:]
+    gt_p = gt[["px", "py", "pz"]].values[skip:]
+    # only score the replayed span (partial CSVs from interrupted runs)
+    span = gt_t <= est_t[-1] + 0.05
+    gt_t, gt_p = gt_t[span], gt_p[span]
+    align = False if mode in ("rtk", "rtd") else \
+        ("yaw" if mode == "vi" else True)
+    m = evaluate_trajectory(est_t, est_p, gt_t, gt_p, align=align,
+                            est_ypr_deg=ypr, prism_offset=PTG)
+    fix_rate = float(data["rtk_fix"].mean()) if "rtk_fix" in data else 0.0
+    return dict(seq=seq, mode=mode, plane_rmse=m.plane_rmse,
+                height_rmse=m.height_rmse, mae_3d=m.mae_3d,
+                associated=m.n_associated, n_gt=len(gt_t),
+                fix_rate=round(fix_rate, 4),
+                csv_rows=len(data),
+                replayed_s=round(float(est_t[-1] - est_t[0]), 1))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="runs/protocol")
+    ap.add_argument("--seq", default="R1M1")
+    ap.add_argument("--modes", default="rtk,rtd,spp,spp_cp,vi")
+    ap.add_argument("--skip-s", type=float, default=5.0)
+    args = ap.parse_args()
+    out_dir = Path(args.out)
+    results = []
+    for mode in args.modes.split(","):
+        r = score(out_dir, args.seq, mode.strip(), args.skip_s)
+        if r is not None:
+            results.append(r)
+            print(json.dumps(r), flush=True)
+    if results:
+        with open(out_dir / f"{args.seq}_scores.json", "w") as f:
+            json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
