@@ -143,6 +143,35 @@ def _flagship(args):
         np.asarray(win.p) - np.asarray(probs.truth.p), axis=-1)
     pberr = np.abs(np.asarray(win.phase_bias)
                    - np.asarray(probs.truth.phase_bias))[:, :ns]
+    nacc_np = np.asarray(nacc)
+    cov_ok = bool(np.isfinite(np.asarray(X)).all())
+
+    # HARD accuracy gate (VERDICT r2 next-step #1): a diverged solve must
+    # never produce a headline throughput number.  Every window must accept
+    # steps, recover cm-class positions and sub-0.1-cycle ambiguities, and
+    # export a finite LAMBDA covariance.
+    gate_fail = []
+    if int(nacc_np.min()) == 0:
+        gate_fail.append(f"nacc_min=0 ({nacc_np.min()} accepted steps)")
+    if float(perr.max()) > 0.02:
+        gate_fail.append(f"max_pos_err_m={perr.max():.4f} > 0.02")
+    if float(pberr.max()) > 0.1:
+        gate_fail.append(f"max_amb_err_cyc={pberr.max():.4f} > 0.1")
+    if not cov_ok:
+        gate_fail.append("covariance non-finite")
+    if gate_fail:
+        print(json.dumps({
+            "metric": "flagship state updates/s (GATE FAILED: solve did "
+                      "not converge — throughput withheld)",
+            "value": 0.0, "unit": "updates/s", "vs_baseline": 0.0,
+            "gate_failed": gate_fail, "batch": B,
+            "max_pos_err_m": round(float(perr.max()), 6),
+            "max_amb_err_cyc": round(float(pberr.max()), 6),
+            "nacc_min": int(nacc_np.min()), "cov_finite": cov_ok,
+            "backend": jax.default_backend(),
+            "dtype": str(dtype.__name__)}))
+        sys.exit(1)
+
     reps = 2 if args.smoke else args.reps
     t0 = time.time()
     for _ in range(reps):
@@ -163,7 +192,8 @@ def _flagship(args):
                   "nb": nb},
         "max_pos_err_m": round(float(perr.max()), 6),
         "max_amb_err_cyc": round(float(pberr.max()), 6),
-        "cov_finite": bool(np.isfinite(np.asarray(X)).all()),
+        "nacc_min": int(nacc_np.min()),
+        "cov_finite": cov_ok,
         "backend": __import__("jax").default_backend(),
         "dtype": str(dtype.__name__),
         "step_dtype": step,

@@ -78,9 +78,11 @@ class ResultWriter:
                 "0", f"{lat:.10f}", f"{lon:.10f}"]
         row += [f"{x:.10f}" for x in pbg_w]
         self._f.write(",".join(row) + "\n")
-        self._f.flush()        # rows visible immediately (append-only file
-        #                        semantics of the reference's save_result)
         self.rows += 1
+
+    def flush(self):
+        if self._f is not None:
+            self._f.flush()
 
     def close(self):
         if self._f is not None:

@@ -105,6 +105,13 @@ def _make_one(key, nf: int, nl: int, nobs: int, n_samples: int,
 
     obs_xy, ok = jax.vmap(project)(f_ids, l_ids)
     obs_valid = ok & (jnp.abs(obs_xy[:, 0]) < 2.0) & (jnp.abs(obs_xy[:, 1]) < 2.0)
+    # exclude non-triangulable landmarks (<2 valid obs): a single 2-row
+    # projection Jacobian leaves the 3x3 Schur block rank-deficient (see
+    # problems_gnss.py for the full note; reference: used_num >= 4 gate)
+    lm_nobs = jnp.zeros((nl,), jnp.int32).at[l_ids].add(
+        obs_valid.astype(jnp.int32))
+    lm_ok = lm_nobs >= 2
+    obs_valid = obs_valid & lm_ok[l_ids]
 
     # --- landmark-free diagonal prior pinning frame 0 (gauge) ---
     prior_J = jnp.zeros((lay.dim, lay.dim), dtype)
@@ -126,11 +133,12 @@ def _make_one(key, nf: int, nl: int, nobs: int, n_samples: int,
         p=truth.p + dp * mask0,
         q=lie.quat_boxplus(truth.q, dth * mask0),
         v=truth.v + dv * mask0,
-        landmarks=truth.landmarks + dlm,
+        landmarks=truth.landmarks + dlm * lm_ok[:, None].astype(dtype),
     )
 
     free = jnp.zeros((lay.dim,), dtype=bool)
-    free = free.at[lay.lm_off:3 * nl].set(True)
+    free = free.at[lay.lm_off:lay.lm_off + 3 * nl].set(
+        jnp.repeat(lm_ok, 3))
     free = free.at[lay.frame_off:lay.frame_off + FRAME_DIM * nf].set(True)
 
     from ..factors.inertial import sqrt_info_of_cov

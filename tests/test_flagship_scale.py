@@ -1,0 +1,55 @@
+"""Flagship solve at the SHIPPED bench shapes (VERDICT r2 Weak #5: the
+round-2 divergence lived exactly in the untested gap between the tiny
+test shapes and bench.py's nf=11/nl=352/nobs=2816 configuration).
+
+Slow tier: one window at full reference scale, in f64 (exactness) and in
+the shipped ambient-f32 configuration (shifted-Cholesky + iterative
+refinement path).  Gates mirror bench.py's hard accuracy gate.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtk_visual_inertial_navigation_tpu.core.state import TangentLayout
+from rtk_visual_inertial_navigation_tpu.parallel import (
+    batched_rtk_solve, make_synthetic_rtk_windows)
+from rtk_visual_inertial_navigation_tpu.solver import DoglegConfig
+
+# the exact shipped bench configuration (bench.py _flagship, non-smoke)
+NF, NL, NOBS, NSAMP, CAP, NS, NB = 11, 352, 2816, 8, 11, 14, 16
+
+
+def _run(dtype):
+    lay = TangentLayout(nf=NF, nl=NL, nb=NB, nc=2)
+    cfg = DoglegConfig(max_iters=8, schur_nl=NL, step_dtype="same")
+    probs = make_synthetic_rtk_windows(
+        jax.random.PRNGKey(3), 1, nf=NF, nl=NL, nobs=NOBS, nsamp=NSAMP,
+        cap=CAP, ns=NS, nb=NB, dtype=dtype)
+    win, hid, cost, nacc, X = jax.jit(
+        lambda p: batched_rtk_solve(p, lay, cfg, CAP))(probs)
+    perr = np.linalg.norm(np.asarray(win.p) - np.asarray(probs.truth.p),
+                          axis=-1)
+    pberr = np.abs(np.asarray(win.phase_bias)
+                   - np.asarray(probs.truth.phase_bias))[:, :NS]
+    return (int(np.asarray(nacc).min()), float(perr.max()),
+            float(pberr.max()), bool(np.isfinite(np.asarray(X)).all()))
+
+
+@pytest.mark.slow
+def test_flagship_bench_shape_f64():
+    nacc, perr, pberr, cov_ok = _run(jnp.float64)
+    assert nacc >= 1
+    assert perr < 1e-4, perr        # exactly-consistent data: ~machine zero
+    assert pberr < 1e-4, pberr
+    assert cov_ok
+
+
+@pytest.mark.slow
+def test_flagship_bench_shape_f32():
+    nacc, perr, pberr, cov_ok = _run(jnp.float32)
+    assert nacc >= 1
+    assert perr < 0.02, perr        # bench.py gate: cm class
+    assert pberr < 0.1, pberr
+    assert cov_ok

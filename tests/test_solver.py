@@ -276,3 +276,53 @@ def test_fixed_integer_factor_batch():
                                atol=1e-9)
     np.testing.assert_array_equal(
         np.asarray(fb.gidx[0]), [lay.pb_idx(0), lay.pb_idx(2)])
+
+
+def test_schur_rank_deficient_landmark_block_held():
+    """A landmark with a singular 3x3 block (e.g. one 2-row observation)
+    must be frozen by the blockwise guard, not poison the step with
+    inf/NaN (round-2 flagship divergence)."""
+    from rtk_visual_inertial_navigation_tpu.solver.gauss_newton import (
+        _gn_step_schur)
+    rng = np.random.default_rng(5)
+    nl, Dr = 3, 6
+    D = 3 * nl + Dr
+    # landmark 1's block: rank-2 outer product J^T J of a (2,3) jacobian
+    J1 = rng.normal(size=(2, 3))
+    H = np.eye(D) * 4.0
+    blocks = [np.eye(3) * 3.0, J1.T @ J1, np.eye(3) * 2.0]
+    for i, Bk in enumerate(blocks):
+        H[3 * i:3 * i + 3, 3 * i:3 * i + 3] = Bk
+    # coupling to the reduced block
+    C = rng.normal(size=(3 * nl, Dr)) * 0.1
+    H[:3 * nl, 3 * nl:] = C
+    H[3 * nl:, :3 * nl] = C.T
+    H[3 * nl:, 3 * nl:] += np.eye(Dr) * 5.0
+    g = rng.normal(size=D)
+
+    p = np.asarray(_gn_step_schur(jnp.asarray(H), jnp.asarray(g), nl))
+    assert np.isfinite(p).all()
+    # the singular landmark is held exactly
+    np.testing.assert_allclose(p[3:6], 0.0, atol=1e-12)
+    # healthy landmarks + reduced block solve the system with lm 1 frozen
+    keep = np.r_[np.arange(0, 3), np.arange(6, D)]
+    Hk = H[np.ix_(keep, keep)]
+    pk = np.linalg.solve(Hk, -g[keep])
+    np.testing.assert_allclose(p[keep], pk, rtol=1e-6, atol=1e-8)
+
+
+def test_dogleg_nan_step_degrades_to_descent():
+    """If the GN step is non-finite the dogleg must fall back to the
+    steepest-descent leg instead of NaN-locking every iteration."""
+    from rtk_visual_inertial_navigation_tpu.solver.gauss_newton import (
+        _dogleg_step)
+    D = 4
+    H = jnp.eye(D)
+    # poison the GN solve: negative-definite H makes cholesky NaN
+    Hbad = -jnp.eye(D)
+    g = jnp.ones(D)
+    p = np.asarray(_dogleg_step(Hbad, g, radius=1e3))
+    assert np.isfinite(p).all()
+    # well-posed case unchanged
+    p2 = np.asarray(_dogleg_step(H, g, radius=1e3))
+    np.testing.assert_allclose(p2, -np.ones(D), atol=1e-10)

@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Diagnose the flagship solve at smoke shapes: is the truth a zero of the
+synthesized residuals, and what does the dogleg actually do?"""
+import os
+import sys
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+
+from rtk_visual_inertial_navigation_tpu.core.state import TangentLayout
+from rtk_visual_inertial_navigation_tpu.parallel.problems_gnss import (
+    _anchor_frame, _solve_one_rtk, make_synthetic_rtk_windows)
+from rtk_visual_inertial_navigation_tpu.factors.gnss import (
+    doppler_batch, spp_carrier_phase_batch, spp_pseudorange_batch)
+from rtk_visual_inertial_navigation_tpu.factors.inertial import \
+    imu_factor_batch
+from rtk_visual_inertial_navigation_tpu.factors.visual import \
+    projection_factor_batch
+from rtk_visual_inertial_navigation_tpu.solver import DoglegConfig
+from rtk_visual_inertial_navigation_tpu.solver.chain_factors import \
+    chain_contrib
+from rtk_visual_inertial_navigation_tpu.solver.structured import \
+    projection_assemble
+
+nf, nl, nobs, nsamp, cap, ns, nb = 5, 24, 96, 6, 4, 8, 8
+dtype = jnp.float64
+lay = TangentLayout(nf=nf, nl=nl, nb=nb, nc=2)
+
+probs = make_synthetic_rtk_windows(
+    jax.random.PRNGKey(0), 4, nf=nf, nl=nl, nobs=nobs, nsamp=nsamp,
+    cap=cap, ns=ns, nb=nb, dtype=dtype)
+
+p0 = jax.tree.map(lambda x: x[0], probs)
+
+_, R_e = _anchor_frame()
+R_e = R_e.astype(dtype)
+pbg = jnp.zeros(3, dtype)
+g_world = jnp.asarray([0.0, 0.0, 9.81], dtype)
+
+
+def cost_parts(win, hid):
+    cam_ids = jnp.zeros_like(p0.f_ids)
+    b_proj = projection_factor_batch(
+        win, p0.f_ids, cam_ids, p0.l_ids, p0.obs_xy, p0.obs_valid, pbg)
+    _, _, cproj = projection_assemble(lay, p0.f_ids, cam_ids, p0.l_ids,
+                                      b_proj.res, b_proj.jac)
+    _, _, _, ccost = chain_contrib(win, hid, p0.st, lay, R_e, pbg,
+                                   g_world, cap)
+    b_imu = imu_factor_batch(win, p0.pre, pbg, g_world, p0.pre_valid)
+    b_pr = spp_pseudorange_batch(win, p0.b_pr, R_e)
+    b_cp = spp_carrier_phase_batch(win, p0.b_cp, R_e)
+    b_do = doppler_batch(win, p0.b_dopp, R_e)
+    cs = {
+        "proj": float(cproj),
+        "chain": float(ccost),
+        "imu": 0.5 * float(jnp.sum(b_imu.res ** 2)),
+        "pr": 0.5 * float(jnp.sum(b_pr.res ** 2)),
+        "cp": 0.5 * float(jnp.sum(b_cp.res ** 2)),
+        "dopp": 0.5 * float(jnp.sum(b_do.res ** 2)),
+    }
+    return cs
+
+
+print("cost at TRUTH:", cost_parts(p0.truth, p0.hid_truth))
+print("cost at state0:", cost_parts(p0.state0, p0.hid0))
+
+# run the solve with iteration tracing
+for iters in (8, 24):
+    cfg = DoglegConfig(max_iters=iters, schur_nl=nl)
+    win, hid, cost, nacc, X = jax.jit(
+        lambda p: _solve_one_rtk(p, lay, cfg, cap))(p0)
+    perr = np.linalg.norm(np.asarray(win.p) - np.asarray(p0.truth.p),
+                          axis=-1)
+    print(f"iters={iters}: nacc={int(nacc)} cost={float(cost):.6e} "
+          f"max_perr={perr.max():.4f} cov_finite="
+          f"{bool(np.isfinite(np.asarray(X)).all())}")
+    print("  final parts:", cost_parts(win, hid))

@@ -162,11 +162,21 @@ def run_mode(mode, sim, bag_path, out_dir, args):
     fix_rate = float(data["rtk_fix"].mean()) if "rtk_fix" in data else 0.0
     n_rows = len(data)
     frames = len(est.trajectory)
+    feat_per_frame = round(est._n_feat_in / max(frames, 1), 1)
+    # HARD vision gate (VERDICT r2 item 2): every mode in this protocol uses
+    # the camera; a replay that ingested no features is invalid, not a result
+    # (round-2's published table was produced exactly this way).
+    if feat_per_frame <= 0:
+        raise RuntimeError(
+            f"{args.seq}/{mode}: replay ingested ZERO visual features "
+            f"({frames} frames) — invalid run, refusing to score")
     res = dict(seq=args.seq, mode=mode, plane_rmse=m.plane_rmse,
                height_rmse=m.height_rmse, mae_3d=m.mae_3d,
+               align={"rtk": "none", "rtd": "none", "vi": "yaw"}.get(
+                   mode, "mean"),
                associated=m.n_associated, fix_rate=round(fix_rate, 4),
                csv_rows=n_rows, frames=frames,
-               feat_per_frame=round(est._n_feat_in / max(frames, 1), 1),
+               feat_per_frame=feat_per_frame,
                wall_s=round(wall, 1), fps=round(frames / wall, 2),
                chain_stats=est._chain_stats)
     print(json.dumps(res), flush=True)
@@ -210,6 +220,9 @@ def main():
                           duration=args.duration, seed=seed)), flush=True)
 
     results = []
+    # fresh jsonl per run: append-mode across runs mixed stale rows from
+    # prior invocations into one file (ADVICE r2)
+    (out_dir / f"{args.seq}_results.jsonl").write_text("")
     for mode in args.modes.split(","):
         r = run_mode(mode.strip(), sim, bag_path, out_dir, args)
         results.append(r)

@@ -35,6 +35,9 @@ def score(out_dir: Path, seq: str, mode: str, skip_s: float):
     if not csv_path.exists() or not gt_path.exists():
         return None
     data = pd.read_csv(csv_path)
+    if len(data) == 0:
+        # header-only CSV (run killed before the first output row)
+        return None
     gt = pd.read_csv(gt_path)
     est_t = data["time"].values / 1e9
     est_p = data[["px", "py", "pz"]].values
@@ -52,6 +55,8 @@ def score(out_dir: Path, seq: str, mode: str, skip_s: float):
     fix_rate = float(data["rtk_fix"].mean()) if "rtk_fix" in data else 0.0
     return dict(seq=seq, mode=mode, plane_rmse=m.plane_rmse,
                 height_rmse=m.height_rmse, mae_3d=m.mae_3d,
+                align={"rtk": "none", "rtd": "none", "vi": "yaw"}.get(
+                    mode, "mean"),
                 associated=m.n_associated, n_gt=len(gt_t),
                 fix_rate=round(fix_rate, 4),
                 csv_rows=len(data),
