@@ -25,6 +25,7 @@ from ..geodesy import earth
 from ..geodesy.earth import CLIGHT, OMGE
 
 AZELMIN = np.deg2rad(25.0)
+LTHRE = 15                   # carrier std gate scale (common_function.h:19)
 STALENESS_S = 10.0           # bias forgotten after 10 s unseen
 RTK_CLOCK_SLOT = 0           # base of RTK dtur slots [0..5]
 SPP_CLOCK_SLOT = 6           # base of SPP dtgps slots [6..11]
@@ -58,6 +59,13 @@ class GnssEpoch:
     ion_var: Optional[np.ndarray] = None   # (S,) [m^2]
     trop_var: Optional[np.ndarray] = None  # (S,) [m^2]
     sat_var: Optional[np.ndarray] = None   # (S,) [m^2]
+    # RB-SD stds (mea_t RTK_Pstd/RTK_Lstd); fall back to the rover stds
+    rtk_pr_std: Optional[np.ndarray] = None  # (S,) [m]
+    rtk_cp_std: Optional[np.ndarray] = None  # (S,) [cycle]
+    # half-cycle ambiguity flags (mea_t half_flag); the fix-set gate
+    # requires bits 8 and 2 (rvi/swf/swf_gnss.cpp:112-114).  None = clear
+    # (synthetic data without a half-cycle channel).
+    half_flag: Optional[np.ndarray] = None   # (S,) uint bitmask
 
 
 class PhaseBiasTable:
@@ -241,6 +249,10 @@ class PreparedEpoch:
     new_bias: np.ndarray    # (N,) bool: pb_slot needs value initialization
     n_usable: int           # healthy SPP sat count (epoch gating)
     gen: Optional[np.ndarray] = None  # (N,) bias-slot allocation generation
+    # (N,) bool — RTK carrier rows admissible to the integer fix set:
+    # RTK_Lstd <= 0.004*LTHRE cycles, el >= AZELMIN, half-cycle flags 8&2
+    # set (UpdateNParameterHead, rvi/swf/swf_gnss.cpp:105-121)
+    fixable: Optional[np.ndarray] = None
 
 
 class GnssPreprocessor:
@@ -287,11 +299,18 @@ class GnssPreprocessor:
             else 1.0
         have_base = self.use_rtk or self.use_rtd
 
+        rtk_pstd = (ep.pr_std if ep.rtk_pr_std is None
+                    else np.asarray(ep.rtk_pr_std))
+        rtk_lstd = (ep.cp_std if ep.rtk_cp_std is None
+                    else np.asarray(ep.rtk_cp_std))
+        half = (np.full(S, 0xFF, dtype=np.int64) if ep.half_flag is None
+                else np.asarray(ep.half_flag, dtype=np.int64))
+
         rows = {k: [] for k in ("kind", "clk_slot", "pb_slot", "r0_unit",
                                 "r0", "sat_xy", "sat_vel", "z", "wavelength",
-                                "weight", "new_bias", "gen")}
+                                "weight", "new_bias", "gen", "fixable")}
 
-        def add(kind, clk, pb, i, z, w, new_bias=False):
+        def add(kind, clk, pb, i, z, w, new_bias=False, fixable=False):
             rows["kind"].append(kind)
             rows["clk_slot"].append(clk)
             rows["pb_slot"].append(max(pb, 0))
@@ -305,6 +324,7 @@ class GnssPreprocessor:
             rows["wavelength"].append(lam[i])
             rows["weight"].append(w)
             rows["new_bias"].append(new_bias)
+            rows["fixable"].append(fixable)
 
         for i in range(S):
             if not vis[i]:
@@ -345,12 +365,12 @@ class GnssPreprocessor:
             # --- RB-SD pseudorange (RTD, dual frequency; Pstd gate,
             # swf_core.cpp:127) ---
             if (self.use_rtd and np.isfinite(ep.rtk_pr[i])
-                    and ep.pr_std[i] < 2.0):
+                    and rtk_pstd[i] < 2.0):
                 # z' = P_sd − (r0_rover − r_base): base==anchor ⇒ r0−r_base=0
                 # (general base handled by passing true base ranges in)
                 z = ep.rtk_pr[i]
                 w = rtk_weight(np.asarray([el[i]]),
-                               np.asarray([ep.pr_std[i] ** 2]),
+                               np.asarray([rtk_pstd[i] ** 2]),
                                ep.br_time_diff)[0]
                 add(2, RTK_CLOCK_SLOT + sysf, -1, i, z, w)
             # --- RB-SD carrier phase (RTK, dual frequency) ---
@@ -361,9 +381,16 @@ class GnssPreprocessor:
                 if slot >= 0:
                     z = ep.rtk_cp[i] * lam[i]
                     w = rtk_weight(np.asarray([el[i]]),
-                                   np.asarray([(ep.cp_std[i] * lam[i]) ** 2]),
+                                   np.asarray([(rtk_lstd[i] * lam[i]) ** 2]),
                                    ep.br_time_diff)[0]
-                    add(3, RTK_CLOCK_SLOT + sysf, slot, i, z, w, new)
+                    # fix-set admissibility (swf_gnss.cpp:110-114):
+                    # RTK_Lstd <= 0.004*LTHRE [cyc], el >= AZELMIN (vis
+                    # already enforces it), half-cycle bits 8 and 2 clear
+                    fx = (rtk_lstd[i] <= 0.004 * LTHRE
+                          and el[i] >= AZELMIN
+                          and bool(half[i] & 8) and bool(half[i] & 2))
+                    add(3, RTK_CLOCK_SLOT + sysf, slot, i, z, w, new,
+                        fixable=fx)
             # --- Doppler (f=0, swf_core.cpp:190-203) ---
             if (self.use_doppler and np.isfinite(ep.dopp[i])
                     and int(ep.freq[i]) == 0):

@@ -347,7 +347,11 @@ def sim_to_bag(sim, bag_path: str, gt_path: str | None = None,
                         rtk_cp=float(sim.rtk_cp[ei, c]),
                         pr0=float(sim.pr[ei, c]),
                         sat_pos=sp, sat_vel=sv, el=el,
-                        rtk_slip=slip_count[c], spp_slip=slip_count[c]))
+                        rtk_slip=slip_count[c], spp_slip=slip_count[c],
+                        # half-cycle resolved on both channels (bits 8|2,
+                        # swf_gnss.cpp:112-114) — the sim has no half-cycle
+                        # ambiguity, so its observations are always eligible
+                        half_flag=10))
                 blob = encode_mea(t, anchor, rows)
                 bag.write("/gnss", "std_msgs/ByteMultiArray", t,
                           serialize_byte_multi_array(blob))

@@ -105,7 +105,8 @@ def mea_to_epoch(rec: np.void, tracker: Optional[SlipTracker] = None,
     rows = {k: [] for k in
             ("sat_id", "sys", "freq", "sat_pos", "sat_vel", "pr", "cp",
              "dopp", "rtk_pr", "rtk_cp", "pr_std", "cp_std", "dopp_std",
-             "slip", "pr0", "svh", "ion_var", "trop_var", "sat_var", "el")}
+             "slip", "pr0", "svh", "ion_var", "trop_var", "sat_var", "el",
+             "rtk_pr_std", "rtk_cp_std", "half_flag")}
     nf = 1 if single_freq else NFREQ
     for i in range(n):
         o = rec["obs"][i]
@@ -146,6 +147,9 @@ def mea_to_epoch(rec: np.void, tracker: Optional[SlipTracker] = None,
             rows["trop_var"].append(float(o["trop_var"]))
             rows["sat_var"].append(float(o["sat_var"]))
             rows["el"].append(float(o["el"]))
+            rows["rtk_pr_std"].append(float(o["rtk_pstd"][f]))
+            rows["rtk_cp_std"].append(float(o["rtk_lstd"][f]))
+            rows["half_flag"].append(int(o["half_flag"][f]))
 
     def arr(k, dtype=float):
         v = np.asarray(rows[k], dtype=dtype)
@@ -165,6 +169,8 @@ def mea_to_epoch(rec: np.void, tracker: Optional[SlipTracker] = None,
         pr0=arr("pr0"), svh=arr("svh", np.int64),
         ion_var=arr("ion_var"), trop_var=arr("trop_var"),
         sat_var=arr("sat_var"),
+        rtk_pr_std=arr("rtk_pr_std"), rtk_cp_std=arr("rtk_cp_std"),
+        half_flag=arr("half_flag", np.int64),
     )
 
 

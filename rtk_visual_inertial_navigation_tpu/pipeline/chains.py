@@ -449,9 +449,13 @@ def chain_device_inputs(records: list[ChainRecord], nch: int, cap: int,
                 rows_np[k].append(np.zeros(shape))
             rows_valid.append(np.zeros(crows, dtype=bool))
 
+    # PURE NUMPY packing: this runs on the host once or twice per frame;
+    # eager jnp.stack/asarray here cost one XLA dispatch each (~150 of them
+    # = ~180 ms/call, 32% of round-2's replay wall time).  The jitted solve
+    # converts the numpy pytree at call time in one batched transfer.
     pre_stack = jax.tree.map(
-        lambda *x: jnp.stack(x),
-        *[jax.tree.map(lambda *y: jnp.stack(y), *pres)
+        lambda *x: np.stack(x),
+        *[jax.tree.map(lambda *y: np.stack(y), *pres)
           for pres in pres_all])
 
     r0 = np.stack(rows_np["r0"])
@@ -459,33 +463,28 @@ def chain_device_inputs(records: list[ChainRecord], nch: int, cap: int,
     lam = np.stack(rows_np["wavelength"])
     lam = lam + (lam == 0)
     rows = ChainRows(
-        state_idx=jnp.asarray(np.maximum(np.stack(rows_np["state_idx"]), 1)
-                              .astype(np.int32)),
-        kind=jnp.asarray(np.stack(rows_np["kind"]).astype(np.int32)),
-        clk_slot=jnp.asarray(np.stack(rows_np["clk_slot"]).astype(np.int32)),
-        pb_slot=jnp.asarray(np.stack(rows_np["pb_slot"]).astype(np.int32)),
-        r0_unit=jnp.asarray(np.stack(rows_np["r0_unit"])),
-        r0=jnp.asarray(r0),
-        sat_xy=jnp.asarray(np.stack(rows_np["sat_xy"])),
-        sat_vel=jnp.asarray(np.stack(rows_np["sat_vel"])),
-        z=jnp.asarray(np.stack(rows_np["z"])),
-        wavelength=jnp.asarray(lam),
-        weight=jnp.asarray(np.stack(rows_np["weight"])),
-        valid=jnp.asarray(np.stack(rows_valid)),
+        state_idx=np.maximum(np.stack(rows_np["state_idx"]), 1)
+        .astype(np.int32),
+        kind=np.stack(rows_np["kind"]).astype(np.int32),
+        clk_slot=np.stack(rows_np["clk_slot"]).astype(np.int32),
+        pb_slot=np.stack(rows_np["pb_slot"]).astype(np.int32),
+        r0_unit=np.stack(rows_np["r0_unit"]),
+        r0=r0,
+        sat_xy=np.stack(rows_np["sat_xy"]),
+        sat_vel=np.stack(rows_np["sat_vel"]),
+        z=np.stack(rows_np["z"]),
+        wavelength=lam,
+        weight=np.stack(rows_np["weight"]),
+        valid=np.stack(rows_valid),
     )
-    hid = ChainHidden(p=jnp.asarray(hid_p), q=jnp.asarray(hid_q),
-                      v=jnp.asarray(hid_v), ba=jnp.asarray(hid_ba),
-                      bg=jnp.asarray(hid_bg), clk=jnp.asarray(hid_clk))
-    mid = ChainMid(H=jnp.asarray(mid_H), g0=jnp.asarray(mid_g0),
-                   c0=jnp.asarray(mid_c0), k=jnp.asarray(mid_k),
-                   valid=jnp.asarray(mid_valid), p0=jnp.asarray(mid_p0),
-                   q0=jnp.asarray(mid_q0), v0=jnp.asarray(mid_v0),
-                   ba0=jnp.asarray(mid_ba0), bg0=jnp.asarray(mid_bg0),
-                   pb0=jnp.asarray(mid_pb0))
-    st = ChainStatic(left=jnp.asarray(left), right=jnp.asarray(right),
-                     n_leaves=jnp.asarray(n_leaves),
-                     active=jnp.asarray(active), pre=pre_stack,
-                     pre_valid=jnp.asarray(pre_valid), rows=rows, mid=mid)
+    hid = ChainHidden(p=hid_p, q=hid_q, v=hid_v, ba=hid_ba, bg=hid_bg,
+                      clk=hid_clk)
+    mid = ChainMid(H=mid_H, g0=mid_g0, c0=mid_c0, k=mid_k, valid=mid_valid,
+                   p0=mid_p0, q0=mid_q0, v0=mid_v0, ba0=mid_ba0,
+                   bg0=mid_bg0, pb0=mid_pb0)
+    st = ChainStatic(left=left, right=right, n_leaves=n_leaves,
+                     active=active, pre=pre_stack,
+                     pre_valid=pre_valid, rows=rows, mid=mid)
     return hid, st
 
 

@@ -1036,17 +1036,22 @@ class Estimator:
         inputs = self._factor_inputs()
         gnss_inputs = self._gnss_factor_inputs()
         free = self._free_mask()
+        # the LAMBDA tail covariance is only consumed by _integer_solve,
+        # which runs on GNSS frames — image-frame solves compile it out
+        # (normalized to False in non-RTK modes so only one variant traces)
+        want_cov = (self._cov_cols_const() is not None
+                    and bool(self.frame_is_gnss[self.frame_count - 1]))
 
         def run():
             if self.cfg.use_gnss_chains:
-                res, X = self._jit_solve_chains()(
+                res, X = self._jit_solve_chains(want_cov)(
                     self.x, *self._chain_inputs(), self._prior_device(),
                     free, *inputs, *gnss_inputs, *self._mag_inputs())
                 win, hid2 = res.state
                 self.x = _host(win)
                 writeback_hidden(self.chains, _host(hid2))
             else:
-                res, X = self._jit_solve()(
+                res, X = self._jit_solve(want_cov)(
                     self.x, self._prior_device(), free, *inputs,
                     *gnss_inputs, *self._mag_inputs())
                 self.x = _host(res.state)
@@ -1153,13 +1158,13 @@ class Estimator:
                             step_dtype=cfg.solve_step_dtype,
                             f_tol=cfg.solve_f_tol)
 
-    def _jit_solve(self):
-        key = "solve"
+    def _jit_solve(self, want_cov: bool = True):
+        key = "solve_cov" if want_cov else "solve_nocov"
         if key not in self._jit_cache:
             cfg = self.cfg
             dl_cfg = self._dogleg_cfg()
             hg = self._hg_fn()
-            cov_cols = self._cov_cols_const()
+            cov_cols = self._cov_cols_const() if want_cov else None
 
             @jax.jit
             def solve(state, prior, free, pre_stack, pre_valid, vis,
@@ -1198,7 +1203,13 @@ class Estimator:
         §5.8 single-chip plan)."""
         cfg, lay = self.cfg, self.lay
         pbg, g_world, R_e = self._pbg, self.g_world, self._R_e
-        use_struct = not cfg.use_inverse_depth
+        # world-point mode: block-structured one-hot-matmul assembly on
+        # accelerators (rides the MXU; scatter-add is the TPU bottleneck),
+        # generic scatter-add on CPU (one-hot matmuls are O(D·nobs·D) raw
+        # FLOPs that a 2-core replay host cannot afford — measured 3x the
+        # whole reduced Cholesky per iteration)
+        use_struct = (not cfg.use_inverse_depth
+                      and jax.default_backend() != "cpu")
         vis_batch = self._vis_batch_fn()
 
         def hg(win, pre_stack, pre_valid, vis, b_pr, b_cp, b_dopp,
@@ -1223,12 +1234,17 @@ class Estimator:
 
         return hg
 
-    def _jit_solve_chains(self):
+    def _jit_solve_chains(self, want_cov: bool = True):
         """Composite solve: window state + hidden chain states.  The chain
         contribution condenses per iteration at the current hidden
         linearization (relinearize-always); the retraction back-substitutes
-        hidden states given the outer step (UpdateHiddenState)."""
-        key = "solve_chains"
+        hidden states given the outer step (UpdateHiddenState).
+
+        ``want_cov=False`` compiles out the LAMBDA tail-covariance export
+        (a FULL-dimension dense Cholesky, ~6x one reduced GN factorization):
+        image frames never run the integer solve, so they use this variant.
+        """
+        key = "solve_chains_cov" if want_cov else "solve_chains_nocov"
         if key not in self._jit_cache:
             cfg = self.cfg
             lay = self.lay
@@ -1237,7 +1253,7 @@ class Estimator:
             cap = cfg.chain_cap
             dl_cfg = self._dogleg_cfg()
             hg = self._hg_fn()
-            cov_cols = self._cov_cols_const()
+            cov_cols = self._cov_cols_const() if want_cov else None
 
             @jax.jit
             def solve(state, hid, st, prior, free, pre_stack, pre_valid,
@@ -1314,8 +1330,13 @@ class Estimator:
             self._nofix_streak = 0
             self.rtk_fixed = False
         self._last_lambda_t = t_now
-        # RTK carrier-phase bias slots observed at the newest epoch
-        newest_slots = np.unique(prep.pb_slot[prep.kind == 3])
+        # RTK carrier-phase bias slots observed at the newest epoch AND
+        # admissible to the fix set: Lstd/elevation/half-cycle gates applied
+        # at preprocess time (UpdateNParameterHead, swf_gnss.cpp:105-121)
+        k3 = prep.kind == 3
+        if prep.fixable is not None and len(prep.fixable) == len(prep.kind):
+            k3 = k3 & prep.fixable.astype(bool)
+        newest_slots = np.unique(prep.pb_slot[k3])
         if len(newest_slots) < 4:
             return
         bias_tab = self.gnss.bias

@@ -164,15 +164,33 @@ def marginalize_dense_np(H, g, marg_mask, eig_eps=1e-8):
 
 
 def prior_from_hessian_np(H_star, g_star, eig_eps=1e-8):
-    """Host (numpy/LAPACK) mirror of ``prior_from_hessian``."""
+    """Host (numpy/LAPACK) mirror of ``prior_from_hessian``.
+
+    The eigendecomposition runs only on the prior's SUPPORT (rows with any
+    information): a sliding-window prior typically touches ~half the global
+    tangent, and eigh is O(n^3) — on the 2-core replay host this halves the
+    per-slide marginalization cost.
+    """
     import numpy as np
 
-    S, V = np.linalg.eigh(np.asarray(H_star, dtype=np.float64))
+    H_star = np.asarray(H_star, dtype=np.float64)
+    g_star = np.asarray(g_star, dtype=np.float64)
+    D = H_star.shape[0]
+    sup = (np.abs(H_star).max(axis=1) > 0) | (g_star != 0)
+    idx = np.flatnonzero(sup)
+    if len(idx) == 0:
+        return np.zeros((D, D)), np.zeros(D)
+    Hs = H_star[np.ix_(idx, idx)]
+    S, V = np.linalg.eigh(Hs)
     ok = S > eig_eps
     sqrt_S = np.sqrt(np.where(ok, S, 1.0)) * ok
     inv_sqrt_S = np.where(ok, 1.0 / np.sqrt(np.where(ok, S, 1.0)), 0.0)
-    J0 = sqrt_S[:, None] * V.T
-    r0 = inv_sqrt_S * (V.T @ np.asarray(g_star, dtype=np.float64))
+    J0s = sqrt_S[:, None] * V.T
+    r0s = inv_sqrt_S * (V.T @ g_star[idx])
+    J0 = np.zeros((D, D))
+    J0[np.ix_(idx, idx)] = J0s
+    r0 = np.zeros(D)
+    r0[idx] = r0s
     return J0, r0
 
 

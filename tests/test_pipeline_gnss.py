@@ -315,3 +315,44 @@ def test_rtk_reference_rates_noisy():
     half = errs[len(errs) // 2:]
     assert half.mean() < 0.05, half.mean()
     assert est.rtk_fixed
+
+
+def test_fix_set_gates(sim):
+    """Fix-set admissibility (UpdateNParameterHead, swf_gnss.cpp:105-121):
+    carrier std <= 0.004*LTHRE cyc, el >= AZELMIN, half-cycle bits 8&2."""
+    from rtk_visual_inertial_navigation_tpu.gnss.preprocess import (
+        GnssPreprocessor)
+
+    pre = GnssPreprocessor(sim.anchor_ecef, nb_capacity=32, use_rtk=True,
+                           use_rtd=True)
+    ep = gnss_epoch_of(sim, 0)
+    S = len(ep.sat_id)
+    # default (half_flag=None, tight stds): every rtk-cp row fixable
+    p0 = pre.prepare(ep)
+    k3 = p0.kind == 3
+    assert k3.any() and p0.fixable[k3].all()
+    assert not p0.fixable[~k3].any()
+
+    # half-cycle flags: bit 8 or bit 2 missing -> not fixable (rows stay
+    # in the problem: the factor row count must not change)
+    ep.half_flag = np.full(S, 8)          # bit 2 missing
+    pre2 = GnssPreprocessor(sim.anchor_ecef, nb_capacity=32, use_rtk=True)
+    p2 = pre2.prepare(ep)
+    assert not p2.fixable[p2.kind == 3].any()
+    assert (p2.kind == 3).sum() == k3.sum()
+
+    # loose RB-SD carrier std -> not fixable (gate is 0.06 cyc)
+    ep.half_flag = None
+    ep.rtk_cp_std = np.full(S, 0.07)
+    pre3 = GnssPreprocessor(sim.anchor_ecef, nb_capacity=32, use_rtk=True)
+    p3 = pre3.prepare(ep)
+    assert not p3.fixable[p3.kind == 3].any()
+
+    # mixed: exactly the tight-std satellites are fixable
+    std = np.full(S, 0.07)
+    std[: S // 2] = 0.01
+    ep.rtk_cp_std = std
+    pre4 = GnssPreprocessor(sim.anchor_ecef, nb_capacity=32, use_rtk=True)
+    p4 = pre4.prepare(ep)
+    k3 = p4.kind == 3
+    assert 0 < p4.fixable[k3].sum() < k3.sum()

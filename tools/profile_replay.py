@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Profile the steady-state protocol replay loop (post-compile).
+
+Feeds the estimator the same event stream as the reference protocol
+(400 Hz IMU / 25 Hz features / 10 Hz GNSS, chains on), skips the
+compile-dominated lead-in, then profiles the remainder with cProfile.
+"""
+import argparse
+import cProfile
+import io
+import os
+import pstats
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+from jax._src import xla_bridge as _xb
+
+if _xb.backends_are_initialized():
+    from jax.extend.backend import clear_backends
+    clear_backends()
+
+import numpy as np
+
+from run_reference_protocol import build_config, make_sim
+from rtk_visual_inertial_navigation_tpu.io.writer import ResultWriter
+from rtk_visual_inertial_navigation_tpu.pipeline import Estimator
+from rtk_visual_inertial_navigation_tpu.sim.synthetic import gnss_epoch_of
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--duration", type=float, default=25.0)
+    ap.add_argument("--warmup-s", type=float, default=12.0)
+    ap.add_argument("--mode", default="rtk")
+    ap.add_argument("--landmarks", type=int, default=120)
+    ap.add_argument("--sats", type=int, default=14)
+    ap.add_argument("--nl", type=int, default=96)
+    ap.add_argument("--max-obs", type=int, default=768)
+    ap.add_argument("--chain-cap", type=int, default=16)
+    ap.add_argument("--average-imu", type=int, default=400)
+    ap.add_argument("--yaw0", type=float, default=25.0)
+    ap.add_argument("--offset", type=float, default=120.0)
+    ap.add_argument("--noiseless", action="store_true")
+    ap.add_argument("--seq", default="PROF")
+    ap.add_argument("--top", type=int, default=40)
+    args = ap.parse_args()
+
+    sim = make_sim(args, seed=11)
+    cfg = build_config(args.mode, sim, args)
+    est = Estimator(cfg)
+    writer = ResultWriter("/tmp/prof_replay.csv",
+                          anchor_ecef=sim.anchor_ecef,
+                          enu_to_ecef=sim.enu_to_ecef)
+    est.attach_writer(writer)
+
+    ids = np.arange(sim.landmarks.shape[0])
+    cam_ptr = g_ptr = 0
+    prof = cProfile.Profile()
+    profiling = False
+    t0 = time.time()
+    n_frames = warm_frames = 0
+    t_steady = None
+    for i, t in enumerate(sim.imu_t):
+        if not profiling and t - sim.imu_t[0] >= args.warmup_s:
+            profiling = True
+            t_steady = time.time()
+            warm_frames = n_frames
+            prof.enable()
+        est.process_imu(t, sim.acc[i], sim.gyr[i])
+        if g_ptr < len(sim.gnss_idx) and sim.gnss_idx[g_ptr] == i:
+            est.process_gnss(gnss_epoch_of(sim, g_ptr))
+            g_ptr += 1
+            n_frames += 1
+        if cam_ptr < len(sim.cam_idx) and sim.cam_idx[cam_ptr] == i:
+            vis = sim.obs_valid[cam_ptr]
+            est.process_image(t, ids[vis], sim.obs_xy[cam_ptr][vis])
+            cam_ptr += 1
+            n_frames += 1
+    prof.disable()
+    wall = time.time() - t_steady
+    fr = n_frames - warm_frames
+    print(f"steady-state: {fr} frames in {wall:.1f}s = {fr/wall:.2f} fps "
+          f"({1000*wall/fr:.0f} ms/frame); total {time.time()-t0:.1f}s")
+    s = io.StringIO()
+    ps = pstats.Stats(prof, stream=s).sort_stats("cumulative")
+    ps.print_stats(args.top)
+    print(s.getvalue())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Lightweight per-stage timing of the protocol replay loop (no cProfile).
+
+Monkeypatches the estimator's stage methods with wall-clock accumulators,
+replays a protocol-rate sim, and prints per-stage totals for the steady
+state (post-warmup) region.
+"""
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+from jax._src import xla_bridge as _xb
+
+if _xb.backends_are_initialized():
+    from jax.extend.backend import clear_backends
+    clear_backends()
+
+import numpy as np
+
+from run_reference_protocol import build_config, make_sim
+from rtk_visual_inertial_navigation_tpu.io.writer import ResultWriter
+from rtk_visual_inertial_navigation_tpu.pipeline import Estimator
+from rtk_visual_inertial_navigation_tpu.pipeline import estimator as est_mod
+from rtk_visual_inertial_navigation_tpu.sim.synthetic import gnss_epoch_of
+
+STAGES = [
+    "_optimize", "_integer_solve", "_marginalize_oldest",
+    "_drop_second_newest", "_condense_gnss_runs", "_triangulate_new",
+    "_reject_outliers", "_sync_prior_with_features", "_dr_step",
+    "_gnss_factor_inputs", "_factor_inputs", "_chain_inputs",
+    "_record", "_update_world_mirror", "_rehost_invdepth",
+    "_detect_cycle_slips", "_init_new_biases", "_pnp_bootstrap",
+]
+
+acc = {s: [0.0, 0] for s in STAGES}
+enabled = [False]
+
+
+def wrap(cls, name):
+    orig = getattr(cls, name)
+
+    def timed(self, *a, **k):
+        if not enabled[0]:
+            return orig(self, *a, **k)
+        t0 = time.perf_counter()
+        out = orig(self, *a, **k)
+        d = time.perf_counter() - t0
+        acc[name][0] += d
+        acc[name][1] += 1
+        return out
+
+    setattr(cls, name, timed)
+
+
+def wrap_jit_getters():
+    """Time the jitted solve/marg calls themselves (incl. device exec,
+    since the subsequent result use blocks) and the host transfers."""
+    for getter in ("_jit_solve_chains", "_jit_solve", "_jit_marg_chains"):
+        if not hasattr(Estimator, getter):
+            continue
+        acc.setdefault("call:" + getter, [0.0, 0])
+        orig_getter = getattr(Estimator, getter)
+
+        def make(getter, orig_getter):
+            def timed_getter(self, *a, **k):
+                fn = orig_getter(self, *a, **k)
+
+                def timed_call(*ca, **ck):
+                    if not enabled[0]:
+                        return fn(*ca, **ck)
+                    t0 = time.perf_counter()
+                    out = fn(*ca, **ck)
+                    out = jax.block_until_ready(out)
+                    d = time.perf_counter() - t0
+                    acc["call:" + getter][0] += d
+                    acc["call:" + getter][1] += 1
+                    return out
+
+                return timed_call
+
+            return timed_getter
+
+        setattr(Estimator, getter, make(getter, orig_getter))
+
+    acc.setdefault("host_transfer", [0.0, 0])
+    orig_host = est_mod._host
+
+    def timed_host(tree):
+        if not enabled[0]:
+            return orig_host(tree)
+        t0 = time.perf_counter()
+        out = orig_host(tree)
+        d = time.perf_counter() - t0
+        acc["host_transfer"][0] += d
+        acc["host_transfer"][1] += 1
+        return out
+
+    est_mod._host = timed_host
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--duration", type=float, default=20.0)
+    ap.add_argument("--warmup-s", type=float, default=13.0)
+    ap.add_argument("--mode", default="rtk")
+    ap.add_argument("--landmarks", type=int, default=120)
+    ap.add_argument("--sats", type=int, default=14)
+    ap.add_argument("--nl", type=int, default=96)
+    ap.add_argument("--max-obs", type=int, default=768)
+    ap.add_argument("--chain-cap", type=int, default=16)
+    ap.add_argument("--average-imu", type=int, default=400)
+    ap.add_argument("--yaw0", type=float, default=25.0)
+    ap.add_argument("--offset", type=float, default=120.0)
+    ap.add_argument("--noiseless", action="store_true")
+    ap.add_argument("--seq", default="PROF")
+    args = ap.parse_args()
+
+    for s in STAGES:
+        wrap(Estimator, s)
+    wrap_jit_getters()
+
+    sim = make_sim(args, seed=11)
+    cfg = build_config(args.mode, sim, args)
+    est = Estimator(cfg)
+    writer = ResultWriter("/tmp/time_replay.csv",
+                          anchor_ecef=sim.anchor_ecef,
+                          enu_to_ecef=sim.enu_to_ecef)
+    est.attach_writer(writer)
+
+    ids = np.arange(sim.landmarks.shape[0])
+    cam_ptr = g_ptr = 0
+    n_frames = warm_frames = 0
+    t_steady = t0 = time.time()
+    for i, t in enumerate(sim.imu_t):
+        if not enabled[0] and t - sim.imu_t[0] >= args.warmup_s:
+            enabled[0] = True
+            t_steady = time.time()
+            warm_frames = n_frames
+        est.process_imu(t, sim.acc[i], sim.gyr[i])
+        if g_ptr < len(sim.gnss_idx) and sim.gnss_idx[g_ptr] == i:
+            est.process_gnss(gnss_epoch_of(sim, g_ptr))
+            g_ptr += 1
+            n_frames += 1
+        if cam_ptr < len(sim.cam_idx) and sim.cam_idx[cam_ptr] == i:
+            vis = sim.obs_valid[cam_ptr]
+            est.process_image(t, ids[vis], sim.obs_xy[cam_ptr][vis])
+            cam_ptr += 1
+            n_frames += 1
+    wall = time.time() - t_steady
+    fr = n_frames - warm_frames
+    print(f"steady-state: {fr} frames in {wall:.1f}s = {fr/wall:.2f} fps "
+          f"({1000*wall/fr:.0f} ms/frame); total wall {time.time()-t0:.1f}s")
+    tot = sum(v[0] for v in acc.values())
+    for s, (tt, n) in sorted(acc.items(), key=lambda x: -x[1][0]):
+        if n:
+            print(f"{s:28s} {tt:8.2f}s  {n:5d} calls  "
+                  f"{1000*tt/n:8.1f} ms/call  {100*tt/wall:5.1f}%")
+    print(f"{'(instrumented total)':28s} {tot:8.2f}s  {100*tot/wall:5.1f}%")
+
+
+if __name__ == "__main__":
+    main()
