@@ -22,12 +22,22 @@ from ..core.state import WindowState, window_boxminus
 
 
 class MargPrior(NamedTuple):
-    """Linearized prior over the full window tangent (rows zero-padded)."""
+    """Linearized prior over the full window tangent (rows zero-padded).
+
+    ``H0``/``g0``/``c0`` optionally carry the prior's INFORMATION form
+    (H0 = JᵀJ, g0 = Jᵀr₀, c0 = |r₀|²), known for free at marginalization
+    time (H0 is the Schur complement itself).  When present, per-solve
+    evaluation needs no (R×D)ᵀ(R×D) matmul at all — that matmul was the
+    single largest per-iteration cost of the round-2 replay solves.
+    """
 
     J: jnp.ndarray      # (R, D)
     r0: jnp.ndarray     # (R,)
     x0: WindowState     # linearization point
     valid_rows: jnp.ndarray  # (R,) bool
+    H0: jnp.ndarray = None   # optional (D, D) information matrix
+    g0: jnp.ndarray = None   # optional (D,) information vector
+    c0: jnp.ndarray = None   # optional scalar |r0|^2
 
     def residual(self, state: WindowState):
         dx = window_boxminus(state, self.x0)
@@ -47,13 +57,17 @@ class MargPrior(NamedTuple):
         The prior is linear: r(x) = r₀ + J·(x ⊟ x₀), so within a solve
         H = JᵀJ is CONSTANT and only g/cost depend on the state:
             g(dx) = g₀ + H·dx,   2·cost(dx) = c₀ + 2 g₀ᵀdx + dxᵀH dx.
-        Computing JᵀJ once instead of per dogleg iteration removes a
-        (D×D)@(D×D) matmul from every relinearization.
+        Uses the stored information form when available (no matmul);
+        otherwise computes JᵀJ once per solve (NOT once per iteration —
+        the masked rows must already be zeroed via valid_rows).
         """
-        Jm = self.J * self.valid_rows[:, None]
-        H0 = Jm.T @ Jm
-        g0 = Jm.T @ (self.r0 * self.valid_rows)
-        c0 = jnp.sum((self.r0 * self.valid_rows) ** 2)
+        if self.H0 is not None:
+            H0, g0, c0 = self.H0, self.g0, self.c0
+        else:
+            Jm = self.J * self.valid_rows[:, None]
+            H0 = Jm.T @ Jm
+            g0 = Jm.T @ (self.r0 * self.valid_rows)
+            c0 = jnp.sum((self.r0 * self.valid_rows) ** 2)
         x0 = self.x0
 
         def contrib(state):

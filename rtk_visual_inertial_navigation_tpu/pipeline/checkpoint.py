@@ -37,6 +37,11 @@ def save_checkpoint(est: Estimator, path: str):
     put_tree("priorR_", est.prior.r0)
     put_tree("priorx0_", est.prior.x0)
     put_tree("priorV_", est.prior.valid_rows)
+    # information form must round-trip bit-identically (the live prior's H0
+    # may come from the marginalization Schur complement, not J^T J)
+    put_tree("priorH0_", est.prior.H0)
+    put_tree("priorG0_", est.prior.g0)
+    put_tree("priorC0_", est.prior.c0)
     pre_mask = [p is not None for p in est.pre]
     for k, p in enumerate(est.pre):
         if p is not None:
@@ -135,7 +140,10 @@ def load_checkpoint(est: Estimator, path: str):
     est.x = get_tree("x_", est.x)
     est.prior = MargPrior(
         J=np.array(z["priorJ_0"]), r0=np.array(z["priorR_0"]),
-        x0=get_tree("priorx0_", est.x), valid_rows=np.array(z["priorV_0"]))
+        x0=get_tree("priorx0_", est.x), valid_rows=np.array(z["priorV_0"]),
+        H0=(np.array(z["priorH0_0"]) if "priorH0_0" in z else None),
+        g0=(np.array(z["priorG0_0"]) if "priorG0_0" in z else None),
+        c0=(np.array(z["priorC0_0"]) if "priorC0_0" in z else None))
     est.pre = [None] * (est.cfg.nf - 1)
     for k, present in enumerate(header["pre_mask"]):
         if present:

@@ -1131,10 +1131,20 @@ class Estimator:
 
     def _marginalize_prior_cols(self, mask: np.ndarray):
         """Schur-eliminate the masked tangent columns out of the prior
-        (host LAPACK: J -> H=JᵀJ, g=Jᵀr -> masked Schur -> eigh √-info)."""
-        J0, r0 = _prior_marg_cols_np(self.prior.J, self.prior.r0, mask)
-        self.prior = self.prior._replace(
-            J=J0, r0=r0, valid_rows=np.ones(self.lay.dim, dtype=bool))
+        (host LAPACK; uses the stored information form — no JᵀJ matmul)."""
+        p = self.prior
+        if p.H0 is not None:
+            H, g = np.asarray(p.H0), np.asarray(p.g0)
+        else:
+            Jm = np.asarray(p.J) * np.asarray(p.valid_rows,
+                                              dtype=float)[:, None]
+            H = Jm.T @ Jm
+            g = Jm.T @ (np.asarray(p.r0)
+                        * np.asarray(p.valid_rows, dtype=float))
+        J0, r0, Hs, gs = marginalize_dense_np(H, g, mask, return_info=True)
+        self.prior = p._replace(
+            J=J0, r0=r0, valid_rows=np.ones(self.lay.dim, dtype=bool),
+            H0=Hs, g0=gs, c0=np.asarray(r0 @ r0))
 
     def _dogleg_cfg(self) -> DoglegConfig:
         """Solver config for the pipeline solves.
@@ -1169,10 +1179,12 @@ class Estimator:
             @jax.jit
             def solve(state, prior, free, pre_stack, pre_valid, vis,
                       b_pr, b_cp, b_dopp, mag_f, mag_m, mag_v):
+                prior_contrib = prior.precompute()
+
                 def eval_fn(win):
                     H, g, cost = hg(win, pre_stack, pre_valid, vis,
                                     b_pr, b_cp, b_dopp, mag_f, mag_m, mag_v)
-                    Hp, gp, cp = prior.hessian_contrib(win)
+                    Hp, gp, cp = prior_contrib(win)
                     return H + Hp, g + gp, cost + cp
 
                 res = dogleg_solve(eval_fn, retract_window, state, free,
@@ -1258,6 +1270,8 @@ class Estimator:
             @jax.jit
             def solve(state, hid, st, prior, free, pre_stack, pre_valid,
                       vis, b_pr, b_cp, b_dopp, mag_f, mag_m, mag_v):
+                prior_contrib = prior.precompute()
+
                 def eval_fn(comp):
                     win, h = comp
                     H, g, cost = hg(win, pre_stack, pre_valid, vis,
@@ -1266,7 +1280,7 @@ class Estimator:
                         win, h, st, lay, R_e, pbg, g_world, cap)
                     H = H.at[gidx[:, :, None], gidx[:, None, :]].add(Hb)
                     g = g.at[gidx].add(gb)
-                    Hp, gp, cp = prior.hessian_contrib(win)
+                    Hp, gp, cp = prior_contrib(win)
                     return H + Hp, g + gp, cost + cp + ccost
 
                 def retract_fn(comp, dx):
@@ -1303,7 +1317,7 @@ class Estimator:
                     state, hid, st, lay, R_e, pbg, g_world, cap)
                 H = H.at[gidx[:, :, None], gidx[:, None, :]].add(Hb)
                 g = g.at[gidx].add(gb)
-                Hp, gp, _ = prior.hessian_contrib(state)
+                Hp, gp, _ = prior.precompute()(state)
                 return H + Hp, g + gp
 
             self._jit_cache[key] = marg
@@ -1479,7 +1493,9 @@ class Estimator:
         H_star, g_star = masked_schur_np(H, g, mask)
         J0, r0v = prior_from_hessian_np(H_star[:dim, :dim], g_star[:dim])
         self.prior = self.prior._replace(
-            J=J0, r0=r0v, valid_rows=np.ones(lay.dim, dtype=bool))
+            J=J0, r0=r0v, valid_rows=np.ones(lay.dim, dtype=bool),
+            H0=H_star[:dim, :dim], g0=g_star[:dim],
+            c0=np.asarray(r0v @ r0v))
 
     # ------------------------------------------------------------------
     # marginalization + slide
@@ -1533,7 +1549,7 @@ class Estimator:
                 restricted to frame 0."""
                 H, g, _ = hg(state, pre_stack, pre_valid0, vis,
                              b_pr, b_cp, b_dopp, mag_f, mag_m, mag_v)
-                Hp, gp, _ = prior.hessian_contrib(state)
+                Hp, gp, _ = prior.precompute()(state)
                 return H + Hp, g + gp
 
             self._jit_cache[key] = marg
@@ -1612,10 +1628,11 @@ class Estimator:
         # the Schur + eigenvalue square root runs on the HOST: LAPACK f64
         # is robust where TPU's emulated-f64 eigh is not, and this happens
         # once per slide, off the per-iteration hot path
-        J0, r0 = marginalize_dense_np(np.asarray(Hm), np.asarray(gm),
-                                      marg_mask)
+        J0, r0, Hs, gs = marginalize_dense_np(
+            np.asarray(Hm), np.asarray(gm), marg_mask, return_info=True)
         self.prior = MargPrior(J=J0, r0=r0, x0=self.x,
-                               valid_rows=np.ones(lay.dim, dtype=bool))
+                               valid_rows=np.ones(lay.dim, dtype=bool),
+                               H0=Hs, g0=gs, c0=np.asarray(r0 @ r0))
         if not cfg.use_inverse_depth:
             # consumed tracks restart from scratch: their rows are in the
             # prior, the landmark state left the problem (RemoveParameterBlock
@@ -1711,10 +1728,22 @@ class Estimator:
         # zero columns (no info)
         J = self.prior.J[:, perm]
         last = lay.nf - 1
-        J[:, lay.pose_idx(last):lay.pose_idx(last) + FRAME_DIM] = 0.0
-        J[:, lay.clk_idx(last):lay.clk_idx(last) + NCLOCK] = 0.0
+        dead = np.zeros(lay.dim, dtype=bool)
+        dead[lay.pose_idx(last):lay.pose_idx(last) + FRAME_DIM] = True
+        dead[lay.clk_idx(last):lay.clk_idx(last) + NCLOCK] = True
+        J[:, dead] = 0.0
         x0 = self._shift_arrays(self.prior.x0, drop)
-        self.prior = self.prior._replace(J=J, x0=x0)
+        kw = {}
+        if self.prior.H0 is not None:
+            # the information form permutes with the columns: JᵀJ is the
+            # column Gram matrix; freed slots zero out
+            H0 = self.prior.H0[np.ix_(perm, perm)]
+            g0 = self.prior.g0[perm]
+            H0[dead, :] = 0.0
+            H0[:, dead] = 0.0
+            g0[dead] = 0.0
+            kw = dict(H0=H0, g0=g0)
+        self.prior = self.prior._replace(J=J, x0=x0, **kw)
 
     def _shift_window(self, drop: int):
         """Shift state, prior and bookkeeping after marginalizing ``drop``."""
@@ -1767,6 +1796,26 @@ class Estimator:
 
     @prior.setter
     def prior(self, p):
+        if p.H0 is None:
+            # normalize: every prior the estimator feeds to its jits carries
+            # the information form (constant pytree structure AND no JᵀJ
+            # matmul inside the solve).  Support-restricted: prior rows/cols
+            # outside the blanket are structurally zero.
+            J = np.asarray(p.J, dtype=np.float64)
+            r0 = np.asarray(p.r0, dtype=np.float64)
+            vr = np.asarray(p.valid_rows, dtype=bool)
+            Jm = J * vr[:, None]
+            rm = r0 * vr
+            D = J.shape[1]
+            sup_c = np.flatnonzero(np.abs(Jm).max(axis=0) > 0)
+            sup_r = np.flatnonzero(np.abs(Jm).max(axis=1) > 0)
+            H0 = np.zeros((D, D))
+            g0 = np.zeros(D)
+            if len(sup_r) and len(sup_c):
+                Js = Jm[np.ix_(sup_r, sup_c)]
+                H0[np.ix_(sup_c, sup_c)] = Js.T @ Js
+                g0[sup_c] = Js.T @ rm[sup_r]
+            p = p._replace(H0=H0, g0=g0, c0=np.asarray(rm @ rm))
         self._prior = p
         self._prior_dev_cache = None
 

@@ -307,8 +307,18 @@ def dogleg_solve(eval_fn: Callable, retract_fn: Callable, state0,
             jnp.minimum(2.0 * radius, cfg.max_radius),
             jnp.where(rho < 0.25,
                       jnp.maximum(0.5 * step_norm, cfg.min_radius), radius))
-        converged = accept & (actual <= cfg.f_tol * cost) \
-            if cfg.f_tol > 0 else jnp.asarray(False)
+        if cfg.f_tol > 0:
+            # ceres function_tolerance on accepted steps, PLUS a predicted-
+            # decrease exit: when the quadratic model itself cannot improve
+            # the cost by f_tol·cost (pred tiny — converged, or the trust
+            # region has collapsed after rejections), further iterations
+            # only burn time.  At noisy steady state the accepted-step test
+            # alone almost never fires (late steps are rejected with
+            # actual<=0), so windows ran all max_iters every frame.
+            converged = (accept & (actual <= cfg.f_tol * cost)) \
+                | (pred <= cfg.f_tol * cost)
+        else:
+            converged = jnp.asarray(False)
         return SolveResult(state, H, g, cost, radius,
                            n_acc + accept.astype(jnp.int32)), converged
 

@@ -137,30 +137,44 @@ def masked_schur_np(H, g, marg_mask):
 
     H = np.asarray(H, dtype=np.float64)
     g = np.asarray(g, dtype=np.float64)
-    m = np.asarray(marg_mask, dtype=np.float64)
-    k = 1.0 - m
-    Hmm_full = H * m[:, None] * m[None, :] + np.diag(k) + 1e-9 * np.diag(m)
-    rhs = np.concatenate([H * m[:, None] * k[None, :], (g * m)[:, None]],
-                         axis=1)
-    sol = np.linalg.solve(Hmm_full, rhs)
-    Hmk_sol, gm_sol = sol[:, :-1], sol[:, -1]
-    Hkm = H * k[:, None] * m[None, :]
-    H_star = H * k[:, None] * k[None, :] - Hkm @ Hmk_sol
-    g_star = g * k - Hkm @ gm_sol
-    H_star = 0.5 * (H_star + H_star.T)
+    mask = np.asarray(marg_mask, dtype=bool)
+    mi = np.flatnonzero(mask)
+    ki = np.flatnonzero(~mask)
+    if len(mi) == 0:
+        return H.copy(), g.copy()
+    # solve only on the marginalized support (the masked formulation used
+    # to factor the FULL D-dim system per slide — ~D^3/3 LAPACK flops for a
+    # ~30-slot blanket)
+    Hmm = H[np.ix_(mi, mi)] + 1e-9 * np.eye(len(mi))
+    rhs = np.concatenate([H[np.ix_(mi, ki)], g[mi][:, None]], axis=1)
+    sol = np.linalg.solve(Hmm, rhs)
+    Hkm = H[np.ix_(ki, mi)]
+    Hkk = H[np.ix_(ki, ki)] - Hkm @ sol[:, :-1]
+    gk = g[ki] - Hkm @ sol[:, -1]
+    H_star = np.zeros_like(H)
+    H_star[np.ix_(ki, ki)] = 0.5 * (Hkk + Hkk.T)
+    g_star = np.zeros_like(g)
+    g_star[ki] = gk
     return H_star, g_star
 
 
-def marginalize_dense_np(H, g, marg_mask, eig_eps=1e-8):
+def marginalize_dense_np(H, g, marg_mask, eig_eps=1e-8, return_info=False):
     """Host (numpy/LAPACK) mirror of ``marginalize_dense``.
 
     The pipeline marginalizes on the HOST: it happens once per slide (not
     per iteration), the prior lives host-side, and LAPACK f64 eigh is
     robust where TPU's emulated-f64 eigh returns NaN on the ill-conditioned
     information matrices real GNSS windows produce (diag spans 0..1e12).
+
+    ``return_info=True`` additionally returns the information form
+    (H*, g*) — free here, and it lets the prior skip the JᵀJ matmul at
+    every subsequent solve (MargPrior.H0).
     """
     H_star, g_star = masked_schur_np(H, g, marg_mask)
-    return prior_from_hessian_np(H_star, g_star, eig_eps)
+    J0, r0 = prior_from_hessian_np(H_star, g_star, eig_eps)
+    if return_info:
+        return J0, r0, H_star, g_star
+    return J0, r0
 
 
 def prior_from_hessian_np(H_star, g_star, eig_eps=1e-8):

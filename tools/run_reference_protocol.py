@@ -105,12 +105,16 @@ def build_config(mode, sim, args):
     rig (anchor/extrinsics) — the protocol under test is the data path and
     mode matrix, not the authors' physical site."""
     q_ic = np.asarray(lie.rot_to_quat(jnp.asarray(sim.cfg.r_ic)))
+    # capacities sized to the protocol constellation (14 sats x 3 systems,
+    # single freq): per-kind window rows <= 14*11 = 154, chain rows per
+    # condensed run ~40-90.  Oversized caps cost replay time linearly in
+    # the row evaluators (2-core host).
     cfg = load_reference_config(
         str(REF_YAML / MODES[mode]),
-        nf=11, nl=args.nl, nb=48,
+        nf=11, nl=args.nl, nb=32,
         max_obs=args.max_obs, imu_capacity=64,
-        max_gnss_pr=384, max_gnss_cp=384, max_gnss_dopp=384,
-        chain_cap=args.chain_cap, max_chain_rows=512,
+        max_gnss_pr=192, max_gnss_cp=192, max_gnss_dopp=192,
+        chain_cap=args.chain_cap, max_chain_rows=256,
         anchor_ecef=sim.anchor_ecef, enu_to_ecef=sim.enu_to_ecef,
         tic=np.tile(sim.cfg.t_ic, (2, 1)), qic=np.tile(q_ic, (2, 1)),
         pbg=np.zeros(3),
@@ -194,7 +198,10 @@ def main():
     ap.add_argument("--sats", type=int, default=14)
     ap.add_argument("--nl", type=int, default=96)
     ap.add_argument("--max-obs", type=int, default=768)
-    ap.add_argument("--chain-cap", type=int, default=16)
+    # cap 8: chains past 8 leaves truncate into the frozen mid-marginal
+    # (MiddleMargGnssFrame semantics) — halving the sequential per-leaf
+    # scans cut replay 365 -> 214 ms/frame on the 2-core host
+    ap.add_argument("--chain-cap", type=int, default=8)
     ap.add_argument("--average-imu", type=int, default=400)
     ap.add_argument("--yaw0", type=float, default=25.0)
     ap.add_argument("--offset", type=float, default=120.0,
