@@ -39,7 +39,7 @@ from ..ops import lie
 from ..preintegration import preintegrate
 from ..solver import (DoglegConfig, assemble, dogleg_solve, masked_cov_cols)
 from ..solver.chain_factors import (ChainHidden, ChainRows, ChainStatic,
-                                    chain_contrib, chain_retract,
+                                    chain_contrib, chain_retract_aux,
                                     empty_chain_mid, _gnss_row_eval)
 from ..solver.structured import projection_assemble
 from .problems import IMU_NOISE
@@ -395,9 +395,10 @@ def _solve_one_rtk(prob: RTKWindowProblem, lay: TangentLayout,
             prob.obs_xy, prob.obs_valid, pbg)
         H, g, cost = projection_assemble(lay, prob.f_ids, cam_ids,
                                          prob.l_ids, b_proj.res, b_proj.jac)
-        # chains: one 30+nb block per chain, psum-reducible across shards
-        Hb, gb, gidx, ccost = chain_contrib(
-            win, hid, prob.st, lay, R_e, pbg, g_world, cap)
+        # chains: one 30+nb block per chain, psum-reducible across shards;
+        # the linearization aux is threaded to the retraction (no rebuild)
+        Hb, gb, gidx, ccost, aux = chain_contrib(
+            win, hid, prob.st, lay, R_e, pbg, g_world, cap, want_aux=True)
         H = H.at[gidx[:, :, None], gidx[:, None, :]].add(Hb)
         g = g.at[gidx].add(gb)
         cost = cost + ccost
@@ -415,16 +416,15 @@ def _solve_one_rtk(prob: RTKWindowProblem, lay: TangentLayout,
         ]
         Hg, gg, cg = assemble(batches, lay.dim)
         Hp, gp, cp = prior_contrib(win)
-        return H + Hg + Hp, g + gg + gp, cost + cg + cp
+        return H + Hg + Hp, g + gg + gp, cost + cg + cp, aux
 
-    def retract_fn(comp, dx):
+    def retract_fn(comp, dx, aux):
         win, hid = comp
-        h2 = chain_retract(win, hid, prob.st, dx, lay, R_e, pbg, g_world,
-                           cap)
+        h2 = chain_retract_aux(hid, prob.st, dx, aux, lay, cap)
         return (retract_window(win, dx), h2)
 
     res = dogleg_solve(eval_fn, retract_fn, (prob.state0, prob.hid0),
-                       prob.free_mask, cfg)
+                       prob.free_mask, cfg, has_aux=True)
     # ambiguity tail covariance for LAMBDA, from the final Hessian
     X = masked_cov_cols(res.H, prob.free_mask, prob.cov_cols)
     win, hid = res.state

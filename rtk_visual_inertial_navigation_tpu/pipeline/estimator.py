@@ -40,7 +40,7 @@ from ..ops import lie, lie_np
 from ..preintegration import ImuNoise, Preintegrated, preintegrate
 from ..solver import (DoglegConfig, assemble, dogleg_solve,
                       marginalize_dense_np, prior_from_hessian_np)
-from ..solver.chain_factors import chain_contrib, chain_retract
+from ..solver.chain_factors import chain_contrib, chain_retract_aux
 from ..solver.structured import projection_assemble
 from .chains import (ChainRecord, chain_device_inputs, merge_rows,
                      prepared_to_chain_rows, splice_records,
@@ -1276,21 +1276,21 @@ class Estimator:
                     win, h = comp
                     H, g, cost = hg(win, pre_stack, pre_valid, vis,
                                     b_pr, b_cp, b_dopp, mag_f, mag_m, mag_v)
-                    Hb, gb, gidx, ccost = chain_contrib(
-                        win, h, st, lay, R_e, pbg, g_world, cap)
+                    Hb, gb, gidx, ccost, aux = chain_contrib(
+                        win, h, st, lay, R_e, pbg, g_world, cap,
+                        want_aux=True)
                     H = H.at[gidx[:, :, None], gidx[:, None, :]].add(Hb)
                     g = g.at[gidx].add(gb)
                     Hp, gp, cp = prior_contrib(win)
-                    return H + Hp, g + gp, cost + cp + ccost
+                    return H + Hp, g + gp, cost + cp + ccost, aux
 
-                def retract_fn(comp, dx):
+                def retract_fn(comp, dx, aux):
                     win, h = comp
-                    h2 = chain_retract(win, h, st, dx, lay, R_e, pbg,
-                                       g_world, cap)
+                    h2 = chain_retract_aux(h, st, dx, aux, lay, cap)
                     return (retract_window(win, dx), h2)
 
                 res = dogleg_solve(eval_fn, retract_fn, (state, hid), free,
-                                   dl_cfg)
+                                   dl_cfg, has_aux=True)
                 if cov_cols is None:
                     return res, None
                 return res, _masked_cov_cols(res.H, free, cov_cols)

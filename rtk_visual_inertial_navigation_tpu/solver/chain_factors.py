@@ -191,24 +191,57 @@ def _epoch_unaries(hid: ChainHidden, phase_bias, rows: ChainRows, R_e,
     res = res * vm[:, None]
     jac = jac * vm[:, None, None]
 
-    # per-row scatter indices into the per-state S-dim tangent
-    # [p(0:3) v(6:9)] live inside the 15-dim state block; clk at D+slot;
-    # N at D+NCLK+pb_slot
-    zero3 = jnp.arange(3, dtype=jnp.int32)
-    idx = jnp.concatenate([
-        jnp.broadcast_to(zero3, rows.kind.shape + (3,)),
-        jnp.broadcast_to(zero3 + 6, rows.kind.shape + (3,)),
-        (D + rows.clk_slot)[:, None],
-        (D + NCLK + rows.pb_slot)[:, None],
-    ], axis=-1)                                   # (CR, 8)
+    # Per-row compact tangent is [dp(3), dv(3), dclk(1), dN(1)]; the state
+    # part always lands at the SAME slots [0:3, 6:9] of the 15-dim block —
+    # only (state, clk_slot, pb_slot) vary.  Assemble via one-hot segment
+    # matmuls + static block placement instead of a (CR, 8, 8) scatter-add
+    # into (m, S, S): the scatter was 123 of the 151 ms chain cost per
+    # iteration on TPU (round-3 profile).
     si = jnp.clip(rows.state_idx - 1, 0, m - 1)
+    J = jac[:, 0, :]                               # (CR, 8)
+    r = res[:, 0]                                  # (CR,)
+    Js = J[:, 0:6]                                 # dp, dv
+    Jc = J[:, 6]                                   # clk
+    Jn = J[:, 7]                                   # N
+    O_s = jax.nn.one_hot(si, m, dtype=dtype)                   # (CR, m)
+    O_n = jax.nn.one_hot(rows.pb_slot, dn, dtype=dtype)        # (CR, dn)
+    O_sc = jax.nn.one_hot(si * NCLK + rows.clk_slot, m * NCLK,
+                          dtype=dtype)                         # (CR, 13m)
+    O_sn = jnp.einsum("bs,bn->bsn", O_s, O_n).reshape(-1, m * dn)
 
-    JJ = jnp.einsum("bri,brj->bij", jac, jac)     # (CR, 8, 8)
-    Jr = jnp.einsum("bri,br->bi", jac, res)       # (CR, 8)
+    Hss = jnp.einsum("bs,bi,bj->sij", O_s, Js, Js)             # (m,6,6)
+    Hsc = jnp.einsum("bk,bi->ki", O_sc * Jc[:, None], Js) \
+        .reshape(m, NCLK, 6)                                   # (m,13,6)
+    Hsn = jnp.einsum("bk,bi->ki", O_sn * Jn[:, None], Js) \
+        .reshape(m, dn, 6)                                     # (m,dn,6)
+    Hcc = (O_sc * (Jc * Jc)[:, None]).sum(0).reshape(m, NCLK)
+    Hnn = (O_sn * (Jn * Jn)[:, None]).sum(0).reshape(m, dn)
+    Hcn = jnp.einsum("bk,bp->kp", O_sc * (Jc * Jn)[:, None], O_n) \
+        .reshape(m, NCLK, dn)
+    gs = jnp.einsum("bs,bi->si", O_s * r[:, None], Js)         # (m,6)
+    gc = (O_sc * (Jc * r)[:, None]).sum(0).reshape(m, NCLK)
+    gn = (O_sn * (Jn * r)[:, None]).sum(0).reshape(m, dn)
+
+    sidx = jnp.asarray([0, 1, 2, 6, 7, 8], dtype=jnp.int32)
+    ckd = D + jnp.arange(NCLK, dtype=jnp.int32)
+    nnd = D + NCLK + jnp.arange(dn, dtype=jnp.int32)
     H = jnp.zeros((m, S, S), dtype)
+    H = H.at[:, sidx[:, None], sidx[None, :]].add(Hss)
+    H = H.at[:, sidx[:, None], ckd[None, :]].add(
+        Hsc.transpose(0, 2, 1))
+    H = H.at[:, ckd[:, None], sidx[None, :]].add(Hsc)
+    H = H.at[:, sidx[:, None], nnd[None, :]].add(
+        Hsn.transpose(0, 2, 1))
+    H = H.at[:, nnd[:, None], sidx[None, :]].add(Hsn)
+    H = H.at[:, ckd, ckd].add(Hcc)
+    H = H.at[:, ckd[:, None], nnd[None, :]].add(Hcn)
+    H = H.at[:, nnd[:, None], ckd[None, :]].add(
+        Hcn.transpose(0, 2, 1))
+    H = H.at[:, nnd, nnd].add(Hnn)
     g = jnp.zeros((m, S), dtype)
-    H = H.at[si[:, None, None], idx[:, :, None], idx[:, None, :]].add(JJ)
-    g = g.at[si[:, None], idx].add(Jr)
+    g = g.at[:, sidx].add(gs)
+    g = g.at[:, ckd].add(gc)
+    g = g.at[:, nnd].add(gn)
     cost = 0.5 * jnp.sum(res * res)
 
     # eliminate the NCLK clock slots (diagonal block: every row touches
@@ -325,17 +358,22 @@ def _apply_mid(leaves: ChainTailElem, seq, phase_bias, st: ChainStatic, am):
 
 
 def chain_contrib(win: WindowState, hids: ChainHidden, sts: ChainStatic,
-                  lay, R_e, pbg, g_world, cap: int):
+                  lay, R_e, pbg, g_world, cap: int, want_aux: bool = False):
     """Condensed contribution of ALL chains (batched leading dim NCH).
 
     Returns (H_blocks (NCH, 30+dn, 30+dn), g_blocks (NCH, 30+dn),
     gidx (NCH, 30+dn), cost) to scatter-add into the outer dense system.
+
+    ``want_aux=True`` additionally returns the per-chain linearization
+    (leaves, clock elimination data) so the retraction of a step from the
+    SAME state can back-substitute without rebuilding it (the rebuild was
+    ~half the per-iteration chain cost on TPU).
     """
     dn = lay.nb
 
     def one(hid, st):
-        leaves, _, cost = chain_leaves(win, hid, st, R_e, pbg, g_world,
-                                       cap, dn)
+        leaves, clk_aux, cost = chain_leaves(win, hid, st, R_e, pbg,
+                                             g_world, cap, dn)
         c = condense_chain_tail(leaves, st.n_leaves)
         am = st.active.astype(c.Hii.dtype)
         Hb = jnp.block([
@@ -343,9 +381,9 @@ def chain_contrib(win: WindowState, hids: ChainHidden, sts: ChainStatic,
             [c.Hij.T, c.Hjj, c.HjN],
             [c.HiN.T, c.HjN.T, c.HNN]]) * am
         gb = -jnp.concatenate([c.bi, c.bj, c.bN]) * am
-        return Hb, gb, cost
+        return Hb, gb, cost, leaves, clk_aux
 
-    Hb, gb, cost = jax.vmap(one)(hids, sts)
+    Hb, gb, cost, leaves, clk_aux = jax.vmap(one)(hids, sts)
     d_off = jnp.arange(D, dtype=jnp.int32)
     gidx = jnp.concatenate([
         (lay.frame_off + D * sts.left)[:, None] + d_off[None, :],
@@ -353,20 +391,24 @@ def chain_contrib(win: WindowState, hids: ChainHidden, sts: ChainStatic,
         jnp.broadcast_to(lay.pb_off + jnp.arange(dn, dtype=jnp.int32),
                          (Hb.shape[0], dn)),
     ], axis=-1)
+    if want_aux:
+        return Hb, gb, gidx, jnp.sum(cost), (leaves, clk_aux)
     return Hb, gb, gidx, jnp.sum(cost)
 
 
-def chain_retract(win: WindowState, hids: ChainHidden, sts: ChainStatic,
-                  dx, lay, R_e, pbg, g_world, cap: int) -> ChainHidden:
+def chain_retract_aux(hids: ChainHidden, sts: ChainStatic, dx, aux,
+                      lay, cap: int) -> ChainHidden:
     """Back-substitute hidden states + clocks given the outer step ``dx``
-    (UpdateHiddenState semantics)."""
+    (UpdateHiddenState semantics), reusing the linearization ``aux`` =
+    (leaves, clk_aux) produced by ``chain_contrib(want_aux=True)`` at the
+    same state the step originates from."""
+    leaves_b, clk_b = aux
     dn = lay.nb
     d_off = jnp.arange(D, dtype=jnp.int32)
     dx_N = jax.lax.dynamic_slice(dx, (lay.pb_off,), (dn,))
 
-    def one(hid, st):
-        leaves, (w_c, cols, g_c), _ = chain_leaves(
-            win, hid, st, R_e, pbg, g_world, cap, dn)
+    def one(hid, st, leaves, clk_aux):
+        w_c, cols, g_c = clk_aux
         dx_i = dx[lay.frame_off + D * st.left + d_off]
         dx_j = dx[lay.frame_off + D * st.right + d_off]
         interior = solve_chain_interior(leaves, st.n_leaves, dx_i, dx_j,
@@ -386,4 +428,19 @@ def chain_retract(win: WindowState, hids: ChainHidden, sts: ChainStatic,
             clk=hid.clk + dclk,
         )
 
-    return jax.vmap(one)(hids, sts)
+    return jax.vmap(one)(hids, sts, leaves_b, clk_b)
+
+
+def chain_retract(win: WindowState, hids: ChainHidden, sts: ChainStatic,
+                  dx, lay, R_e, pbg, g_world, cap: int) -> ChainHidden:
+    """As chain_retract_aux, but rebuilds the linearization (standalone
+    callers / tests; the solve loops thread aux instead)."""
+    dn = lay.nb
+
+    def one(hid, st):
+        leaves, clk_aux, _ = chain_leaves(
+            win, hid, st, R_e, pbg, g_world, cap, dn)
+        return leaves, clk_aux
+
+    leaves_b, clk_b = jax.vmap(one)(hids, sts)
+    return chain_retract_aux(hids, sts, dx, (leaves_b, clk_b), lay, cap)

@@ -269,28 +269,45 @@ def _dogleg_step(H, g, radius, schur_nl: int = 0, reduced_keep: tuple = (),
 
 
 def dogleg_solve(eval_fn: Callable, retract_fn: Callable, state0,
-                 free_mask, cfg: DoglegConfig = DoglegConfig()):
+                 free_mask, cfg: DoglegConfig = DoglegConfig(),
+                 has_aux: bool = False):
     """Minimize ½|r(x)|² with dogleg trust region.
 
     Args:
-      eval_fn: state -> (H, g, cost) — full relinearization.
-      retract_fn: (state, dx) -> state.
+      eval_fn: state -> (H, g, cost) — full relinearization.  With
+        ``has_aux=True``: state -> (H, g, cost, aux), where ``aux`` is a
+        linearization byproduct (e.g. condensed chain leaves) the
+        retraction can reuse: retracting a step FROM state x needs the
+        linearization AT x, which eval_fn computed one half-iteration
+        earlier — recomputing it inside retract_fn doubled the chain cost
+        of every iteration (round-3 TPU profile: 146 + 149 ms).
+      retract_fn: (state, dx) -> state, or (state, dx, aux) -> state.
       state0: initial state pytree.
       free_mask: (D,) bool — which tangent entries may move.
 
     Returns SolveResult with the final (H, g) evaluated at the final state
     (useful for covariance extraction / marginalization without re-eval).
     """
-    H0, g0, cost0 = eval_fn(state0)
+    if has_aux:
+        H0, g0, cost0, aux0 = eval_fn(state0)
+    else:
+        H0, g0, cost0 = eval_fn(state0)
+        aux0 = ()
 
-    def body(carry: SolveResult):
-        state, H, g, cost, radius, n_acc = carry
+    def body(carry):
+        res_c, aux = carry
+        state, H, g, cost, radius, n_acc = res_c
         Hm, gm, _ = apply_free_mask(H, g, free_mask)
         p = _dogleg_step(Hm, gm, radius, cfg.schur_nl, cfg.reduced_keep,
                          cfg.step_dtype)
         pred = -(gm @ p + 0.5 * p @ (Hm @ p))
-        cand = retract_fn(state, p)
-        Hc, gc, costc = eval_fn(cand)
+        if has_aux:
+            cand = retract_fn(state, p, aux)
+            Hc, gc, costc, auxc = eval_fn(cand)
+        else:
+            cand = retract_fn(state, p)
+            Hc, gc, costc = eval_fn(cand)
+            auxc = ()
         actual = cost - costc
         rho = actual / jnp.maximum(pred, 1e-300)
         accept = (actual > 0) & (pred > 0)
@@ -298,6 +315,7 @@ def dogleg_solve(eval_fn: Callable, retract_fn: Callable, state0,
         sel = lambda a, b: jax.tree.map(
             lambda x, y: jnp.where(accept, x, y), a, b)
         state = sel(cand, state)
+        aux = sel(auxc, aux)
         H = jnp.where(accept, Hc, H)
         g = jnp.where(accept, gc, g)
         cost = jnp.where(accept, costc, cost)
@@ -319,12 +337,13 @@ def dogleg_solve(eval_fn: Callable, retract_fn: Callable, state0,
                 | (pred <= cfg.f_tol * cost)
         else:
             converged = jnp.asarray(False)
-        return SolveResult(state, H, g, cost, radius,
-                           n_acc + accept.astype(jnp.int32)), converged
+        res_c = SolveResult(state, H, g, cost, radius,
+                            n_acc + accept.astype(jnp.int32))
+        return (res_c, aux), converged
 
-    init = SolveResult(state0, H0, g0, cost0,
-                       jnp.asarray(cfg.initial_radius, cost0.dtype),
-                       jnp.zeros((), jnp.int32))
+    init = (SolveResult(state0, H0, g0, cost0,
+                        jnp.asarray(cfg.initial_radius, cost0.dtype),
+                        jnp.zeros((), jnp.int32)), aux0)
     if cfg.f_tol > 0:
         # early-exit loop: stop after max_iters or once an accepted step's
         # decrease drops below function_tolerance (ceres semantics) —
@@ -338,10 +357,10 @@ def dogleg_solve(eval_fn: Callable, retract_fn: Callable, state0,
             carry, converged = body(carry)
             return carry, it + 1, converged
 
-        out, _, _ = jax.lax.while_loop(
+        (out, _), _, _ = jax.lax.while_loop(
             cond, wbody, (init, jnp.zeros((), jnp.int32),
                           jnp.asarray(False)))
         return out
-    out = jax.lax.fori_loop(0, cfg.max_iters,
-                            lambda _, c: body(c)[0], init)
+    out, _ = jax.lax.fori_loop(0, cfg.max_iters,
+                               lambda _, c: body(c)[0], init)
     return out

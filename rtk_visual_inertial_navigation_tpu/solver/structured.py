@@ -56,18 +56,20 @@ def projection_assemble(lay: TangentLayout, f_ids, cam_ids, l_ids, res, jac):
     Of = _one_hot(f_ids, nf, dtype)                    # (B, nf)
     Ol = _one_hot(l_ids, nl, dtype)                    # (B, nl)
     Oc = _one_hot(cam_ids, nc, dtype)                  # (B, nc)
-    Ofl = _one_hot(f_ids * nl + l_ids, nf * nl, dtype)
-    Ofc = _one_hot(f_ids * nc + cam_ids, nf * nc, dtype)
-    Olc = _one_hot(l_ids * nc + cam_ids, nl * nc, dtype)
 
     seg = lambda O, x: jnp.einsum("bs,b...->s...", O, x)
+    # pair-grid segment sums as TWO-one-hot contractions: a flat one-hot
+    # over nf*nl pairs is (B, 3872) — 1.4 GB of HBM traffic per eval at
+    # bench scale (the round-3 TPU profile's dominant cost); contracting
+    # Ofᵀ·diag·Ol instead rides the MXU at (nf, B)@(B, nl) shapes
+    seg2 = lambda Oa, Ob, x: jnp.einsum("ba,bc,b...->ac...", Oa, Ob, x)
 
     PP = seg(Of, pp)                                   # (nf,6,6)
     LL = seg(Ol, ll)                                   # (nl,3,3)
     EE = seg(Oc, ee)                                   # (nc,6,6)
-    PL = seg(Ofl, pl).reshape(nf, nl, 6, 3)
-    PE = seg(Ofc, pe).reshape(nf, nc, 6, 6)
-    LE = seg(Olc, el).reshape(nl, nc, 6, 3)            # ext(6) x lm(3) blocks
+    PL = seg2(Of, Ol, pl)                              # (nf,nl,6,3)
+    PE = seg2(Of, Oc, pe)                              # (nf,nc,6,6)
+    LE = seg2(Ol, Oc, el)                              # (nl,nc,6,3)
     GP = seg(Of, gp)                                   # (nf,6)
     GL = seg(Ol, gl)                                   # (nl,3)
     GE = seg(Oc, ge)                                   # (nc,6)

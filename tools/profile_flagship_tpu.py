@@ -1,0 +1,205 @@
+#!/usr/bin/env python
+"""Component-level timing of the flagship solve at bench scale on TPU.
+
+Times (via host-sync on a tiny slice, since block_until_ready does not
+synchronize through the axon tunnel): full solve, 1-iteration solve,
+one eval_fn pass, the Schur GN step, the chain contribution, the
+projection assembly, and the tail-covariance export.
+"""
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_default_matmul_precision", "highest")
+import jax.numpy as jnp
+import numpy as np
+
+from rtk_visual_inertial_navigation_tpu.core.state import TangentLayout
+from rtk_visual_inertial_navigation_tpu.factors.priors import MargPrior
+from rtk_visual_inertial_navigation_tpu.factors.visual import \
+    projection_factor_batch
+from rtk_visual_inertial_navigation_tpu.parallel.problems_gnss import (
+    _anchor_frame, _solve_one_rtk, make_synthetic_rtk_windows)
+from rtk_visual_inertial_navigation_tpu.solver import (DoglegConfig,
+                                                       masked_cov_cols)
+from rtk_visual_inertial_navigation_tpu.solver.chain_factors import \
+    chain_contrib
+from rtk_visual_inertial_navigation_tpu.solver.gauss_newton import \
+    _gn_step_schur
+from rtk_visual_inertial_navigation_tpu.solver.structured import \
+    projection_assemble
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+nf, nl, nobs, nsamp, cap, ns, nb = 11, 352, 2816, 8, 11, 14, 16
+dtype = jnp.float32
+lay = TangentLayout(nf=nf, nl=nl, nb=nb, nc=2)
+
+print(f"backend={jax.default_backend()} B={B}")
+probs = make_synthetic_rtk_windows(
+    jax.random.PRNGKey(0), B, nf=nf, nl=nl, nobs=nobs, nsamp=nsamp,
+    cap=cap, ns=ns, nb=nb, dtype=dtype)
+probs = jax.tree.map(jax.device_put, probs)
+_, R_e = _anchor_frame()
+R_e = R_e.astype(dtype)
+pbg = jnp.zeros(3, dtype)
+g_world = jnp.asarray([0.0, 0.0, 9.81], dtype)
+
+
+def sync(x):
+    # transfer ONE SCALAR: np.asarray of a big leaf would drag hundreds of
+    # MB through the tunnel and dominate the measurement
+    leaf = jax.tree.leaves(x)[0]
+    while getattr(leaf, "ndim", 0) > 0:
+        leaf = leaf[0]
+    np.asarray(leaf)
+
+
+def bench(name, fn, *args, reps=3):
+    out = fn(*args)
+    sync(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(*args)
+    sync(out)
+    dt = (time.time() - t0) / reps
+    print(f"{name:34s} {1000*dt:9.1f} ms")
+    return out
+
+
+# full solve at max_iters=8 and 1
+for iters in (8, 1):
+    cfg = DoglegConfig(max_iters=iters, schur_nl=nl)
+    fn = jax.jit(jax.vmap(lambda p: _solve_one_rtk(p, lay, cfg, cap)))
+    bench(f"full solve (iters={iters})", fn, probs)
+
+p0 = probs
+
+
+def eval_fn(probs):
+    def one(prob):
+        win, hid = prob.state0, prob.hid0
+        cam_ids = jnp.zeros_like(prob.f_ids)
+        b_proj = projection_factor_batch(
+            win, prob.f_ids, cam_ids, prob.l_ids, prob.obs_xy,
+            prob.obs_valid, pbg)
+        H, g, cost = projection_assemble(lay, prob.f_ids, cam_ids,
+                                         prob.l_ids, b_proj.res, b_proj.jac)
+        Hb, gb, gidx, ccost = chain_contrib(win, hid, prob.st, lay, R_e,
+                                            pbg, g_world, cap)
+        H = H.at[gidx[:, :, None], gidx[:, None, :]].add(Hb)
+        return H, g + gb.sum() * 0, cost + ccost
+    return jax.vmap(one)(probs)
+
+
+H, g, _ = bench("eval: proj+chain+scatter", jax.jit(eval_fn), probs)
+
+
+def proj_only(probs):
+    def one(prob):
+        win = prob.state0
+        cam_ids = jnp.zeros_like(prob.f_ids)
+        b_proj = projection_factor_batch(
+            win, prob.f_ids, cam_ids, prob.l_ids, prob.obs_xy,
+            prob.obs_valid, pbg)
+        return projection_assemble(lay, prob.f_ids, cam_ids, prob.l_ids,
+                                   b_proj.res, b_proj.jac)
+    return jax.vmap(one)(probs)
+
+
+bench("eval: projection assemble only", jax.jit(proj_only), probs)
+
+
+def chain_only(probs):
+    def one(prob):
+        return chain_contrib(prob.state0, prob.hid0, prob.st, lay, R_e,
+                             pbg, g_world, cap)
+    return jax.vmap(one)(probs)
+
+
+bench("eval: chain_contrib only", jax.jit(chain_only), probs)
+
+
+def unaries_only(probs):
+    from rtk_visual_inertial_navigation_tpu.solver.chain_factors import \
+        _epoch_unaries
+
+    def one(prob):
+        def per_chain(hid, st):
+            return _epoch_unaries(hid, prob.state0.phase_bias, st.rows,
+                                  R_e, cap, nb)
+        return jax.vmap(per_chain)(prob.hid0, prob.st)
+    return jax.vmap(one)(probs)
+
+
+bench("chain: epoch unaries (rows)", jax.jit(unaries_only), probs)
+
+
+def imu_blocks_only(probs):
+    from rtk_visual_inertial_navigation_tpu.solver.chain_factors import (
+        _gather_seq, _imu_pair_blocks)
+
+    def one(prob):
+        def per_chain(hid, st):
+            seq = _gather_seq(prob.state0, hid, st, cap)
+            return _imu_pair_blocks(seq, st, pbg, g_world, cap)
+        return jax.vmap(per_chain)(prob.hid0, prob.st)
+    return jax.vmap(one)(probs)
+
+
+bench("chain: imu pair blocks", jax.jit(imu_blocks_only), probs)
+
+
+def condense_only(probs):
+    from rtk_visual_inertial_navigation_tpu.solver.chain import \
+        condense_chain_tail
+    from rtk_visual_inertial_navigation_tpu.solver.chain_factors import \
+        chain_leaves
+
+    def one(prob):
+        def per_chain(hid, st):
+            leaves, _, _ = chain_leaves(prob.state0, hid, st, R_e, pbg,
+                                        g_world, cap, nb)
+            return condense_chain_tail(leaves, st.n_leaves)
+        return jax.vmap(per_chain)(prob.hid0, prob.st)
+    return jax.vmap(one)(probs)
+
+
+bench("chain: leaves+condense", jax.jit(condense_only), probs)
+
+
+def retract_only(probs):
+    from rtk_visual_inertial_navigation_tpu.solver.chain_factors import \
+        chain_retract
+
+    def one(prob):
+        dx = jnp.zeros((lay.dim,), dtype)
+        return chain_retract(prob.state0, prob.hid0, prob.st, dx, lay,
+                             R_e, pbg, g_world, cap)
+    return jax.vmap(one)(probs)
+
+
+bench("retract: chain back-subst", jax.jit(retract_only), probs)
+
+Hs = H + jnp.eye(lay.dim, dtype=dtype) * 1.0
+gs = g + 1e-3
+
+
+def schur_step(Hs, gs):
+    return jax.vmap(lambda h, gg: _gn_step_schur(h, gg, nl))(Hs, gs)
+
+
+bench("GN step: schur (batched)", jax.jit(schur_step), Hs, gs)
+
+
+def cov_export(Hs):
+    free = probs.free_mask
+    return jax.vmap(lambda h, f, c: masked_cov_cols(h, f, c))(
+        Hs, free, probs.cov_cols)
+
+
+bench("tail covariance export", jax.jit(cov_export), Hs)
