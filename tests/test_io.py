@@ -14,6 +14,7 @@ def test_result_writer_schema(tmp_path):
     w = ResultWriter(str(p))
     w.write(t=1.5, p=[1, 2, 3], q=[1, 0, 0, 0], v=[0.1, 0.2, 0.3],
             ba=[0, 0, 0], bg=[0, 0, 0], rtk_fix=1, havegps=1)
+    w.flush()   # rows are buffered until flush/close (round-3 writer)
     lines = p.read_text().strip().split("\n")
     assert lines[0] == HEADER
     vals = lines[1].split(",")
@@ -29,6 +30,7 @@ def test_writer_readable_by_pandas_like_reference(tmp_path):
     for k in range(5):
         w.write(t=k * 0.0025, p=[k, 0, 0], q=[1, 0, 0, 0], v=[0, 0, 0],
                 ba=[0, 0, 0], bg=[0, 0, 0])
+    w.flush()
     df = pd.read_csv(p)
     # the reference's evaluate.py consumes these exact columns
     for col in ("time", "px", "py", "pz", "yaw", "pitch", "roll"):
