@@ -68,6 +68,11 @@ class EstimatorConfig:
     # first observing frame; USE_STEREO adds right-camera observations
     use_inverse_depth: bool = False
     use_stereo: bool = False
+    # robust loss on visual factors: ceres::CauchyLoss(a) scale — applied
+    # in the solve AND marginalization, matching the reference
+    # (rvi/swf/swf_image.cpp:80-102, marginalization_factor.cpp:23-45).
+    # 0 disables (pure least squares).
+    cauchy_loss: float = 1.0
 
     # frontend
     min_triangulation_parallax: float = 0.02   # unit-plane

@@ -1,0 +1,53 @@
+"""Robust loss corrector for batched factors (ceres CauchyLoss parity).
+
+The reference wraps every visual projection factor in
+``ceres::CauchyLoss(1.0)`` — in the window solve AND inside
+marginalization (rvi/swf/swf_image.cpp:80-102, rvi/swf/swf_core.cpp:315-341,
+rvi/factor/marginalization_factor.cpp:23-45).
+
+Ceres' Corrector (corrector.cc) takes its simple branch whenever
+``rho'' <= 0`` — which is ALWAYS true for the Cauchy loss — so the exact
+reference behavior is the IRLS square-root rescale, with no rank-1 Triggs
+term:
+
+    s   = |r|²,  ρ(s) = a² log(1 + s/a²),  ρ' = 1 / (1 + s/a²)
+    r̃  = √ρ' · r,   J̃ = √ρ' · J
+
+This makes H = Σ J̃ᵀJ̃ = Σ ρ'·JᵀJ (PSD) and g = Σ J̃ᵀr̃ = Σ ρ'·Jᵀr — the
+exact gradient of ½Σρ(sᵢ).  The COST, however, is ½Σρ(s), not ½Σ|r̃|²;
+callers that accumulate cost from corrected residuals must add the
+returned ``cost_delta`` so the dogleg accept/reject ratio sees the true
+robust objective (ceres evaluates ρ(s) directly).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def cauchy_correct(res, jac, a: float = 1.0):
+    """Apply the Cauchy(a) corrector to a whitened factor batch.
+
+    Args:
+      res: (B, R) whitened residuals (masked rows already zeroed — they
+        have s = 0, ρ' = 1, and are untouched).
+      jac: (B, R, T) whitened jacobians.
+      a: Cauchy scale (the reference uses 1.0 on whitened pixels).
+
+    Returns (res~, jac~, cost_delta) with
+      cost_delta = Σᵢ ½(ρ(sᵢ) − ρ'(sᵢ)·sᵢ)  — add to ½Σ|r̃|² to get ½Σρ(s).
+    """
+    a2 = a * a
+    s = jnp.sum(res * res, axis=-1)
+    rho1 = 1.0 / (1.0 + s / a2)
+    w = jnp.sqrt(rho1)
+    rho = a2 * jnp.log1p(s / a2)
+    cost_delta = 0.5 * jnp.sum(rho - rho1 * s)
+    return res * w[:, None], jac * w[:, None, None], cost_delta
+
+
+def cauchy_cost(res, a: float = 1.0):
+    """½Σρ(|rᵢ|²) — the true robust cost of uncorrected residuals."""
+    a2 = a * a
+    s = jnp.sum(res * res, axis=-1)
+    return 0.5 * jnp.sum(a2 * jnp.log1p(s / a2))

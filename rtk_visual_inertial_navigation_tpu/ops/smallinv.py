@@ -1,0 +1,119 @@
+"""Explicit SPD inverses for small static dimensions (d <= 32).
+
+Why this exists: XLA's Cholesky on TPU lowers to a custom-call plus
+triangular-solve custom-calls and pred[d,d] mask constants.  A round-4
+device trace of the flagship solve showed those custom-calls and their
+mask copy-starts consuming ~60 % of the entire 8-iteration solve — for
+15x15 factorizations batched thousands of ways (the IMU-GNSS chain monoid,
+solver/chain.py).  Tiny factorizations are latency-bound custom-call
+chains; the same math as a recursive 2x2 block-Schur inversion is a
+handful of BATCHED matmuls — pure XLA HLO that fuses and rides the MXU.
+
+    inv([[A, B], [Bᵀ, C]]) = [[A⁻¹ + W S⁻¹ Wᵀ, -W S⁻¹],
+                              [-S⁻¹ Wᵀ,         S⁻¹   ]]
+    with W = A⁻¹B,  S = C - Bᵀ W   (SPD Schur complement)
+
+Base cases are closed-form adjugate inverses (d <= 3).  Like unpivoted
+Cholesky, this is numerically fine for SPD inputs; callers pre-scale by
+1/sqrt(diag) (spd_solve_small) exactly as solver.marginalization.spd_solve
+does, and the dogleg loop NaN-guards degenerate steps.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _inv1(M):
+    return 1.0 / M
+
+
+def _inv2(M):
+    a = M[..., 0, 0]
+    b = M[..., 0, 1]
+    c = M[..., 1, 0]
+    d = M[..., 1, 1]
+    det = a * d - b * c
+    tiny = jnp.finfo(M.dtype).tiny
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < tiny, tiny, det)
+    row0 = jnp.stack([d, -b], axis=-1)
+    row1 = jnp.stack([-c, a], axis=-1)
+    return jnp.stack([row0, row1], axis=-2) * inv_det[..., None, None]
+
+
+def _inv3(M):
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    tiny = jnp.finfo(M.dtype).tiny
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < tiny, tiny, det)
+    adj = jnp.stack([
+        A, -(b * i - c * h), (b * f - c * e),
+        B, (a * i - c * g), -(a * f - c * d),
+        C, -(a * h - b * g), (a * e - b * d),
+    ], axis=-1).reshape(M.shape)
+    return adj * inv_det[..., None, None]
+
+
+def spd_inv_small(M):
+    """Explicit inverse of a batched SPD matrix with SMALL static last dims.
+
+    Pure matmul/elementwise HLO — no Cholesky/TriangularSolve custom-calls.
+    Intended for d <= ~32; cost grows O(d³) in matmul FLOPs (cheap) but
+    the op count grows ~linearly with recursion depth.
+    """
+    d = M.shape[-1]
+    if d == 1:
+        return _inv1(M)
+    if d == 2:
+        return _inv2(M)
+    if d == 3:
+        return _inv3(M)
+    k = (d + 1) // 2
+    A = M[..., :k, :k]
+    B = M[..., :k, k:]
+    C = M[..., k:, k:]
+    Ai = spd_inv_small(A)
+    W = Ai @ B                                     # (…, k, d-k)
+    S = C - jnp.swapaxes(B, -1, -2) @ W
+    Si = spd_inv_small(S)
+    WSi = W @ Si
+    TL = Ai + WSi @ jnp.swapaxes(W, -1, -2)
+    top = jnp.concatenate([TL, -WSi], axis=-1)
+    bot = jnp.concatenate([-jnp.swapaxes(WSi, -1, -2), Si], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def spd_solve_small(M, rhs, refine: int = 0):
+    """Jacobi-scaled explicit-inverse solve for small SPD systems.
+
+    Drop-in for solver.marginalization.spd_solve when the static dimension
+    is small.  ``refine``: optional iterative-refinement steps (residual
+    matvecs against M) for ill-conditioned f32 batches.
+
+    Leading batch dims are flattened to ONE before the recursion: the
+    TPU compiler SIGABRTs on the >5-D Pad ops the recursive concatenates
+    otherwise produce inside a vmapped associative scan (reproved on
+    (B, nch, w, 2, 15, 15) chain-monoid shapes).
+    """
+    batch = M.shape[:-2]
+    if len(batch) > 1:
+        Mf = M.reshape((-1,) + M.shape[-2:])
+        rf = rhs.reshape((-1,) + rhs.shape[len(batch):])
+        out = spd_solve_small(Mf, rf, refine)
+        return out.reshape(rhs.shape)
+    d_ = jnp.diagonal(M, axis1=-2, axis2=-1)
+    s = 1.0 / jnp.sqrt(jnp.maximum(d_, 1e-300))
+    Ms = M * s[..., :, None] * s[..., None, :]
+    r = rhs if rhs.ndim == M.ndim else rhs[..., None]
+    rs = s[..., :, None] * r
+    Mi = spd_inv_small(Ms)
+    x = Mi @ rs
+    for _ in range(refine):
+        x = x + Mi @ (rs - Ms @ x)
+    x = s[..., :, None] * x
+    return x if rhs.ndim == M.ndim else x[..., 0]

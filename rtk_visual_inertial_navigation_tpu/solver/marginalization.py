@@ -31,7 +31,21 @@ def spd_solve(M, rhs):
     matmuls in any dtype (and is ~2x cheaper anyway).  The 1/√diag
     pre-scaling keeps the factorization stable when the information matrix
     mixes ~1e11 projection weights with ~1e-9 jitter pivots.
+
+    SMALL systems (static d <= 16 — the chain monoid's 15x15 blocks) route
+    to a recursive block-Schur explicit inverse instead: XLA's Cholesky/
+    TriangularSolve custom-calls plus their pred[d,d] mask transfers
+    dominated the flagship solve on TPU (round-4 device trace: ~60 % of
+    the loop), while the explicit inverse is a handful of batched matmuls.
+    f32 gets one refinement pass (measured: recovers f64-class steps).
     """
+    if M.shape[-1] <= 16:
+        from ..ops.smallinv import spd_solve_small
+        # one refinement pass in every dtype: the explicit inverse alone
+        # is ~1e-8-relative in f64 (block-Schur squares the condition);
+        # one residual correction restores Cholesky-class accuracy for
+        # two cheap extra matmuls
+        return spd_solve_small(M, rhs, refine=1)
     d = jnp.diagonal(M, axis1=-2, axis2=-1)
     s = 1.0 / jnp.sqrt(jnp.maximum(d, 1e-300))
     Ms = M * s[..., :, None] * s[..., None, :]
@@ -215,7 +229,13 @@ def masked_cov_cols(H, free, cols):
     cols] — the tail-block covariance export of the ordered elimination
     (IntegerSolve's Qy = A⁻¹ over the exported Schur system, SURVEY.md
     §2.9/§3.4), computed on-device from the solve's final Hessian.
+
+    Block-structured Hessians (solver/block_hessian.BlockHess) dispatch to
+    their Schur-eliminated tail_cov (columns must lie in the reduced
+    region, which the ambiguity tail always does).
     """
+    if hasattr(H, "tail_cov"):
+        return H.tail_cov(free, cols)
     m = free & (jnp.diagonal(H) > 0)
     md = m.astype(H.dtype)
     Hm = H * md[:, None] * md[None, :] + jnp.diag(1.0 - md)

@@ -27,6 +27,103 @@ def _one_hot(ids, n, dtype):
     return jax.nn.one_hot(ids, n, dtype=dtype)
 
 
+def _proj_segments(lay: TangentLayout, f_ids, cam_ids, l_ids, res, jac):
+    """Shared segment-sum core: per-frame/landmark/ext Gram blocks via
+    one-hot matmuls (MXU-shaped; see module docstring)."""
+    dtype = res.dtype
+    nf, nl, nc = lay.nf, lay.nl, lay.nc
+    Jp = jac[:, :, 0:6]
+    Je = jac[:, :, 6:12]
+    Jl = jac[:, :, 12:15]
+
+    pp = jnp.einsum("bri,brj->bij", Jp, Jp)
+    pe = jnp.einsum("bri,brj->bij", Jp, Je)
+    pl = jnp.einsum("bri,brj->bij", Jp, Jl)
+    ee = jnp.einsum("bri,brj->bij", Je, Je)
+    el = jnp.einsum("bri,brj->bij", Je, Jl)
+    ll = jnp.einsum("bri,brj->bij", Jl, Jl)
+    gp = jnp.einsum("bri,br->bi", Jp, res)
+    ge = jnp.einsum("bri,br->bi", Je, res)
+    gl = jnp.einsum("bri,br->bi", Jl, res)
+
+    Of = _one_hot(f_ids, nf, dtype)
+    Ol = _one_hot(l_ids, nl, dtype)
+    Oc = _one_hot(cam_ids, nc, dtype)
+
+    seg = lambda O, x: jnp.einsum("bs,b...->s...", O, x)
+    # pair-grid segment sums as TWO-one-hot contractions: a flat one-hot
+    # over nf*nl pairs is (B, 3872) — 1.4 GB of HBM traffic per eval at
+    # bench scale; contracting Ofᵀ·diag·Ol rides the MXU
+    seg2 = lambda Oa, Ob, x: jnp.einsum("ba,bc,b...->ac...", Oa, Ob, x)
+
+    return dict(
+        PP=seg(Of, pp), LL=seg(Ol, ll), EE=seg(Oc, ee),
+        PL=seg2(Of, Ol, pl), PE=seg2(Of, Oc, pe), LE=seg2(Ol, Oc, el),
+        GP=seg(Of, gp), GL=seg(Ol, gl), GE=seg(Oc, ge))
+
+
+def projection_assemble_blocks(lay: TangentLayout, f_ids, cam_ids, l_ids,
+                               res, jac):
+    """(BlockHess, g, cost) for a projection batch — no dense (D, D).
+
+    Same segment sums as ``projection_assemble``; the blocks are placed
+    straight into the Schur-structured representation (Hll diagonal blocks,
+    Hlr grid, Hrr frame/ext diagonals) with static slice-adds.
+    """
+    from .block_hessian import BlockHess
+
+    dtype = res.dtype
+    nf, nl, nc = lay.nf, lay.nl, lay.nc
+    S = _proj_segments(lay, f_ids, cam_ids, l_ids, res, jac)
+
+    n3 = 3 * nl
+    Dr = lay.dim - n3
+    rfo = lay.frame_off - n3          # = 0: frames lead the reduced block
+    reo = lay.ext_off - n3
+
+    # landmark diagonal: direct
+    Hll = S["LL"]                                     # (nl,3,3)
+
+    # landmark-reduced coupling: (nl,3,Dr) via padded grids
+    PLg = jnp.zeros((nl, 3, nf, FRAME_DIM), dtype)
+    PLg = PLg.at[:, :, :, 0:6].set(S["PL"].transpose(1, 3, 0, 2))
+    LEg = jnp.zeros((nl, 3, nc, POSE_DIM), dtype)
+    LEg = LEg.at[:, :, :, 0:6].set(S["LE"].transpose(0, 3, 1, 2))
+    Hlr = jnp.zeros((nl, 3, Dr), dtype)
+    Hlr = Hlr.at[:, :, rfo:rfo + nf * FRAME_DIM].set(
+        PLg.reshape(nl, 3, nf * FRAME_DIM))
+    Hlr = Hlr.at[:, :, reo:reo + nc * POSE_DIM].set(
+        LEg.reshape(nl, 3, nc * POSE_DIM))
+
+    # reduced block: per-frame pose 6x6 + per-cam ext 6x6 + pose-ext grid
+    Hrr = jnp.zeros((Dr, Dr), dtype)
+    for f in range(nf):
+        i = rfo + FRAME_DIM * f
+        Hrr = Hrr.at[i:i + 6, i:i + 6].add(S["PP"][f])
+    for c in range(nc):
+        i = reo + POSE_DIM * c
+        Hrr = Hrr.at[i:i + 6, i:i + 6].add(S["EE"][c])
+    PEg = jnp.zeros((nf, FRAME_DIM, nc, POSE_DIM), dtype)
+    PEg = PEg.at[:, 0:6].set(S["PE"].transpose(0, 2, 1, 3))
+    block = PEg.reshape(nf * FRAME_DIM, nc * POSE_DIM)
+    Hrr = Hrr.at[rfo:rfo + nf * FRAME_DIM,
+                 reo:reo + nc * POSE_DIM].add(block)
+    Hrr = Hrr.at[reo:reo + nc * POSE_DIM,
+                 rfo:rfo + nf * FRAME_DIM].add(block.T)
+
+    g = jnp.zeros((lay.dim,), dtype)
+    g = g.at[0:n3].set(S["GL"].reshape(-1))
+    for f in range(nf):
+        i = lay.frame_off + FRAME_DIM * f
+        g = g.at[i:i + 6].add(S["GP"][f])
+    for c in range(nc):
+        i = lay.ext_off + POSE_DIM * c
+        g = g.at[i:i + 6].add(S["GE"][c])
+
+    cost = 0.5 * jnp.sum(res * res)
+    return BlockHess(Hll, Hlr, Hrr), g, cost
+
+
 def projection_assemble(lay: TangentLayout, f_ids, cam_ids, l_ids, res, jac):
     """(H, g, cost) for a projection FactorBatch without big scatters.
 

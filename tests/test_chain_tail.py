@@ -145,3 +145,39 @@ def test_tail_batched_vmap():
                                    atol=1e-9)
         np.testing.assert_allclose(np.asarray(o[1]), np.asarray(r2),
                                    atol=1e-9)
+
+
+def test_bidir_scan_matches_oracles():
+    """scan_chain_tail_bidir: prefix reproduces the condensation; the
+    per-state interior solve matches the dense block-tridiagonal oracle —
+    including chains SHORTER than capacity (padding must stay inert)."""
+    from rtk_visual_inertial_navigation_tpu.solver.chain import (
+        condensed_from_prefix, scan_chain_tail_bidir,
+        solve_chain_interior_bidir)
+
+    rng = np.random.default_rng(7)
+    cap = 9
+    for n in (3, 6, 9):          # n leaves (states n+1), short and full
+        leaves = random_tail_chain(rng, n + 1, 4, 3, cap=cap)
+        nl = jnp.asarray(n)
+        F, G = jax.jit(
+            lambda l, m: scan_chain_tail_bidir(l, m, cap))(leaves, nl)
+        # prefix condensation == the scan-based condensation
+        c_bidir = condensed_from_prefix(F, nl)
+        c_ref = condense_chain_tail(leaves, nl)
+        for a, b in zip(c_bidir, c_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-9)
+        # interior back-substitution == dense oracle on arbitrary endpoints
+        d, dn = 4, 3
+        xe = rng.normal(size=2 * d + dn)
+        ref = np.asarray(solve_chain_interior(
+            leaves, nl, jnp.asarray(xe[:d]), jnp.asarray(xe[d:2 * d]),
+            jnp.asarray(xe[2 * d:]), cap))
+        got = np.asarray(jax.jit(
+            lambda F_, G_, m, a, b, c: solve_chain_interior_bidir(
+                F_, G_, m, a, b, c, cap))(
+            F, G, nl, jnp.asarray(xe[:d]), jnp.asarray(xe[d:2 * d]),
+            jnp.asarray(xe[2 * d:])))
+        np.testing.assert_allclose(got, ref, atol=1e-7)
+        assert np.all(got[n - 1:] == 0.0)

@@ -1,0 +1,149 @@
+"""Cauchy robust loss (ceres CauchyLoss parity — VERDICT r3 missing #3).
+
+Reference: every visual projection factor is wrapped in CauchyLoss(1.0)
+in the solve and in marginalization (rvi/swf/swf_image.cpp:80-102,
+rvi/factor/marginalization_factor.cpp:23-45).  Ceres' corrector takes its
+rho''<=0 branch for Cauchy: pure sqrt(rho') rescale.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtk_visual_inertial_navigation_tpu.factors.robust import (cauchy_cost,
+                                                               cauchy_correct)
+
+
+def _rand_batch(key, B=32, R=2, T=7):
+    k1, k2 = jax.random.split(key)
+    res = jax.random.normal(k1, (B, R)) * 2.0
+    jac = jax.random.normal(k2, (B, R, T))
+    return res, jac
+
+
+def test_cost_identity():
+    """½Σ|r~|² + delta == ½Σρ(s) exactly."""
+    res, jac = _rand_batch(jax.random.PRNGKey(0))
+    for a in (1.0, 2.5):
+        r2, _, delta = cauchy_correct(res, jac, a)
+        lhs = 0.5 * jnp.sum(r2 * r2) + delta
+        rhs = cauchy_cost(res, a)
+        np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
+                                   rtol=1e-12)
+
+
+def test_gradient_matches_autodiff():
+    """Corrected J~ᵀr~ equals the gradient of the robust cost ½Σρ(|r(x)|²)
+    for a linear residual model r(x) = r0 + J x."""
+    res, jac = _rand_batch(jax.random.PRNGKey(1), B=16, R=2, T=5)
+
+    def robust_cost(x):
+        r = res + jnp.einsum("brt,t->br", jac, x)
+        return cauchy_cost(r, 1.0)
+
+    g_auto = jax.grad(robust_cost)(jnp.zeros(5))
+    r2, j2, _ = cauchy_correct(res, jac, 1.0)
+    g_corr = jnp.einsum("brt,br->t", j2, r2)
+    np.testing.assert_allclose(np.asarray(g_corr), np.asarray(g_auto),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_masked_rows_untouched():
+    res, jac = _rand_batch(jax.random.PRNGKey(2))
+    res = res.at[3].set(0.0)
+    jac = jac.at[3].set(0.0)
+    r2, j2, _ = cauchy_correct(res, jac, 1.0)
+    assert float(jnp.abs(r2[3]).max()) == 0.0
+    assert float(jnp.abs(j2[3]).max()) == 0.0
+    # inlier-limit: tiny residuals are (almost) unscaled
+    res_small = res * 1e-6
+    r3, _, _ = cauchy_correct(res_small, jac, 1.0)
+    np.testing.assert_allclose(np.asarray(r3), np.asarray(res_small),
+                               rtol=1e-9)
+
+
+def test_outlier_rejection_triangulation():
+    """Gross feature outlier: robust solve stays in class, LS does not.
+
+    One landmark observed from 8 known poses with 1 gross outlier (the
+    reference scenario CauchyLoss exists for).  Gauss-Newton on corrected
+    factors must land ~mm from truth; plain LS is dragged off by meters.
+    """
+    rng = np.random.default_rng(0)
+    truth = jnp.asarray([1.5, -0.8, 12.0])
+    # camera centers spread laterally, looking +z
+    cams = jnp.asarray(rng.uniform(-4, 4, (8, 3))).at[:, 2].set(0.0)
+
+    def residuals(lm):
+        pc = truth[None, :] * 0 + (lm[None, :] - cams)   # identity rotation
+        r = pc[:, 0:2] / pc[:, 2:3]
+        return r
+
+    meas = residuals(truth)
+    meas = meas + jnp.asarray(rng.normal(0, 1e-3, meas.shape))
+    meas = meas.at[5].add(jnp.asarray([0.4, -0.3]))      # gross outlier
+    w = 666.0
+
+    def solve(robust):
+        lm = truth + jnp.asarray([0.5, -0.4, 2.0])
+        for _ in range(25):
+            def res_fn(x):
+                return (w * (residuals(x) - meas)).reshape(-1)
+            r = res_fn(lm)
+            J = jax.jacrev(res_fn)(lm)
+            rb = r.reshape(8, 2)
+            Jb = J.reshape(8, 2, 3)
+            if robust:
+                rb, Jb, _ = cauchy_correct(rb, Jb, 1.0)
+            H = jnp.einsum("bri,brj->ij", Jb, Jb) + 1e-9 * jnp.eye(3)
+            g = jnp.einsum("bri,br->i", Jb, rb)
+            lm = lm - jnp.linalg.solve(H, g)
+        return lm
+
+    err_robust = float(jnp.linalg.norm(solve(True) - truth))
+    err_ls = float(jnp.linalg.norm(solve(False) - truth))
+    assert err_robust < 0.05, err_robust
+    assert err_ls > 5 * err_robust, (err_ls, err_robust)
+
+
+@pytest.mark.parametrize("use_struct", [False])
+def test_estimator_hg_includes_cauchy(use_struct):
+    """The pipeline's hg evaluator applies the corrector: its cost equals
+    the robust visual cost, not the LS cost (CPU generic path)."""
+    from rtk_visual_inertial_navigation_tpu.config import EstimatorConfig
+    from rtk_visual_inertial_navigation_tpu.pipeline import Estimator
+
+    cfg = EstimatorConfig(nf=4, nl=8, nb=4, max_obs=16, imu_capacity=16,
+                          max_gnss_pr=8, max_gnss_cp=8, max_gnss_dopp=8,
+                          cauchy_loss=1.0)
+    est = Estimator(cfg)
+    est2 = Estimator(EstimatorConfig(
+        nf=4, nl=8, nb=4, max_obs=16, imu_capacity=16,
+        max_gnss_pr=8, max_gnss_cp=8, max_gnss_dopp=8, cauchy_loss=0.0))
+    # identical states with a deliberately-wrong landmark => big residual
+    for e in (est, est2):
+        e.frame_count = 2
+        e.x.landmarks[0] = [0.5, 0.2, 6.0]
+        e.x.p[1, 0] = 0.5
+        ft = e.features
+        ft.active[0] = ft.solved[0] = True
+        ft.obs_mask[0, 0] = ft.obs_mask[0, 1] = True
+        ft.obs_xy[0, 0] = [0.30, 0.10]
+        ft.obs_xy[0, 1] = [0.50, 0.30]
+
+    def cost_of(e):
+        hg = e._hg_fn()
+        pre_stack, pre_valid, vis = e._factor_inputs()
+        b_pr, b_cp, b_dopp = e._gnss_factor_inputs()
+        mag = (jnp.zeros((cfg.nf,), jnp.int32), jnp.zeros((cfg.nf, 3)),
+               jnp.zeros((cfg.nf,), bool))
+        win = jax.tree.map(jnp.asarray, e.x)
+        _, _, cost = hg(win, pre_stack, jnp.asarray(pre_valid), vis,
+                        b_pr, b_cp, b_dopp, *mag)
+        return float(cost)
+
+    c_robust = cost_of(est)
+    c_ls = cost_of(est2)
+    assert c_robust < c_ls  # rho(s) < s for s > 0
+    assert c_robust > 0

@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Marginal-cost ablation of the flagship solve on TPU.
+
+Isolated component timings (profile_flagship_tpu.py) do not sum to the
+solve time — XLA fuses differently in context.  Here each ablation stubs
+ONE component to zeros inside the REAL solve; dead-code elimination then
+removes its upstream compute, so (baseline - ablated) is that component's
+true marginal cost in situ.  Accuracy is meaningless under ablation; only
+wall time is reported.
+"""
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_default_matmul_precision", "highest")
+import jax.numpy as jnp
+import numpy as np
+
+from rtk_visual_inertial_navigation_tpu.core.state import TangentLayout
+from rtk_visual_inertial_navigation_tpu.parallel import problems_gnss as PG
+from rtk_visual_inertial_navigation_tpu.solver import (DoglegConfig, chain,
+                                                       chain_factors,
+                                                       marginalization)
+from rtk_visual_inertial_navigation_tpu.solver import structured
+from rtk_visual_inertial_navigation_tpu.solver.block_hessian import BlockHess
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+nf, nl, nobs, nsamp, cap, ns, nb = 11, 352, 2816, 8, 11, 14, 16
+dtype = jnp.float32
+lay = TangentLayout(nf=nf, nl=nl, nb=nb, nc=2)
+cfg = DoglegConfig(max_iters=8, schur_nl=nl)
+
+print(f"backend={jax.default_backend()} B={B}")
+probs = PG.make_synthetic_rtk_windows(
+    jax.random.PRNGKey(0), B, nf=nf, nl=nl, nobs=nobs, nsamp=nsamp,
+    cap=cap, ns=ns, nb=nb, dtype=dtype)
+probs = jax.tree.map(jax.device_put, probs)
+
+
+def sync(x):
+    leaf = jax.tree.leaves(x)[0]
+    while getattr(leaf, "ndim", 0) > 0:
+        leaf = leaf[0]
+    np.asarray(leaf)
+
+
+def timeit(name, reps=3):
+    fn = jax.jit(jax.vmap(lambda p: PG._solve_one_rtk(p, lay, cfg, cap)))
+    out = fn(probs)
+    sync(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(probs)
+    sync(out)
+    dt = (time.time() - t0) / reps
+    print(f"{name:44s} {1000*dt:9.1f} ms")
+    return dt
+
+
+base = timeit("baseline (full solve, 8 iters)")
+
+# --- ablate interior back-substitution (retraction) ---
+orig_interior = chain.solve_chain_interior
+chain.solve_chain_interior = lambda leaves, n, dx_i, dx_j, dx_N, cap: \
+    jnp.zeros((cap - 1, chain_factors.D), leaves.Hii.dtype)
+chain_factors.solve_chain_interior = chain.solve_chain_interior
+t = timeit("- interior back-subst")
+chain.solve_chain_interior = orig_interior
+chain_factors.solve_chain_interior = orig_interior
+
+# --- ablate chain condensation (scan) ---
+orig_condense = chain.condense_chain_tail
+
+
+def _fake_condense(leaves, n_leaves=None):
+    return jax.tree.map(lambda x: x[0], leaves)
+
+
+chain.condense_chain_tail = _fake_condense
+chain_factors.condense_chain_tail = _fake_condense
+t = timeit("- condense scan (keep leaves)")
+chain.condense_chain_tail = orig_condense
+chain_factors.condense_chain_tail = orig_condense
+
+# --- ablate epoch unaries (GNSS rows in chains) ---
+orig_unaries = chain_factors._epoch_unaries
+
+
+def _fake_unaries(hid, pb, rows, R_e, capp, dn):
+    m = capp - 1
+    S = chain_factors.D + dn
+    dt_ = hid.p.dtype
+    return (jnp.zeros((m, S, S), dt_), jnp.zeros((m, S), dt_),
+            (jnp.zeros((m, chain_factors.NCLK), dt_),
+             jnp.zeros((m, S, chain_factors.NCLK), dt_),
+             jnp.zeros((m, chain_factors.NCLK), dt_)),
+            jnp.zeros((), dt_))
+
+
+chain_factors._epoch_unaries = _fake_unaries
+t = timeit("- epoch unaries (chain GNSS rows)")
+chain_factors._epoch_unaries = orig_unaries
+
+# --- ablate IMU pair blocks ---
+orig_imu = chain_factors._imu_pair_blocks
+
+
+def _fake_imu(seq, st, pbg, g_world, capp):
+    D = chain_factors.D
+    dt_ = seq[0].dtype
+    z = jnp.zeros((capp, D, D), dt_)
+    return (z, z, z, jnp.zeros((capp, D), dt_), jnp.zeros((capp, D), dt_),
+            jnp.zeros((), dt_))
+
+
+chain_factors._imu_pair_blocks = _fake_imu
+t = timeit("- chain IMU pair blocks")
+chain_factors._imu_pair_blocks = orig_imu
+
+# --- ablate projection factors entirely ---
+orig_proj = structured.projection_assemble_blocks
+
+
+def _fake_proj(lay_, f_ids, cam_ids, l_ids, res, jac):
+    n3 = 3 * lay_.nl
+    return (BlockHess.zeros(lay_.nl, lay_.dim - n3, res.dtype),
+            jnp.zeros((lay_.dim,), res.dtype), jnp.zeros((), res.dtype))
+
+
+structured.projection_assemble_blocks = _fake_proj
+PG.projection_assemble_blocks = _fake_proj
+t = timeit("- projection factors")
+structured.projection_assemble_blocks = orig_proj
+PG.projection_assemble_blocks = orig_proj
+
+# --- ablate tail covariance export ---
+orig_cov = marginalization.masked_cov_cols
+fake_cov = lambda H, free, cols: jnp.zeros(
+    (free.shape[0], cols.shape[0]), jnp.float32)
+marginalization.masked_cov_cols = fake_cov
+PG.masked_cov_cols = fake_cov
+t = timeit("- tail covariance export")
+marginalization.masked_cov_cols = orig_cov
+PG.masked_cov_cols = orig_cov
+
+# --- ablate the GN/dogleg step itself (zero step: pure eval loop) ---
+from rtk_visual_inertial_navigation_tpu.solver import gauss_newton as GN
+
+orig_step = GN._dogleg_step
+GN._dogleg_step = lambda H, g, radius, *a, **k: jnp.zeros_like(g)
+t = timeit("- dogleg step (pure eval loop)")
+GN._dogleg_step = orig_step

@@ -1,0 +1,11 @@
+#!/bin/bash
+# Sequential protocol fills (VERDICT r3 item 3): R1M2, R2M1, R2M2 at 120 s
+# x 5 modes, then regenerate R1M1 (round-3 artifacts lost with the disk).
+cd /root/repo
+for seq in R1M2 R2M1 R2M2 R1M1; do
+  echo "=== $seq start $(date -u +%H:%M:%S) ===" >> runs/protocol/batch.log
+  nice -n 10 python tools/run_reference_protocol.py --duration 120 --seq $seq \
+    --out runs/protocol >> runs/protocol/batch.log 2>&1
+  echo "=== $seq done rc=$? $(date -u +%H:%M:%S) ===" >> runs/protocol/batch.log
+done
+echo "=== ALL DONE $(date -u +%H:%M:%S) ===" >> runs/protocol/batch.log

