@@ -38,8 +38,9 @@ from ..ops import lie
 from ..preintegration import preintegrate
 from ..solver import (DoglegConfig, assemble, dogleg_solve, masked_cov_cols)
 from ..solver.chain_factors import (ChainHidden, ChainRows, ChainStatic,
-                                    chain_contrib, chain_retract_aux,
-                                    empty_chain_mid, _gnss_row_eval)
+                                    chain_contrib, chain_imu_whitening,
+                                    chain_retract_aux, empty_chain_mid,
+                                    _gnss_row_eval)
 from ..solver.structured import (projection_assemble,
                                  projection_assemble_blocks)
 from .problems import IMU_NOISE
@@ -404,12 +405,15 @@ def _solve_one_rtk(prob: RTKWindowProblem, lay: TangentLayout,
         return g, 0.5 * jnp.dot(dx, g)
 
     if use_blocks:
-        from ..solver.block_hessian import BlockHess
+        from ..solver.block_hessian import BlockHess, chain_blocks_into
         eye3 = jnp.eye(3, dtype=dtype)
         bh_prior = BlockHess(
             Hll=eye3 * d2[:n3].reshape(lay.nl, 3)[:, :, None],
             Hlr=jnp.zeros((lay.nl, 3, lay.dim - n3), dtype),
             Hrr=jnp.diag(d2[n3:]))
+    # per-solve constant: IMU whitening of every chain leaf (keeps the
+    # 15x15 Cholesky chain out of the iteration loop)
+    imu_W = chain_imu_whitening(prob.st)
 
     def eval_fn(comp):
         win, hid = comp
@@ -430,14 +434,14 @@ def _solve_one_rtk(prob: RTKWindowProblem, lay: TangentLayout,
         # Chains touch frames/clk/pb only — entirely inside the reduced
         # block, so the block path scatters into (Dr, Dr), 17x smaller.
         Hb, gb, gidx, ccost, aux = chain_contrib(
-            win, hid, prob.st, lay, R_e, pbg, g_world, cap, want_aux=True)
+            win, hid, prob.st, lay, R_e, pbg, g_world, cap, want_aux=True,
+            imu_W=imu_W)
         if use_blocks:
-            gr = gidx - n3
-            bh = bh._replace(Hrr=bh.Hrr.at[
-                gr[:, :, None], gr[:, None, :]].add(Hb))
+            bh, g = chain_blocks_into(bh, g, Hb, gb, prob.st.left,
+                                      prob.st.right, lay)
         else:
             H = H.at[gidx[:, :, None], gidx[:, None, :]].add(Hb)
-        g = g.at[gidx].add(gb)
+            g = g.at[gidx].add(gb)
         cost = cost + ccost
         if axis_name is not None:
             # factor-parallel reduction over the mesh axis: this shard holds

@@ -41,7 +41,8 @@ from ..ops import lie, lie_np
 from ..preintegration import ImuNoise, Preintegrated, preintegrate
 from ..solver import (DoglegConfig, assemble, dogleg_solve,
                       marginalize_dense_np, prior_from_hessian_np)
-from ..solver.chain_factors import chain_contrib, chain_retract_aux
+from ..solver.chain_factors import (chain_contrib, chain_imu_whitening,
+                                    chain_retract_aux)
 from ..solver.structured import projection_assemble
 from .chains import (ChainRecord, chain_device_inputs, merge_rows,
                      prepared_to_chain_rows, splice_records,
@@ -1288,6 +1289,7 @@ class Estimator:
             def solve(state, hid, st, prior, free, pre_stack, pre_valid,
                       vis, b_pr, b_cp, b_dopp, mag_f, mag_m, mag_v):
                 prior_contrib = prior.precompute()
+                imu_W = chain_imu_whitening(st)    # per-solve constant
 
                 def eval_fn(comp):
                     win, h = comp
@@ -1295,7 +1297,7 @@ class Estimator:
                                     b_pr, b_cp, b_dopp, mag_f, mag_m, mag_v)
                     Hb, gb, gidx, ccost, aux = chain_contrib(
                         win, h, st, lay, R_e, pbg, g_world, cap,
-                        want_aux=True)
+                        want_aux=True, imu_W=imu_W)
                     H = H.at[gidx[:, :, None], gidx[:, None, :]].add(Hb)
                     g = g.at[gidx].add(gb)
                     Hp, gp, cp = prior_contrib(win)

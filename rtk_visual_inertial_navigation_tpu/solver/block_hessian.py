@@ -196,6 +196,54 @@ class BlockHess(NamedTuple):
         return jnp.concatenate([Xl.reshape(self.n3, k), Xr], axis=0)
 
 
+def chain_blocks_into(bh: BlockHess, g, Hb, gb, left, right, lay):
+    """Scatter-free accumulation of condensed chain blocks into (bh, g).
+
+    ``Hb``: (nch, 2·15+dn, 2·15+dn) per-chain condensed Hessians over
+    [left-frame 15 | right-frame 15 | ambiguity tail dn]; ``left/right``:
+    (nch,) window frame ids.  The round-4 device trace showed the generic
+    gidx scatter of these blocks into Hrr costing ~6 ms/iteration at
+    bench scale (a 21k-index scatter); the same placement as one-hot
+    einsums is a handful of MXU contractions.
+    """
+    import jax.nn
+
+    from ..core.state import FRAME_DIM
+
+    dtype = Hb.dtype
+    nf, dn = lay.nf, lay.nb
+    n3 = 3 * lay.nl
+    d = FRAME_DIM
+    nch = Hb.shape[0]
+    nfr = nf * d
+    pbr = lay.pb_off - n3
+
+    # flat placement one-hot P[c, r, u]: block row r (0..29) of chain c
+    # lands at reduced-frame column u = 15·frame + (r mod 15).  Keeping the
+    # contraction 3-D matters: >5-D einsum intermediates SIGABRT this TPU
+    # compiler (same pad bug dodged in ops/smallinv.py).
+    dcol = jnp.arange(d, dtype=left.dtype)
+    rows_u = jnp.concatenate(
+        [left[:, None] * d + dcol[None, :],
+         right[:, None] * d + dcol[None, :]], axis=1)       # (nch, 30)
+    P = jax.nn.one_hot(rows_u, nfr, dtype=dtype)            # (nch, 30, nfr)
+    Hff = Hb[:, :2 * d, :2 * d]
+    grid = jnp.einsum("cru,crs,csv->uv", P, Hff, P)         # (nfr, nfr)
+    colN = jnp.einsum("cru,crk->uk", P, Hb[:, :2 * d, 2 * d:])
+    gf = jnp.einsum("cru,cr->u", P, gb[:, :2 * d])
+
+    Hrr = bh.Hrr
+    Hrr = Hrr.at[0:nfr, 0:nfr].add(grid)
+    Hrr = Hrr.at[0:nfr, pbr:pbr + dn].add(colN)
+    Hrr = Hrr.at[pbr:pbr + dn, 0:nfr].add(colN.T)
+    Hrr = Hrr.at[pbr:pbr + dn, pbr:pbr + dn].add(
+        jnp.sum(Hb[:, 2 * d:, 2 * d:], axis=0))
+    g = g.at[lay.frame_off:lay.frame_off + nfr].add(gf)
+    g = g.at[lay.pb_off:lay.pb_off + dn].add(
+        jnp.sum(gb[:, 2 * d:], axis=0))
+    return bh._replace(Hrr=Hrr), g
+
+
 def prior_block_contrib(prior, nl: int, boxminus):
     """Block-structured prior evaluation (MargPrior.precompute analog).
 

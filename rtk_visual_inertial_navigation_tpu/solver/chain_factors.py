@@ -259,11 +259,17 @@ def _epoch_unaries(hid: ChainHidden, phase_bias, rows: ChainRows, R_e,
     return H_u, g_u, (w_c, cols, g_c), cost
 
 
-def _imu_pair_blocks(seq, st: ChainStatic, pbg, g_world, cap: int):
+def _imu_pair_blocks(seq, st: ChainStatic, pbg, g_world, cap: int, W=None):
     """Whitened-IMU H blocks per leaf + gradient + cost (leaves masked by
-    pre_valid & k < n_leaves)."""
+    pre_valid & k < n_leaves).
+
+    ``W``: optional precomputed (cap, 15, 15) sqrt-information.  The
+    covariance is CONSTANT during a solve; recomputing chol(cov)⁻¹ inside
+    every eval_fn cost 43 ms of 8 iterations at bench scale (round-4
+    trace) — callers hoist it (chain_contrib imu_W)."""
     seq_p, seq_q, seq_v, seq_ba, seq_bg = seq
-    W = jax.vmap(sqrt_info_of_cov)(st.pre.covariance)
+    if W is None:
+        W = jax.vmap(sqrt_info_of_cov)(st.pre.covariance)
     ks = jnp.arange(cap)
 
     def one(k, w):
@@ -286,7 +292,7 @@ def _imu_pair_blocks(seq, st: ChainStatic, pbg, g_world, cap: int):
 
 
 def chain_leaves(win: WindowState, hid: ChainHidden, st: ChainStatic,
-                 R_e, pbg, g_world, cap: int, dn: int):
+                 R_e, pbg, g_world, cap: int, dn: int, imu_W=None):
     """Build the ChainTailElem leaves of ONE chain at the current
     linearization.  Returns (leaves, clk_aux, cost).
 
@@ -295,7 +301,7 @@ def chain_leaves(win: WindowState, hid: ChainHidden, st: ChainStatic,
     """
     seq = _gather_seq(win, hid, st, cap)
     Hii, Hij, Hjj, gi, gj, cost_imu = _imu_pair_blocks(
-        seq, st, pbg, g_world, cap)
+        seq, st, pbg, g_world, cap, imu_W)
     H_u, g_u, clk_aux, cost_gnss = _epoch_unaries(
         hid, win.phase_bias, st.rows, R_e, cap, dn)
     am = st.active.astype(H_u.dtype)
@@ -359,8 +365,17 @@ def _apply_mid(leaves: ChainTailElem, seq, phase_bias, st: ChainStatic, am):
     return leaves, cost
 
 
+def chain_imu_whitening(sts: ChainStatic):
+    """Precompute the per-leaf IMU sqrt-information of all chains — a
+    per-SOLVE constant (covariances don't move during iterations); pass
+    to chain_contrib(imu_W=...) to keep the 15x15 Cholesky chain out of
+    the iteration loop."""
+    return jax.vmap(jax.vmap(sqrt_info_of_cov))(sts.pre.covariance)
+
+
 def chain_contrib(win: WindowState, hids: ChainHidden, sts: ChainStatic,
-                  lay, R_e, pbg, g_world, cap: int, want_aux: bool = False):
+                  lay, R_e, pbg, g_world, cap: int, want_aux: bool = False,
+                  imu_W=None):
     """Condensed contribution of ALL chains (batched leading dim NCH).
 
     Returns (H_blocks (NCH, 30+dn, 30+dn), g_blocks (NCH, 30+dn),
@@ -372,10 +387,12 @@ def chain_contrib(win: WindowState, hids: ChainHidden, sts: ChainStatic,
     ~half the per-iteration chain cost on TPU).
     """
     dn = lay.nb
+    if imu_W is None:
+        imu_W = chain_imu_whitening(sts)
 
-    def one(hid, st):
+    def one(hid, st, W_c):
         leaves, clk_aux, cost = chain_leaves(win, hid, st, R_e, pbg,
-                                             g_world, cap, dn)
+                                             g_world, cap, dn, W_c)
         if want_aux:
             # bidirectional scan: the prefix gives the condensation, the
             # suffix makes the retraction's interior back-substitution a
@@ -394,7 +411,7 @@ def chain_contrib(win: WindowState, hids: ChainHidden, sts: ChainStatic,
         gb = -jnp.concatenate([c.bi, c.bj, c.bN]) * am
         return Hb, gb, cost, (F, G), clk_aux
 
-    Hb, gb, cost, scans, clk_aux = jax.vmap(one)(hids, sts)
+    Hb, gb, cost, scans, clk_aux = jax.vmap(one)(hids, sts, imu_W)
     d_off = jnp.arange(D, dtype=jnp.int32)
     gidx = jnp.concatenate([
         (lay.frame_off + D * sts.left)[:, None] + d_off[None, :],
