@@ -134,8 +134,25 @@ def _flagship(args):
     probs = make_synthetic_rtk_windows(
         jax.random.PRNGKey(0), B, nf=nf, nl=nl, nobs=nobs, nsamp=nsamp,
         cap=cap, ns=ns, nb=nb, dtype=dtype)
-    probs = jax.tree.map(jax.device_put, probs)
-    solve = jax.jit(lambda p: batched_rtk_solve(p, lay, cfg, cap))
+    if args.sharded:
+        # multihost/multichip path (SURVEY §5.8): dp over windows, fp=1;
+        # degrades gracefully to the 1 visible chip here — on a pod the
+        # same entry point spans all devices/hosts (multihost.py)
+        from rtk_visual_inertial_navigation_tpu.parallel.multihost import (
+            distribute_local_rtk_problems, global_mesh, initialize_from_env,
+            multihost_rtk_solve)
+        initialize_from_env()
+        mesh = global_mesh(fp=1)
+        n_dev = len(jax.devices())
+        if B % mesh.shape["dp"] != 0:
+            raise SystemExit(f"batch {B} not divisible by dp axis "
+                             f"{mesh.shape['dp']}")
+        probs = distribute_local_rtk_problems(mesh, probs)
+        solve = lambda p: multihost_rtk_solve(mesh, p, lay, cfg, cap)
+    else:
+        n_dev = 1
+        probs = jax.tree.map(jax.device_put, probs)
+        solve = jax.jit(lambda p: batched_rtk_solve(p, lay, cfg, cap))
 
     win, hid, cost, nacc, X = solve(probs)
     jax.block_until_ready(cost)
@@ -181,7 +198,9 @@ def _flagship(args):
     updates_per_s = B * reps / dt
     print(json.dumps({
         "metric": "flagship state updates/s (full RTK-VI window solves: "
-                  "GNSS rows + chains + tail covariance, 1 chip)",
+                  "GNSS rows + chains + tail covariance, "
+                  f"{n_dev} chip{'s' if n_dev > 1 else ''}"
+                  f"{', dp-sharded' if args.sharded else ''})",
         "value": round(updates_per_s, 2),
         "unit": "updates/s",
         "vs_baseline": round(updates_per_s / 25.0, 2),
@@ -211,6 +230,10 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--vi", action="store_true",
                     help="round-1 VI-only sub-problem bench (comparison)")
+    ap.add_argument("--sharded", action="store_true",
+                    help="flagship bench through the multihost dp mesh "
+                         "(spans all visible devices/hosts; degrades to "
+                         "1 chip here)")
     ap.add_argument("--latency", action="store_true",
                     help="single-sequence latency: one B=1 window solve per "
                          "update, report steady-state Hz (the reference's "

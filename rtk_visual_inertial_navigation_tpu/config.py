@@ -81,6 +81,10 @@ class EstimatorConfig:
 
     # initialization
     average_imu: int = 60        # samples for attitude init (AVERAGE_IMU=400)
+    # skip the first N visual measurements at the driver level
+    # (AVERAGE_IMAGE, consumed in rvi/main3.cpp:180 / swf_image.cpp:10 —
+    # the camera warms up while the IMU attitude average settles)
+    average_image: int = 0
 
     # GNSS gating (swf.cpp:732-742: ≥8 healthy sats or drop epoch)
     min_sats_per_epoch: int = 8

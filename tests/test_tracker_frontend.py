@@ -110,3 +110,63 @@ def test_stereo_left_right_tracking():
             err = np.linalg.norm(xy_r[k] - sim.obs_xy_r[fi, lm])
             assert err < 0.03, (fid, err)
     assert got_stereo >= 10, got_stereo
+
+
+def test_gyro_predictor_math_and_tracking():
+    """GyroPredictor (setPrediction/predictPtsInNextFrame analog,
+    feature_tracker.cpp:98-117): (1) the predicted pixels equal the
+    analytic rotation of the previous rays; (2) under a large inter-frame
+    rotation the predicted guess keeps LK tracks alive that the
+    zero-motion guess loses."""
+    from rtk_visual_inertial_navigation_tpu.frontend.tracker_frontend import \
+        GyroPredictor
+    from rtk_visual_inertial_navigation_tpu.ops import lie_np
+
+    cam = PinholeCamera(fx=F, fy=F, cx=W / 2, cy=H / 2)
+    rng = np.random.default_rng(3)
+    xy0 = rng.uniform(-0.35, 0.35, (40, 2))          # unit-plane features
+
+    # --- frame 0 ---
+    fe = TrackerFrontend(cam, max_cnt=48, min_dist=10, use_ransac=False)
+    img0 = render_xy(xy0, np.ones(len(xy0), bool))
+    ids0, _ = fe.process(img0)
+    assert len(ids0) >= 20
+
+    # --- math check: constant gyro over 0.1 s ---
+    pred = GyroPredictor(cam)                        # identity extrinsic
+    # 2.2 rad/s about the camera Y axis => ~35 px image-x shift: outside
+    # the unguessed 3-level LK basin, well inside the guessed one
+    wz = 2.2
+    for k in range(11):
+        pred.feed_imu(0.01 * k, np.array([0.0, wz, 0.0]))
+    guess = pred.predict(fe)
+    assert len(guess) >= 20
+    R = lie_np.quat_to_rot(lie_np.quat_exp(np.array([0.0, wz * 0.1, 0.0])))
+    live = np.flatnonzero(fe.ok)
+    rays = np.asarray(cam.lift_projective(jnp.asarray(fe.pts[live])))
+    for k, s in enumerate(live):
+        ray2 = R.T @ rays[k]
+        exp_px = np.asarray(
+            cam.space_to_plane(jnp.asarray(ray2[None, :])))[0]
+        got = guess.get(int(fe.ids[s]))
+        np.testing.assert_allclose(got, exp_px, atol=1e-3)
+
+    # --- tracking check: render the rotated scene; guessed LK must keep
+    # (substantially) more tracks than the zero-motion guess ---
+    rays_all = np.concatenate([xy0, np.ones((len(xy0), 1))], axis=1)
+    rays_rot = rays_all @ R                           # R.T applied row-wise
+    xy1 = rays_rot[:, :2] / rays_rot[:, 2:3]
+    img1 = render_xy(xy1, np.ones(len(xy1), bool))
+    import copy
+    fe_guess = copy.deepcopy(fe)
+    n_before = int(fe.ok.sum())
+    ids_a, _ = fe_guess.process(img1, predicted=guess)
+    fe_plain = copy.deepcopy(fe)
+    ids_b, _ = fe_plain.process(img1)
+    kept_guess = len(set(map(int, ids_a)) & set(map(int, ids0)))
+    kept_plain = len(set(map(int, ids_b)) & set(map(int, ids0)))
+    # the gyro guess must rescue the large-motion tracks the plain pass
+    # loses (also exercises the FLOW_BACK reverse-seed fix: the reverse
+    # pass starts at the ORIGINAL points, OPTFLOW_USE_INITIAL_FLOW parity)
+    assert kept_guess >= kept_plain + 10, (kept_guess, kept_plain)
+    assert kept_guess >= 0.8 * n_before, (kept_guess, n_before)

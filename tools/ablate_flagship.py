@@ -65,27 +65,27 @@ def timeit(name, reps=3):
 base = timeit("baseline (full solve, 8 iters)")
 
 # --- ablate interior back-substitution (retraction) ---
-orig_interior = chain.solve_chain_interior
-chain.solve_chain_interior = lambda leaves, n, dx_i, dx_j, dx_N, cap: \
-    jnp.zeros((cap - 1, chain_factors.D), leaves.Hii.dtype)
-chain_factors.solve_chain_interior = chain.solve_chain_interior
-t = timeit("- interior back-subst")
-chain.solve_chain_interior = orig_interior
-chain_factors.solve_chain_interior = orig_interior
+orig_interior = chain.solve_chain_interior_bidir
+chain.solve_chain_interior_bidir = lambda F, G, n, dx_i, dx_j, dx_N, cap: \
+    jnp.zeros((cap - 1, chain_factors.D), F.Hii.dtype)
+chain_factors.solve_chain_interior_bidir = chain.solve_chain_interior_bidir
+t = timeit("- interior back-subst (bidir)")
+chain.solve_chain_interior_bidir = orig_interior
+chain_factors.solve_chain_interior_bidir = orig_interior
 
-# --- ablate chain condensation (scan) ---
-orig_condense = chain.condense_chain_tail
-
-
-def _fake_condense(leaves, n_leaves=None):
-    return jax.tree.map(lambda x: x[0], leaves)
+# --- ablate the bidirectional chain scan (keep leaves) ---
+orig_scan = chain.scan_chain_tail_bidir
 
 
-chain.condense_chain_tail = _fake_condense
-chain_factors.condense_chain_tail = _fake_condense
-t = timeit("- condense scan (keep leaves)")
-chain.condense_chain_tail = orig_condense
-chain_factors.condense_chain_tail = orig_condense
+def _fake_scan(leaves, n_leaves, cap):
+    return leaves, leaves
+
+
+chain.scan_chain_tail_bidir = _fake_scan
+chain_factors.scan_chain_tail_bidir = _fake_scan
+t = timeit("- bidir condense scan (keep leaves)")
+chain.scan_chain_tail_bidir = orig_scan
+chain_factors.scan_chain_tail_bidir = orig_scan
 
 # --- ablate epoch unaries (GNSS rows in chains) ---
 orig_unaries = chain_factors._epoch_unaries
@@ -110,7 +110,7 @@ chain_factors._epoch_unaries = orig_unaries
 orig_imu = chain_factors._imu_pair_blocks
 
 
-def _fake_imu(seq, st, pbg, g_world, capp):
+def _fake_imu(seq, st, pbg, g_world, capp, W=None):
     D = chain_factors.D
     dt_ = seq[0].dtype
     z = jnp.zeros((capp, D, D), dt_)
