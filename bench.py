@@ -127,7 +127,10 @@ def _flagship(args):
         # with GNSS_MAX_NUM-class capacity => (nf-1)(cap-1) = 100 hidden
         # GNSS epochs per window (the 500-epoch regime's steady state load)
         nf, nl, nobs, nsamp, cap, ns, nb = 11, 352, 2816, 8, 11, 14, 16
-        B = args.batch or 128    # measured: B=128 36.3 up/s vs B=32 30.6
+        B = args.batch or 32     # round 4: B=32 82.8 up/s > B=64 79.9 >
+        #                          B=128 (block solve is latency-, not
+        #                          FLOP-bound; bigger batches only grow
+        #                          the bandwidth-heavy scan intermediates)
     lay = TangentLayout(nf=nf, nl=nl, nb=nb, nc=2)
     cfg = DoglegConfig(max_iters=8, schur_nl=nl, step_dtype=step)
 

@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Measured single-sequence dispatch profile on TPU (VERDICT r3 #4/#5).
+
+Runs the full estimator over a short simulated RTK-VI sequence on the
+real (tunneled) TPU, then:
+  1. measures steady-state wall Hz through the tunnel,
+  2. captures a device trace over a slice of frames and counts JIT
+     EXECUTABLE LAUNCHES per frame plus their on-device time,
+  3. derives the locally-attached floor:  frame_time_local ≈ device_ms
+     + dispatches × overhead_ms  for a plausible local dispatch overhead
+     range — a MEASUREMENT-based bound, replacing the round-3
+     extrapolation ("~37 Hz on a locally-attached chip").
+
+Prints one JSON line.
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_default_matmul_precision", "highest")
+import jax.numpy as jnp
+import numpy as np
+
+from rtk_visual_inertial_navigation_tpu.config import EstimatorConfig
+from rtk_visual_inertial_navigation_tpu.ops import lie
+from rtk_visual_inertial_navigation_tpu.pipeline import Estimator
+from rtk_visual_inertial_navigation_tpu.sim import SimConfig, simulate
+from rtk_visual_inertial_navigation_tpu.sim.synthetic import gnss_epoch_of
+
+
+def main():
+    duration = float(sys.argv[1]) if len(sys.argv) > 1 else 14.0
+    sim = simulate(SimConfig(duration=duration, imu_rate=200.0,
+                             cam_rate=2.0, gnss_rate=2.0, n_landmarks=60,
+                             n_sats=10, seed=0))
+    q_ic = np.asarray(lie.rot_to_quat(jnp.asarray(sim.cfg.r_ic)))
+    cfg = EstimatorConfig(
+        nf=10, nl=48, nb=32, max_obs=256, imu_capacity=128, average_imu=40,
+        qic=np.tile(q_ic, (2, 1)), tic=np.tile(sim.cfg.t_ic, (2, 1)),
+        anchor_ecef=sim.anchor_ecef, enu_to_ecef=sim.enu_to_ecef,
+        max_gnss_pr=160, max_gnss_cp=160, max_gnss_dopp=160,
+        min_sats_per_epoch=6, initial_gnss_boost_epochs=5,
+        min_fix_continuity=1, fix_continue_threshold=3,
+        use_gnss=True, use_doppler=True, use_rtd=True, use_rtk=True,
+        use_n_resolve=True)
+    est = Estimator(cfg)
+
+    ids = np.arange(sim.landmarks.shape[0])
+    cam_ptr = g_ptr = 0
+    stamps = []
+    trace_dir = "/tmp/jax_dispatch_trace"
+    import shutil
+    shutil.rmtree(trace_dir, ignore_errors=True)
+    tracing = False
+    frames_in_trace = 0
+    n_events = int((duration - 0.5) * 4)   # cam 2 Hz + gnss 2 Hz
+    trace_start_evt = int(n_events * 0.6)  # steady state
+    trace_n_frames = 6
+    evt = 0
+    for i, t in enumerate(sim.imu_t):
+        est.process_imu(t, sim.acc[i], sim.gyr[i])
+        is_evt = False
+        if g_ptr < len(sim.gnss_idx) and sim.gnss_idx[g_ptr] == i:
+            est.process_gnss(gnss_epoch_of(sim, g_ptr))
+            g_ptr += 1
+            is_evt = True
+        if cam_ptr < len(sim.cam_idx) and sim.cam_idx[cam_ptr] == i:
+            vis = sim.obs_valid[cam_ptr]
+            est.process_image(t, ids[vis], sim.obs_xy[cam_ptr][vis])
+            cam_ptr += 1
+            is_evt = True
+        if is_evt:
+            stamps.append(time.time())
+            evt += 1
+            if evt == trace_start_evt:
+                jax.profiler.start_trace(trace_dir)
+                tracing = True
+            elif tracing and frames_in_trace < trace_n_frames:
+                frames_in_trace += 1
+                if frames_in_trace == trace_n_frames:
+                    jax.profiler.stop_trace()
+                    tracing = False
+    if tracing:
+        jax.profiler.stop_trace()
+
+    warm = max(8, len(stamps) // 3)
+    steady = np.diff(np.asarray(stamps))[warm:]
+    hz_tunnel = 1.0 / float(np.mean(steady))
+
+    # ---- parse trace: count jit executable launches + device time ----
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    import glob
+    xs = xplane_pb2.XSpace()
+    f = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
+    n_dispatch = 0
+    device_ms = 0.0
+    if f:
+        with open(f[0], "rb") as fh:
+            xs.ParseFromString(fh.read())
+        for plane in xs.planes:
+            if "TPU" not in plane.name:
+                continue
+            for line in plane.lines:
+                if "XLA Modules" not in line.name:
+                    continue
+                for ev in line.events:
+                    n_dispatch += 1
+                    device_ms += ev.duration_ps / 1e9
+    per_frame_dispatch = n_dispatch / max(frames_in_trace, 1)
+    per_frame_device_ms = device_ms / max(frames_in_trace, 1)
+
+    floor = {
+        f"local_hz_floor_at_{o}ms_overhead": round(
+            1000.0 / (per_frame_device_ms + per_frame_dispatch * o), 1)
+        for o in (0.1, 0.3, 1.0)}
+    print(json.dumps({
+        "metric": "single-sequence pipeline dispatch profile (TPU tunnel)",
+        "tunnel_hz": round(hz_tunnel, 2),
+        "frames_timed": int(len(steady)),
+        "dispatches_per_frame": round(per_frame_dispatch, 1),
+        "device_ms_per_frame": round(per_frame_device_ms, 2),
+        "trace_frames": frames_in_trace,
+        **floor,
+        "note": "floor = device_ms + dispatches*overhead; tunnel adds "
+                "~27 ms per dispatch here",
+    }))
+
+
+if __name__ == "__main__":
+    main()
