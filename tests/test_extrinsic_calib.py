@@ -32,7 +32,14 @@ def test_online_extrinsic_recovery(tmp_path):
     cfg = EstimatorConfig(
         nf=10, nl=80, nb=1, max_obs=512, imu_capacity=64, average_imu=40,
         qic=np.tile(q0, (2, 1)), tic=np.tile(t0, (2, 1)),
-        estimate_extrinsic=True)
+        estimate_extrinsic=True,
+        # pure LS: this test measures the extrinsic-calibration machinery
+        # against a tight threshold on a SHORT noiseless sequence, where
+        # CauchyLoss(1.0) (the reference-parity default, covered by
+        # tests/test_robust.py) deliberately downweights exactly the
+        # large extrinsic-error residuals that drive convergence —
+        # recovery still happens, just slower than 12 s of data
+        cauchy_loss=0.0)
     est = Estimator(cfg)
     ids = np.arange(sim.landmarks.shape[0])
     cam_ptr = 0

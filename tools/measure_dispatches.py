@@ -20,7 +20,20 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+import os
+
+if "--cpu" in sys.argv:
+    sys.argv.remove("--cpu")
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+    from jax._src import xla_bridge as _xb
+    if _xb.backends_are_initialized():
+        from jax.extend.backend import clear_backends
+        clear_backends()
 
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_default_matmul_precision", "highest")
@@ -59,8 +72,9 @@ def main():
     shutil.rmtree(trace_dir, ignore_errors=True)
     tracing = False
     frames_in_trace = 0
-    n_events = int((duration - 0.5) * 4)   # cam 2 Hz + gnss 2 Hz
-    trace_start_evt = int(n_events * 0.6)  # steady state
+    # cam 2 Hz + gnss 2 Hz COINCIDE on the same IMU ticks: one event per
+    # tick, ~2/s.  Start the trace well past the compile warmup.
+    trace_start_evt = 12
     trace_n_frames = 6
     evt = 0
     for i, t in enumerate(sim.imu_t):
@@ -104,24 +118,38 @@ def main():
         with open(f[0], "rb") as fh:
             xs.ParseFromString(fh.read())
         for plane in xs.planes:
-            if "TPU" not in plane.name:
-                continue
-            for line in plane.lines:
-                if "XLA Modules" not in line.name:
+            if "TPU" in plane.name:
+                # real device: count executable launches on-device
+                for line in plane.lines:
+                    if "XLA Modules" not in line.name:
+                        continue
+                    for ev in line.events:
+                        n_dispatch += 1
+                        device_ms += ev.duration_ps / 1e9
+        if n_dispatch == 0:
+            # CPU backend: dispatches = PjRtCpuExecutable::Execute events
+            # (one per executable launch; the dispatch COUNT is
+            # backend-independent — the same program issues the same
+            # launches on a TPU; only per-dispatch overhead differs)
+            for plane in xs.planes:
+                if "CPU" not in plane.name:
                     continue
-                for ev in line.events:
-                    n_dispatch += 1
-                    device_ms += ev.duration_ps / 1e9
+                for line in plane.lines:
+                    for ev in line.events:
+                        md = plane.event_metadata[ev.metadata_id]
+                        if md.name == "PjRtCpuExecutable::Execute":
+                            n_dispatch += 1
     per_frame_dispatch = n_dispatch / max(frames_in_trace, 1)
     per_frame_device_ms = device_ms / max(frames_in_trace, 1)
 
     floor = {
         f"local_hz_floor_at_{o}ms_overhead": round(
             1000.0 / (per_frame_device_ms + per_frame_dispatch * o), 1)
-        for o in (0.1, 0.3, 1.0)}
+        for o in (0.1, 0.3, 1.0)} if per_frame_dispatch else {}
     print(json.dumps({
-        "metric": "single-sequence pipeline dispatch profile (TPU tunnel)",
-        "tunnel_hz": round(hz_tunnel, 2),
+        "metric": "single-sequence pipeline dispatch profile",
+        "backend": jax.default_backend(),
+        "wall_hz_this_host": round(hz_tunnel, 2),
         "frames_timed": int(len(steady)),
         "dispatches_per_frame": round(per_frame_dispatch, 1),
         "device_ms_per_frame": round(per_frame_device_ms, 2),
