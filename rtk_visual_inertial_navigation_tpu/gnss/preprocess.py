@@ -352,8 +352,9 @@ class GnssPreprocessor:
             # --- SPP pseudorange-correction channel (USE_SPP_CORRECTION,
             # swf_core.cpp:174-186: SppCarrierPhaseFactor reused with z =
             # SPP_P0 and its own per-sat bias estimating the correction) ---
-            if (self.use_spp_correction and hasattr(ep, "pr0")
-                    and np.isfinite(getattr(ep, "pr0")[i])
+            if (self.use_spp_correction
+                    and getattr(ep, "pr0", None) is not None
+                    and np.isfinite(ep.pr0[i])
                     and int(ep.freq[i]) == 0):
                 slot, new = self.bias.lookup("cor", ep.sat_id[i], ep.freq[i],
                                              ep.t, bool(ep.slip[i]),
