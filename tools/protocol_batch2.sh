@@ -1,0 +1,20 @@
+#!/bin/bash
+# Round-5 protocol fills, reprioritized: R1M1 first (the reference's
+# primary sequence; round-3 artifacts were lost with the disk), then
+# R2M1 / R2M2.  R1M2 was completed by the round-4 batch.
+# Waits for any already-running replay process to exit before starting.
+# Runs from a git-archive snapshot (.r5_snapshot) so concurrent edits to
+# the working tree cannot break a replay mid-flight; outputs land in the
+# real runs/protocol.
+OUT=/root/repo/runs/protocol
+SNAP=/root/repo/.r5_snapshot
+LOG=$OUT/batch5.log
+cd "$SNAP"
+while pgrep -f "tools/run_reference_protocol.py" > /dev/null; do sleep 60; done
+for seq in R1M1 R2M1 R2M2; do
+  echo "=== $seq start $(date -u +%H:%M:%S) ===" >> "$LOG"
+  nice -n 10 python tools/run_reference_protocol.py --duration 120 --seq $seq \
+    --out "$OUT" >> "$LOG" 2>&1
+  echo "=== $seq done rc=$? $(date -u +%H:%M:%S) ===" >> "$LOG"
+done
+echo "=== ALL DONE $(date -u +%H:%M:%S) ===" >> "$LOG"
