@@ -1,0 +1,344 @@
+"""Fused Pallas projection kernel: linearize + segment-assemble in VMEM.
+
+The batched flagship solve is latency/bandwidth-bound, not FLOP-bound
+(BASELINE.md roofline).  The round-5 device trace put the projection
+factor path — per-observation autodiff linearization, materialized
+(B, nobs, 6, 6) Gram blocks, then one-hot segment einsums — at ~112 ms
+of a 389 ms batched 8-iteration solve (tools/ablate_flagship.py,
+tools/trace_flagship.py).  This kernel fuses the WHOLE path into one
+pallas_call per (window, obs-tile):
+
+  gather states by one-hot MXU matmuls -> analytic reprojection
+  residual/jacobian (hand-derived, oracle-tested against the autodiff
+  factors in factors/visual.py) -> optional Cauchy corrector ->
+  expanded-basis segment sums:
+      A = Of (x) Jp   (2T, nf*6)      pose columns
+      V = Ol (x) Jl   (2T, nl*3)      landmark columns
+      E = Oc (x) Je   (2T, nc*6)      extrinsic columns
+      PL += A'V, PP += A'A, PE += A'E, EE += E'E, LE += V'E,
+      LL += Ol' ll9, g* += (.)' r
+  accumulated in VMEM across obs tiles; one kernel launch replaces
+  ~40 XLA ops and all their HBM round trips.
+
+Reference semantics: projection_factor (rvi/factor/projection_factor.cpp:
+13-65) with the antenna lever arm, CauchyLoss(1.0) corrector
+(rvi/swf/swf_image.cpp:80-102); identical residual/jacobian convention to
+factors.visual._single_proj (right-multiplicative quaternion boxplus).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.state import FRAME_DIM, POSE_DIM, TangentLayout
+from ..ops import lie
+
+_EPS_Z = 1e-3    # matches factors.visual._safe_z
+
+
+def _col(a, k):
+    """(T,1) column k of a (T,K) array."""
+    return a[:, k:k + 1]
+
+
+def _mat3_mul(A, B):
+    """Row-major 9-column batched 3x3 product: C = A @ B, (T,9) each."""
+    cols = []
+    for i in range(3):
+        for j in range(3):
+            c = (_col(A, 3 * i + 0) * _col(B, 0 + j)
+                 + _col(A, 3 * i + 1) * _col(B, 3 + j)
+                 + _col(A, 3 * i + 2) * _col(B, 6 + j))
+            cols.append(c)
+    return jnp.concatenate(cols, axis=1)
+
+
+def _mat3_vec(A, v):
+    """(T,9) row-major matrix times (T,3) vector -> (T,3)."""
+    out = []
+    for i in range(3):
+        out.append(_col(A, 3 * i) * _col(v, 0)
+                   + _col(A, 3 * i + 1) * _col(v, 1)
+                   + _col(A, 3 * i + 2) * _col(v, 2))
+    return jnp.concatenate(out, axis=1)
+
+
+def _mat3_skew_right(A, u):
+    """C = A @ skew(u) for row-major (T,9) A and (T,3) u -> (T,9).
+
+    skew(u) = [[0,-u2,u1],[u2,0,-u0],[-u1,u0,0]] with u=(u0,u1,u2).
+    """
+    u0, u1, u2 = _col(u, 0), _col(u, 1), _col(u, 2)
+    cols = []
+    for i in range(3):
+        a0, a1, a2 = _col(A, 3 * i), _col(A, 3 * i + 1), _col(A, 3 * i + 2)
+        cols.extend([a1 * u2 - a2 * u1,        # C[i,0]
+                     -a0 * u2 + a2 * u0,       # C[i,1]
+                     a0 * u1 - a1 * u0])       # C[i,2]
+    return jnp.concatenate(cols, axis=1)
+
+
+def _skew9(v):
+    """(T,3) -> row-major (T,9) skew matrix [v]x."""
+    z = jnp.zeros_like(_col(v, 0))
+    v0, v1, v2 = _col(v, 0), _col(v, 1), _col(v, 2)
+    return jnp.concatenate(
+        [z, -v2, v1, v2, z, -v0, -v1, v0, z], axis=1)
+
+
+def _apply_pz(a, c0, c1, M):
+    """Rows of Pz @ M for the projection chain rule.
+
+    Pz = [[a, 0, c0], [0, a, c1]]; M row-major (T,9).
+    Returns (row0 (T,3), row1 (T,3)).
+    """
+    r0 = jnp.concatenate(
+        [a * _col(M, j) + c0 * _col(M, 6 + j) for j in range(3)], axis=1)
+    r1 = jnp.concatenate(
+        [a * _col(M, 3 + j) + c1 * _col(M, 6 + j) for j in range(3)],
+        axis=1)
+    return r0, r1
+
+
+def _proj_kernel(p_ref, lm_ref, Rt_ref, Rct_ref, dc_ref,
+                 fid_ref, cid_ref, lid_ref, xy_ref, val_ref,
+                 PP_ref, PL_ref, PE_ref, EE_ref, LE_ref, LL_ref,
+                 gP_ref, gL_ref, gE_ref, cost_ref,
+                 *, nf, nl, nc, T, weight, cauchy_a):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        PP_ref[:] = jnp.zeros_like(PP_ref)
+        PL_ref[:] = jnp.zeros_like(PL_ref)
+        PE_ref[:] = jnp.zeros_like(PE_ref)
+        EE_ref[:] = jnp.zeros_like(EE_ref)
+        LE_ref[:] = jnp.zeros_like(LE_ref)
+        LL_ref[:] = jnp.zeros_like(LL_ref)
+        gP_ref[:] = jnp.zeros_like(gP_ref)
+        gL_ref[:] = jnp.zeros_like(gL_ref)
+        gE_ref[:] = jnp.zeros_like(gE_ref)
+        cost_ref[:] = jnp.zeros_like(cost_ref)
+
+    dtype = p_ref.dtype
+    fid = fid_ref[:]                           # (T,1) int32
+    cid = cid_ref[:]
+    lid = lid_ref[:]
+    val = val_ref[:]                           # (T,1) 0/1
+
+    f_iota = jax.lax.broadcasted_iota(jnp.int32, (T, nf), 1)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (T, nc), 1)
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, (T, nl), 1)
+    Of = (f_iota == fid).astype(dtype)         # (T, nf)
+    Oc = (c_iota == cid).astype(dtype)         # (T, nc)
+    Ol = (l_iota == lid).astype(dtype)         # (T, nl)
+
+    dot = functools.partial(jax.lax.dot_general,
+                            preferred_element_type=dtype)
+    NN = (((1,), (0,)), ((), ()))              # (T,K)@(K,M)
+    TN = (((0,), (0,)), ((), ()))              # (T,K)'@(T,M) -> (K,M)
+
+    # --- gather per-obs state (one-hot matmuls ride the MXU) ---
+    Pf = dot(Of, p_ref[:], NN)                 # (T,3) frame position
+    LM = dot(Ol, lm_ref[:], NN)                # (T,3) landmark
+    Rt = dot(Of, Rt_ref[:], NN)                # (T,9) R(q_f)^T row-major
+    Rct = dot(Oc, Rct_ref[:], NN)              # (T,9) R(qic)^T
+    dc = dot(Oc, dc_ref[:], NN)                # (T,3) pbg - tic
+
+    # --- analytic reprojection (projection_factor.cpp:13-65) ---
+    u = LM - Pf
+    pts_imu = _mat3_vec(Rt, u)                 # R^T (lm - p)
+    w3 = pts_imu + dc
+    Xc = _mat3_vec(Rct, w3)                    # camera-frame point
+
+    z = _col(Xc, 2)
+    eps = jnp.asarray(_EPS_Z, dtype)   # pinned: python-float branches of a
+    # where() trace as weak-f64 ARRAYS under x64 -> Mosaic bitwidth abort
+    zs = jnp.where(jnp.abs(z) < eps, jnp.where(z < 0, -eps, eps), z)
+    inv_z = 1.0 / zs
+    zm = (jnp.abs(z) >= eps).astype(dtype)     # d(safe_z)/dz
+    xh = _col(Xc, 0) * inv_z
+    yh = _col(Xc, 1) * inv_z
+
+    w = jnp.asarray(weight, dtype)
+    r0 = w * (xh - _col(xy_ref[:], 0)) * val   # (T,1)
+    r1 = w * (yh - _col(xy_ref[:], 1)) * val
+
+    a = w * inv_z * val
+    c0 = -w * xh * inv_z * zm * val
+    c1 = -w * yh * inv_z * zm * val
+
+    B1 = _mat3_mul(Rct, Rt)                    # Rc^T R^T
+    C = _mat3_skew_right(Rct, pts_imu)         # Rc^T [pts_imu]x
+    SXc = _skew9(Xc)
+
+    # jac rows (2 residual rows x channel blocks); tangent layout of
+    # factors.visual._single_proj: [dp3, dth3 | dte3, dthe3 | dlm3]
+    dlm0, dlm1 = _apply_pz(a, c0, c1, B1)
+    dp0, dp1 = -dlm0, -dlm1
+    dth0, dth1 = _apply_pz(a, c0, c1, C)
+    dte0, dte1 = _apply_pz(-a, -c0, -c1, Rct)
+    dthe0, dthe1 = _apply_pz(a, c0, c1, SXc)
+
+    if cauchy_a > 0.0:
+        a2 = jnp.asarray(cauchy_a * cauchy_a, dtype)
+        s = r0 * r0 + r1 * r1
+        rho1 = 1.0 / (1.0 + s / a2)
+        wr = jnp.sqrt(rho1)                    # (T,1)
+        cost_t = 0.5 * jnp.sum(a2 * jnp.log1p(s / a2))
+        r0, r1 = r0 * wr, r1 * wr
+        dp0, dp1 = dp0 * wr, dp1 * wr
+        dth0, dth1 = dth0 * wr, dth1 * wr
+        dte0, dte1 = dte0 * wr, dte1 * wr
+        dthe0, dthe1 = dthe0 * wr, dthe1 * wr
+        dlm0, dlm1 = dlm0 * wr, dlm1 * wr
+    else:
+        cost_t = 0.5 * jnp.sum(r0 * r0 + r1 * r1)
+
+    # --- expanded-basis blocks, pure 2-D (Mosaic rejects the 3-D
+    # broadcast + lane-merging reshape: "unsupported shape cast") ---
+    Jp0 = jnp.concatenate([dp0, dth0], axis=1)     # (T,6) row 0
+    Jp1 = jnp.concatenate([dp1, dth1], axis=1)
+    Je0 = jnp.concatenate([dte0, dthe0], axis=1)
+    Je1 = jnp.concatenate([dte1, dthe1], axis=1)
+
+    def expand2(J0, J1, ids, n, k):
+        """Two (T, n*k) arrays with J's k columns placed at segment
+        ``ids``: col c carries J[:, c % k] masked by (c // k == ids).
+        Iota arithmetic + a k-way select — no reshapes, no 3-D; the
+        per-column masks are shared between the two residual rows (VMEM:
+        the solve-context compile overflowed the 16M scoped limit with
+        per-row masks).
+        """
+        ci = jax.lax.broadcasted_iota(jnp.int32, (T, n * k), 1)
+        kk = jnp.full((), k, jnp.int32)     # lax.div/rem: no jnp promotion
+        seg_mask = (jax.lax.div(ci, kk) == ids).astype(J0.dtype)
+        rem = jax.lax.rem(ci, kk)           # (under x64 the jnp // path
+        out0 = jnp.zeros_like(seg_mask)     # recursed in dtype promotion)
+        out1 = jnp.zeros_like(seg_mask)
+        for c in range(k):
+            m = (rem == c).astype(J0.dtype) * seg_mask
+            out0 += _col(J0, c) * m
+            out1 += _col(J1, c) * m
+        return out0, out1
+
+    A0, A1 = expand2(Jp0, Jp1, fid, nf, 6)     # (T, nf*6)
+    E0, E1 = expand2(Je0, Je1, cid, nc, 6)     # (T, nc*6)
+    V0, V1 = expand2(dlm0, dlm1, lid, nl, 3)   # (T, nl*3)
+
+    PP_ref[:] += dot(A0, A0, TN) + dot(A1, A1, TN)
+    PL_ref[:] += dot(A0, V0, TN) + dot(A1, V1, TN)
+    PE_ref[:] += dot(A0, E0, TN) + dot(A1, E1, TN)
+    EE_ref[:] += dot(E0, E0, TN) + dot(E1, E1, TN)
+    LE_ref[:] += dot(V0, E0, TN) + dot(V1, E1, TN)
+    gP_ref[:] += dot(A0, r0, TN) + dot(A1, r1, TN)
+    gL_ref[:] += dot(V0, r0, TN) + dot(V1, r1, TN)
+    gE_ref[:] += dot(E0, r0, TN) + dot(E1, r1, TN)
+
+    # landmark 3x3 diagonal: per-obs ll channels segment-summed by Ol
+    ll = jnp.concatenate(
+        [_col(dlm0, i) * _col(dlm0, j) + _col(dlm1, i) * _col(dlm1, j)
+         for i in range(3) for j in range(3)], axis=1)       # (T,9)
+    LL_ref[:] += dot(Ol, ll, TN)
+
+    cost_ref[:] += cost_t.reshape(1, 1)
+
+
+def proj_segments_pallas(lay: TangentLayout, p, q, tic, qic, landmarks,
+                         pbg, f_ids, cam_ids, l_ids, meas_xy, valid,
+                         weight, cauchy_a: float = 0.0, tile: int = 128,
+                         interpret: bool = False):
+    """Segment blocks S (as solver.structured._proj_segments) + cost.
+
+    One fused kernel per (window, obs tile); vmap adds the batch grid
+    axis.  Returns (S, cost) where S has PP (nf,6,6), LL (nl,3,3),
+    EE (nc,6,6), PL (nf,nl,6,3), PE (nf,nc,6,6), LE (nl,nc,6,3),
+    GP (nf,6), GL (nl,3), GE (nc,6) — Jᵀr gradient convention, Cauchy
+    corrector applied when cauchy_a > 0 (cost is then the true robust
+    cost ½Σρ(s)).
+    """
+    dtype = p.dtype
+    nf, nl, nc = lay.nf, lay.nl, lay.nc
+    nobs = f_ids.shape[0]
+    T = min(tile, nobs)
+    pad = (-nobs) % T
+    if pad:
+        f_ids = jnp.concatenate([f_ids, jnp.zeros(pad, f_ids.dtype)])
+        cam_ids = jnp.concatenate([cam_ids, jnp.zeros(pad, cam_ids.dtype)])
+        l_ids = jnp.concatenate([l_ids, jnp.zeros(pad, l_ids.dtype)])
+        meas_xy = jnp.concatenate(
+            [meas_xy, jnp.zeros((pad, 2), meas_xy.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros(pad, dtype=bool)])
+    nt = f_ids.shape[0] // T
+
+    Rt = jnp.swapaxes(lie.quat_to_rot(q), -1, -2).reshape(nf, 9)
+    Rct = jnp.swapaxes(lie.quat_to_rot(qic), -1, -2).reshape(nc, 9)
+    dc = pbg[None, :] - tic                    # (nc,3)
+
+    obs_spec = lambda w: pl.BlockSpec((T, w), lambda t: (t, 0),
+                                      memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda t: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((nf * 6, nf * 6), dtype),   # PP
+        jax.ShapeDtypeStruct((nf * 6, nl * 3), dtype),   # PL
+        jax.ShapeDtypeStruct((nf * 6, nc * 6), dtype),   # PE
+        jax.ShapeDtypeStruct((nc * 6, nc * 6), dtype),   # EE
+        jax.ShapeDtypeStruct((nl * 3, nc * 6), dtype),   # LE
+        jax.ShapeDtypeStruct((nl, 9), dtype),            # LL
+        jax.ShapeDtypeStruct((nf * 6, 1), dtype),        # gP
+        jax.ShapeDtypeStruct((nl * 3, 1), dtype),        # gL
+        jax.ShapeDtypeStruct((nc * 6, 1), dtype),        # gE
+        jax.ShapeDtypeStruct((1, 1), dtype),             # cost
+    ]
+    out_specs = [full(s.shape) for s in out_shapes]
+
+    kern = functools.partial(_proj_kernel, nf=nf, nl=nl, nc=nc, T=T,
+                             weight=float(weight),
+                             cauchy_a=float(cauchy_a))
+    args = (p, landmarks, Rt, Rct, dc,
+            f_ids.astype(jnp.int32)[:, None],
+            cam_ids.astype(jnp.int32)[:, None],
+            l_ids.astype(jnp.int32)[:, None], meas_xy,
+            valid.astype(dtype)[:, None])
+    # Mosaic on this backend cannot compile ANY kernel traced under
+    # jax_enable_x64 (index maps legalize with i64 returns); every ref here
+    # is 32-bit, so trace the compiled pallas_call with x64 off.  The
+    # interpret path (CPU tests, possibly f64) traces normally.
+    import contextlib
+    ctx = contextlib.nullcontext() if interpret \
+        else jax.enable_x64(False)
+    with ctx:
+        outs = pl.pallas_call(
+            kern,
+            grid=(nt,),
+            in_specs=[full((nf, 3)), full((nl, 3)), full((nf, 9)),
+                      full((nc, 9)), full((nc, 3)),
+                      obs_spec(1), obs_spec(1), obs_spec(1), obs_spec(2),
+                      obs_spec(1)],
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(*args)
+
+    PPg, PLg, PEg, EEg, LEg, LL9, gP, gL, gE, cost = outs
+    idx = jnp.arange(nf)
+    cdx = jnp.arange(nc)
+    S = dict(
+        PP=PPg.reshape(nf, 6, nf, 6)[idx, :, idx, :],
+        LL=LL9.reshape(nl, 3, 3),
+        EE=EEg.reshape(nc, 6, nc, 6)[cdx, :, cdx, :],
+        PL=PLg.reshape(nf, 6, nl, 3).transpose(0, 2, 1, 3),
+        PE=PEg.reshape(nf, 6, nc, 6).transpose(0, 2, 1, 3),
+        LE=LEg.reshape(nl, 3, nc, 6).transpose(0, 2, 3, 1),
+        GP=gP.reshape(nf, 6),
+        GL=gL.reshape(nl, 3),
+        GE=gE.reshape(nc, 6),
+    )
+    return S, cost[0, 0]

@@ -379,7 +379,7 @@ def make_synthetic_rtk_windows(key, batch: int, nf: int = 11, nl: int = 352,
 # ---------------------------------------------------------------------------
 def _solve_one_rtk(prob: RTKWindowProblem, lay: TangentLayout,
                    cfg: DoglegConfig, cap: int, axis_name=None,
-                   use_blocks: bool = True):
+                   use_blocks: bool = True, proj_pallas: bool | None = None):
     """One flagship window solve.
 
     ``use_blocks=True`` (default) keeps the Hessian in its Schur block
@@ -388,7 +388,16 @@ def _solve_one_rtk(prob: RTKWindowProblem, lay: TangentLayout,
     the dense path spent most of its HBM bandwidth on the 76 % of H that
     is the diagonal-by-construction landmark block).  ``use_blocks=False``
     is the dense test oracle.
+
+    ``proj_pallas`` fuses the projection linearization + segment assembly
+    into one Pallas kernel (ops/pallas_proj.py; the round-5 trace put the
+    unfused path at ~29 % of the solve).  None = auto: on for the block
+    path on the TPU backend.
     """
+    if proj_pallas is None:
+        proj_pallas = use_blocks and jax.default_backend() == "tpu"
+    assert not (proj_pallas and not use_blocks), \
+        "proj_pallas requires the block-structured path"
     dtype = prob.state0.p.dtype
     _, R_e = _anchor_frame()
     R_e = R_e.astype(dtype)
@@ -418,14 +427,26 @@ def _solve_one_rtk(prob: RTKWindowProblem, lay: TangentLayout,
     def eval_fn(comp):
         win, hid = comp
         cam_ids = jnp.zeros_like(prob.f_ids)
-        b_proj = projection_factor_batch(
-            win, prob.f_ids, cam_ids, prob.l_ids,
-            prob.obs_xy, prob.obs_valid, pbg)
-        if use_blocks:
+        if proj_pallas:
+            from ..factors.visual import PROJ_SQRT_INFO
+            from ..ops.pallas_proj import proj_segments_pallas
+            from ..solver.structured import blocks_from_segments
+            S, pcost = proj_segments_pallas(
+                lay, win.p, win.q, win.tic, win.qic, win.landmarks,
+                pbg, prob.f_ids, cam_ids, prob.l_ids,
+                prob.obs_xy, prob.obs_valid, PROJ_SQRT_INFO)
+            bh, g, cost = blocks_from_segments(lay, S, pcost)
+        elif use_blocks:
+            b_proj = projection_factor_batch(
+                win, prob.f_ids, cam_ids, prob.l_ids,
+                prob.obs_xy, prob.obs_valid, pbg)
             bh, g, cost = projection_assemble_blocks(
                 lay, prob.f_ids, cam_ids, prob.l_ids,
                 b_proj.res, b_proj.jac)
         else:
+            b_proj = projection_factor_batch(
+                win, prob.f_ids, cam_ids, prob.l_ids,
+                prob.obs_xy, prob.obs_valid, pbg)
             H, g, cost = projection_assemble(
                 lay, prob.f_ids, cam_ids, prob.l_ids,
                 b_proj.res, b_proj.jac)

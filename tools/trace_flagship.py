@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Device trace of the flagship batched solve: per-op time by category.
+
+Captures one traced execution of the jitted B-window solve on the real
+TPU, parses the xplane protobuf, and aggregates op durations by HLO
+category and by (truncated) op name — the decision input for which
+component to fuse next (round-4 method, promoted to a tool).
+"""
+import re
+import sys
+import time
+from collections import defaultdict
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_default_matmul_precision", "highest")
+import jax.numpy as jnp
+import numpy as np
+
+from rtk_visual_inertial_navigation_tpu.core.state import TangentLayout
+from rtk_visual_inertial_navigation_tpu.parallel import problems_gnss as PG
+from rtk_visual_inertial_navigation_tpu.solver import DoglegConfig
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+iters = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+nf, nl, nobs, nsamp, cap, ns, nb = 11, 352, 2816, 8, 11, 14, 16
+dtype = jnp.float32
+lay = TangentLayout(nf=nf, nl=nl, nb=nb, nc=2)
+cfg = DoglegConfig(max_iters=iters, schur_nl=nl)
+
+print(f"backend={jax.default_backend()} B={B} iters={iters}")
+probs = PG.make_synthetic_rtk_windows(
+    jax.random.PRNGKey(0), B, nf=nf, nl=nl, nobs=nobs, nsamp=nsamp,
+    cap=cap, ns=ns, nb=nb, dtype=dtype)
+probs = jax.tree.map(jax.device_put, probs)
+
+fn = jax.jit(jax.vmap(lambda p: PG._solve_one_rtk(p, lay, cfg, cap)))
+
+
+def sync(x):
+    leaf = jax.tree.leaves(x)[0]
+    while getattr(leaf, "ndim", 0) > 0:
+        leaf = leaf[0]
+    np.asarray(leaf)
+
+
+out = fn(probs)
+sync(out)
+t0 = time.time()
+out = fn(probs)
+sync(out)
+print(f"solve wall: {1000 * (time.time() - t0):.1f} ms")
+
+trace_dir = "/tmp/flagship_trace"
+jax.profiler.start_trace(trace_dir)
+out = fn(probs)
+sync(out)
+jax.profiler.stop_trace()
+
+# ---- parse ----
+import glob
+
+from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+xs = xplane_pb2.XSpace()
+files = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True))
+with open(files[-1], "rb") as fh:
+    xs.ParseFromString(fh.read())
+
+by_cat = defaultdict(float)
+by_name = defaultdict(float)
+n_ops = 0
+total = 0.0
+for plane in xs.planes:
+    if "TPU" not in plane.name:
+        continue
+    for line in plane.lines:
+        if line.name != "XLA Ops":
+            continue
+        for ev in line.events:
+            md = plane.event_metadata[ev.metadata_id]
+            name = md.name
+            dur = ev.duration_ps / 1e9  # ms
+            total += dur
+            n_ops += 1
+            cat = re.split(r"[.\d]", name, 1)[0]
+            by_cat[cat] += dur
+            # collapse fusion numbering: fusion.123 -> fusion (keep a
+            # couple of big named ones distinct via display name)
+            dn = name
+            for st in md.stats:
+                pass
+            by_name[dn] += dur
+
+print(f"\ntraced ops: {n_ops}, total on-device {total:.1f} ms")
+print("\n-- by category --")
+for k, v in sorted(by_cat.items(), key=lambda kv: -kv[1])[:18]:
+    print(f"{k:28s} {v:9.2f} ms")
+print("\n-- top ops --")
+for k, v in sorted(by_name.items(), key=lambda kv: -kv[1])[:40]:
+    print(f"{k:44s} {v:9.2f} ms")
