@@ -210,6 +210,14 @@ def main():
                     help="skip the first N s of GT (bootstrap lead-in)")
     ap.add_argument("--noiseless", action="store_true")
     ap.add_argument("--compression", default="none")
+    ap.add_argument("--append", action="store_true",
+                    help="accumulate into {seq}_results.jsonl instead of "
+                         "truncating it (per-mode batch invocations; a row "
+                         "for the same seq+mode is replaced, not duplicated)")
+    ap.add_argument("--reuse-bag", action="store_true",
+                    help="skip bag regeneration when {seq}.bag exists "
+                         "(the sim is still rebuilt for scoring — it is "
+                         "deterministic from the seed)")
     args = ap.parse_args()
 
     out_dir = Path(args.out)
@@ -220,21 +228,34 @@ def main():
     sim = make_sim(args, seed)
     bag_path = out_dir / f"{args.seq}.bag"
     gt_path = out_dir / f"{args.seq}_ground.csv"
-    sim_to_bag(sim, str(bag_path), str(gt_path), prism_offset=PTG,
-               compression=args.compression)
+    if not (args.reuse_bag and bag_path.exists()):
+        sim_to_bag(sim, str(bag_path), str(gt_path), prism_offset=PTG,
+                   compression=args.compression)
     print(json.dumps(dict(seq=args.seq, bag=str(bag_path),
                           bag_mb=round(bag_path.stat().st_size / 1e6, 1),
                           duration=args.duration, seed=seed)), flush=True)
 
-    results = []
+    jsonl_path = out_dir / f"{args.seq}_results.jsonl"
     # fresh jsonl per run: append-mode across runs mixed stale rows from
-    # prior invocations into one file (ADVICE r2)
-    (out_dir / f"{args.seq}_results.jsonl").write_text("")
-    for mode in args.modes.split(","):
-        r = run_mode(mode.strip(), sim, bag_path, out_dir, args)
+    # prior invocations into one file (ADVICE r2).  --append keeps rows
+    # from prior per-mode invocations of the SAME batch, replacing any
+    # row with a mode this invocation re-runs.
+    run_modes = [m.strip() for m in args.modes.split(",")]
+    kept = []
+    if args.append and jsonl_path.exists():
+        kept = [json.loads(ln) for ln in
+                jsonl_path.read_text().splitlines() if ln.strip()]
+        kept = [r for r in kept if r.get("mode") not in run_modes]
+    with open(jsonl_path, "w") as f:
+        for r in kept:
+            f.write(json.dumps(r) + "\n")
+
+    results = list(kept)
+    for mode in run_modes:
+        r = run_mode(mode, sim, bag_path, out_dir, args)
         results.append(r)
         # incremental: a killed run keeps its completed modes
-        with open(out_dir / f"{args.seq}_results.jsonl", "a") as f:
+        with open(jsonl_path, "a") as f:
             f.write(json.dumps(r) + "\n")
 
     # the reference's evaluate.py expects {seq}_spp.csv / {seq}_rtk.csv
