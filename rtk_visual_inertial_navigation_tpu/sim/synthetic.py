@@ -69,6 +69,14 @@ class SimConfig:
     # optional right camera (stereo): same rotation, baseline along cam x
     stereo: bool = False
     baseline: float = 0.12
+    # rest period before the motion envelope ramps [s].  The reference's
+    # initialization assumes a static start: InitializePos averages the
+    # first AVERAGE_IMU=400 samples for attitude (rvi/swf/swf_imu.cpp:47-59)
+    # and the driver skips the first AVERAGE_IMAGE=60 images = 2.4 s
+    # (rvi/main3.cpp:180) — so the first processed frame must still be at
+    # rest, as it is on the reference's own recordings.  Protocol bags use
+    # 4.0; unit tests keep the compact 1.0 default.
+    static_lead: float = 1.0
 
 
 @dataclass
@@ -129,13 +137,13 @@ def _envelope(t, t0=1.0, ramp=3.0):
     return e, de, dde
 
 
-def _trajectory(t, rng, yaw0=0.0):
+def _trajectory(t, rng, yaw0=0.0, static_lead=1.0):
     """Smooth, excitation-rich trajectory: enveloped Lissajous position +
     wobbling attitude, starting at rest.  Analytic p, v, a, R, w_body.
     """
     ax, ay, az = 12.0, 8.0, 1.5
     wx, wy, wz = 2 * np.pi / 17.0, 2 * np.pi / 11.0, 2 * np.pi / 7.0
-    e, de, dde = _envelope(t)
+    e, de, dde = _envelope(t, t0=static_lead)
     e, de, dde = e[:, None], de[:, None], dde[:, None]
 
     b = np.stack([ax * np.sin(wx * t), ay * np.sin(wy * t),
@@ -219,7 +227,7 @@ def _simulate_impl(cfg: SimConfig) -> SimData:
     n = int(cfg.duration * cfg.imu_rate) + 1
     t = np.arange(n) / cfg.imu_rate
 
-    p, v, a, R, w_body = _trajectory(t, rng, cfg.yaw0)
+    p, v, a, R, w_body = _trajectory(t, rng, cfg.yaw0, cfg.static_lead)
     p = p + np.asarray(cfg.p0)[None, :]
     q = np.asarray(lie.rot_to_quat(jnp.asarray(R)))
     g_vec = np.array([0.0, 0.0, -cfg.g])

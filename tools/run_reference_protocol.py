@@ -97,6 +97,10 @@ def make_sim(args, seed):
         yaw0=np.deg2rad(args.yaw0),
         p0=np.array([args.offset, -0.5 * args.offset, 2.0]),
         clk0=40.0, clk_drift=1.5,
+        # dataset v2: static until the AVERAGE_IMAGE=60 skip (2.4 s) ends —
+        # the reference's init assumes the first PROCESSED frame is at
+        # rest, as on its own recordings (see SimConfig.static_lead)
+        static_lead=args.static_lead,
     ))
 
 
@@ -124,6 +128,7 @@ def build_config(mode, sim, args):
         solve_step_dtype="same",
         min_fix_continuity=2,
         fix_continue_threshold=40,
+        **getattr(args, "cfg_overrides", {}),
     )
     return cfg
 
@@ -208,6 +213,10 @@ def main():
                     help="start offset from the anchor [m] (first-fix test)")
     ap.add_argument("--skip-s", type=float, default=5.0,
                     help="skip the first N s of GT (bootstrap lead-in)")
+    ap.add_argument("--static-lead", type=float, default=4.0,
+                    help="rest period before the motion envelope [s] "
+                         "(protocol dataset v2; must exceed the "
+                         "AVERAGE_IMAGE skip = 2.4 s)")
     ap.add_argument("--noiseless", action="store_true")
     ap.add_argument("--compression", default="none")
     ap.add_argument("--append", action="store_true",
@@ -218,7 +227,20 @@ def main():
                     help="skip bag regeneration when {seq}.bag exists "
                          "(the sim is still rebuilt for scoring — it is "
                          "deterministic from the seed)")
+    ap.add_argument("--set", action="append", default=[], dest="overrides",
+                    help="EstimatorConfig field override, key=value "
+                         "(value via ast.literal_eval; repeatable). "
+                         "Diagnosis/ablation runs only — protocol rows "
+                         "use the reference yamls verbatim.")
     args = ap.parse_args()
+    import ast
+    args.cfg_overrides = {}
+    for kv in args.overrides:
+        k, _, v = kv.partition("=")
+        try:
+            args.cfg_overrides[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            args.cfg_overrides[k] = v
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
