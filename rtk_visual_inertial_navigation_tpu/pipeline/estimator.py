@@ -172,6 +172,9 @@ class Estimator:
 
         self.prior = _host(MargPrior.empty(self.lay.dim, self.lay.dim,
                                            self.x))
+        # MyOrdering guard state (see _prior_couples_landmarks); refreshed
+        # by every prior rebuild, keys the solve-variant jit cache
+        self._prior_lm_coupled = False
         self.g_world = np.asarray([0.0, 0.0, cfg.g])
         self._pbg = np.asarray(cfg.pbg, dtype=float)
 
@@ -1170,6 +1173,42 @@ class Estimator:
             J=J0, r0=r0, valid_rows=np.ones(self.lay.dim, dtype=bool),
             H0=Hs, g0=gs, c0=np.asarray(r0 @ r0))
 
+    def _prior_couples_landmarks(self) -> bool:
+        """MyOrdering guard (rvi/swf/swf_gnss.cpp:657-679): landmark blocks
+        held by the marginalization prior must NOT be eliminated in Schur
+        group 0 — the prior correlates them with the kept states, so the
+        landmark block of H is no longer 3x3-block-diagonal and the group-0
+        elimination would silently compute a wrong step.
+
+        Our MargImagOld flow consumes every landmark observed at the
+        departing frame (same invariant the reference maintains,
+        swf.cpp:310-325), so this never fires in the pipeline — it is the
+        defensive analog of the reference's `mark_add` exclusion set, and
+        any prior that does touch landmark columns drops the solve to the
+        dense path (= all landmarks leave group 0).  Host-side, once per
+        prior rebuild.
+        """
+        cfg = self.cfg
+        if cfg.use_inverse_depth or cfg.nl == 0:
+            return False     # inverse-depth mode is already dense
+        n3 = 3 * cfg.nl
+        J = np.asarray(self.prior.J)
+        rows = np.asarray(self.prior.valid_rows, dtype=bool)
+        Jl = J[rows, :n3]
+        touches_lm = np.abs(Jl).max(axis=1) > 0 if Jl.size else \
+            np.zeros(0, dtype=bool)
+        if not touches_lm.any():
+            return False
+        # rows touching a landmark: coupled if they also touch anything
+        # outside that landmark's own 3 columns
+        Jt = J[rows][touches_lm]
+        for r in Jt:
+            lm_cols = np.flatnonzero(np.abs(r[:n3]) > 0)
+            if len(np.unique(lm_cols // 3)) > 1 or \
+                    np.abs(r[n3:]).max(initial=0.0) > 0:
+                return True
+        return False
+
     def _dogleg_cfg(self) -> DoglegConfig:
         """Solver config for the pipeline solves.
 
@@ -1182,7 +1221,9 @@ class Estimator:
         Cholesky.
         """
         cfg = self.cfg
-        schur_nl = 0 if cfg.use_inverse_depth else cfg.nl
+        self._prior_lm_coupled = self._prior_couples_landmarks()
+        schur_nl = 0 if (cfg.use_inverse_depth or self._prior_lm_coupled) \
+            else cfg.nl
         keep = ()
         if schur_nl and not cfg.use_gnss:
             keep = tuple(range(FRAME_DIM * cfg.nf + POSE_DIM * 2 + 3))
@@ -1193,10 +1234,13 @@ class Estimator:
                             f_tol=cfg.solve_f_tol)
 
     def _jit_solve(self, want_cov: bool = True):
-        key = "solve_cov" if want_cov else "solve_nocov"
+        # keyed on the CURRENT schur mode: a prior that begins coupling
+        # landmarks (MyOrdering guard) switches to the dense solve variant
+        dl_cfg = self._dogleg_cfg()
+        key = ("solve_cov" if want_cov else "solve_nocov") \
+            + f"_snl{dl_cfg.schur_nl}"
         if key not in self._jit_cache:
             cfg = self.cfg
-            dl_cfg = self._dogleg_cfg()
             hg = self._hg_fn()
             cov_cols = self._cov_cols_const() if want_cov else None
 
@@ -1286,14 +1330,15 @@ class Estimator:
         (a FULL-dimension dense Cholesky, ~6x one reduced GN factorization):
         image frames never run the integer solve, so they use this variant.
         """
-        key = "solve_chains_cov" if want_cov else "solve_chains_nocov"
+        dl_cfg = self._dogleg_cfg()
+        key = ("solve_chains_cov" if want_cov else "solve_chains_nocov") \
+            + f"_snl{dl_cfg.schur_nl}"
         if key not in self._jit_cache:
             cfg = self.cfg
             lay = self.lay
             pbg, g_world = self._pbg, self.g_world
             R_e = self._R_e
             cap = cfg.chain_cap
-            dl_cfg = self._dogleg_cfg()
             hg = self._hg_fn()
             cov_cols = self._cov_cols_const() if want_cov else None
 

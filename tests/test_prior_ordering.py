@@ -1,0 +1,104 @@
+"""MyOrdering parity guard: landmarks held by the marginalization prior
+must leave Schur group 0 (rvi/swf/swf_gnss.cpp:657-679 — the reference
+excludes `last_marg_info->keep_block_addr` from the group-0 feature set).
+
+Our MargImagOld flow maintains the stronger invariant that the prior never
+couples landmarks at all (estimator._marginalize_oldest), so the guard is
+a defensive fallback: if a prior ever does touch landmark columns, the
+pipeline must switch the solve to the dense variant — the group-0
+elimination assumes a 3x3-block-diagonal landmark block and silently
+computes a wrong step otherwise (demonstrated below).
+"""
+
+import numpy as np
+import pytest
+
+from rtk_visual_inertial_navigation_tpu.config import EstimatorConfig
+from rtk_visual_inertial_navigation_tpu.ops import lie
+from rtk_visual_inertial_navigation_tpu.pipeline import Estimator
+from rtk_visual_inertial_navigation_tpu.solver.gauss_newton import (
+    _gn_step_dense, _gn_step_schur)
+
+import jax.numpy as jnp
+
+
+def _mk_est(**kw):
+    r_ic = np.array([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    q_ic = np.asarray(lie.rot_to_quat(jnp.asarray(r_ic)))
+    cfg = EstimatorConfig(qic=np.tile(q_ic, (2, 1)),
+                          tic=np.zeros((2, 3)), nf=5, nl=12, nb=1,
+                          max_obs=64, imu_capacity=16, **kw)
+    return Estimator(cfg)
+
+
+def test_default_prior_uses_schur_group0():
+    est = _mk_est()
+    assert not est._prior_couples_landmarks()
+    assert est._dogleg_cfg().schur_nl == est.cfg.nl
+
+
+def test_coupled_prior_drops_to_dense():
+    est = _mk_est()
+    lay = est.lay
+    J = np.asarray(est.prior.J).copy()
+    # a prior row correlating landmark 3 with pose 0 (what keeping a
+    # prior-connected feature point would produce)
+    row = np.zeros(lay.dim)
+    row[lay.lm_idx(3):lay.lm_idx(3) + 3] = 1.7
+    row[lay.pose_idx(0)] = -0.9
+    J[0] = row
+    valid = np.asarray(est.prior.valid_rows).copy()
+    valid[0] = True
+    est.prior = est.prior._replace(J=J, valid_rows=valid, H0=None, g0=None)
+    assert est._prior_couples_landmarks()
+    assert est._dogleg_cfg().schur_nl == 0
+    # jit-cache key must reflect the mode switch (fresh variant, not the
+    # stale schur-mode executable)
+    est._jit_solve(want_cov=False)
+    assert any(k.endswith("_snl0") for k in est._jit_cache)
+
+
+def test_lm_only_prior_row_is_not_coupling():
+    """A prior row touching ONE landmark only (e.g. a depth prior) keeps
+    the landmark block 3x3-block-diagonal — group 0 stays valid."""
+    est = _mk_est()
+    lay = est.lay
+    J = np.asarray(est.prior.J).copy()
+    row = np.zeros(lay.dim)
+    row[lay.lm_idx(5):lay.lm_idx(5) + 3] = 2.0
+    J[1] = row
+    valid = np.asarray(est.prior.valid_rows).copy()
+    valid[1] = True
+    est.prior = est.prior._replace(J=J, valid_rows=valid, H0=None, g0=None)
+    assert not est._prior_couples_landmarks()
+    assert est._dogleg_cfg().schur_nl == est.cfg.nl
+
+
+def test_group0_elimination_wrong_under_coupling():
+    """Why the guard exists: with landmark-landmark coupling in H, the
+    group-0 step diverges from the dense step; without it they agree."""
+    rng = np.random.default_rng(0)
+    nl, dr = 4, 7
+    d = 3 * nl + dr
+    A = rng.normal(size=(2 * d, d))
+    # block-diagonal landmark part: zero landmark-landmark cross blocks
+    H = A.T @ A + 10.0 * np.eye(d)
+    Hd = H.copy()
+    for i in range(nl):
+        for j in range(nl):
+            if i != j:
+                Hd[3 * i:3 * i + 3, 3 * j:3 * j + 3] = 0.0
+    g = rng.normal(size=d)
+
+    p_schur = np.asarray(_gn_step_schur(jnp.asarray(Hd), jnp.asarray(g),
+                                        nl))
+    p_dense = np.asarray(_gn_step_dense(jnp.asarray(Hd), jnp.asarray(g)))
+    np.testing.assert_allclose(p_schur, p_dense, rtol=1e-8, atol=1e-10)
+
+    # now the COUPLED H: group-0 elimination (which only reads the 3x3
+    # diagonal blocks) is no longer the true GN step
+    p_schur_c = np.asarray(_gn_step_schur(jnp.asarray(H), jnp.asarray(g),
+                                          nl))
+    p_dense_c = np.asarray(_gn_step_dense(jnp.asarray(H), jnp.asarray(g)))
+    assert np.linalg.norm(p_schur_c - p_dense_c) > 1e-3 * \
+        np.linalg.norm(p_dense_c)
