@@ -36,7 +36,8 @@ from ..factors.inertial import imu_factor_batch
 from ..factors.visual import projection_factor_batch
 from ..ops import lie
 from ..preintegration import preintegrate
-from ..solver import (DoglegConfig, assemble, dogleg_solve, masked_cov_cols)
+from ..solver import (DoglegConfig, assemble, assemble_gram, dogleg_solve,
+                      masked_cov_cols)
 from ..solver.chain_factors import (ChainHidden, ChainRows, ChainStatic,
                                     chain_contrib, chain_imu_whitening,
                                     chain_retract_aux, empty_chain_mid,
@@ -481,9 +482,10 @@ def _solve_one_rtk(prob: RTKWindowProblem, lay: TangentLayout,
         ]
         if use_blocks:
             # window-frame GNSS + IMU rows also touch only the reduced
-            # block: assemble into (Dr, Dr) with shifted indices
+            # block: scatter-free Gram assembly into (Dr, Dr) with shifted
+            # indices (masked rows shift negative and one-hot to zero)
             shifted = [b._replace(gidx=b.gidx - n3) for b in batches]
-            Hg, gg, cg = assemble(shifted, lay.dim - n3)
+            Hg, gg, cg = assemble_gram(shifted, lay.dim - n3)
             gp, cp = prior_gc(win)
             bh = bh._replace(Hrr=bh.Hrr + Hg).add(bh_prior)
             g = g.at[n3:].add(gg) + gp

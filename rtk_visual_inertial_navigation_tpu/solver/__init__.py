@@ -1,5 +1,6 @@
 from .gauss_newton import (  # noqa: F401
     assemble,
+    assemble_gram,
     dogleg_solve,
     DoglegConfig,
 )

@@ -45,6 +45,40 @@ def assemble(batches: Sequence[FactorBatch], dim: int, dtype=None):
     return H, g, cost
 
 
+def assemble_gram(batches: Sequence[FactorBatch], dim: int, dtype=None):
+    """Scatter-free assemble: expanded-jacobian one-hot placement + one
+    MXU Gram.
+
+    Identical result to :func:`assemble`, different lowering: each factor
+    row's (r, d) jacobian is placed into a dense (r, dim) row block by a
+    one-hot contraction, all rows concatenate into one (R, dim) expanded
+    jacobian, and H = JᵀJ / g = Jᵀres are two matmuls.  On TPU the generic
+    gidx scatter lowers to serialized kCustom scatter fusions (~40 ms per
+    batched flagship solve in the round-5 device trace); the matmul form
+    rides the MXU.  Out-of-range gidx rows (e.g. masked rows shifted
+    negative) one-hot to zero — contributing nothing, as in assemble.
+
+    Worth it only when dim is small enough that R·dim redundancy is cheap
+    (the reduced block, dim ≈ 339); the pipeline's host/CPU path keeps the
+    scatter form.
+    """
+    if dtype is None:
+        dtype = batches[0].res.dtype if batches else jnp.float64
+    Js, rs, cost = [], [], jnp.zeros((), dtype)
+    for b in batches:
+        rows, r, d = b.jac.shape
+        O = jax.nn.one_hot(b.gidx, dim, dtype=dtype)       # (rows, d, dim)
+        Js.append(jnp.einsum("brd,bdD->brD", b.jac.astype(dtype),
+                             O).reshape(rows * r, dim))
+        rs.append(b.res.astype(dtype).reshape(rows * r))
+        cost = cost + 0.5 * jnp.sum(b.res.astype(dtype) * b.res)
+    J = jnp.concatenate(Js, axis=0)
+    rv = jnp.concatenate(rs, axis=0)
+    H = jnp.einsum("rD,rE->DE", J, J)
+    g = J.T @ rv
+    return H, g, cost
+
+
 def _matvec(H, p):
     """H @ p for dense arrays OR block-structured Hessians (BlockHess)."""
     return H.matvec(p) if hasattr(H, "matvec") else H @ p

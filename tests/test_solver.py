@@ -4,7 +4,7 @@ import numpy as np
 
 from rtk_visual_inertial_navigation_tpu.factors.base import FactorBatch
 from rtk_visual_inertial_navigation_tpu.solver import (
-    DoglegConfig, assemble, dogleg_solve, marginalize_dense)
+    DoglegConfig, assemble, assemble_gram, dogleg_solve, marginalize_dense)
 from rtk_visual_inertial_navigation_tpu.solver.gauss_newton import (
     apply_free_mask, _dogleg_step)
 
@@ -32,6 +32,46 @@ def test_assemble_matches_dense():
     np.testing.assert_allclose(H, Hd, atol=1e-12)
     np.testing.assert_allclose(g, gd, atol=1e-12)
     np.testing.assert_allclose(cost, 0.5 * float(b @ b), atol=1e-12)
+
+
+def test_assemble_gram_matches_scatter():
+    """Scatter-free Gram assembly == scatter assembly, including masked
+    rows whose shifted gidx went negative (out-of-range one-hots to 0)."""
+    rng = np.random.default_rng(3)
+    D = 23
+    batches = []
+    for rows, r, d in [(6, 2, 5), (4, 15, 9), (3, 1, 4)]:
+        jac = rng.normal(size=(rows, r, d))
+        res = rng.normal(size=(rows, r))
+        # distinct slots per row (as real factor rows have; the numpy
+        # np.ix_ oracle below cannot accumulate duplicate indices)
+        gidx = np.stack([rng.choice(D, size=d, replace=False)
+                         for _ in range(rows)]).astype(np.int32)
+        # mask the last row: zero jac/res, gidx deliberately out of range
+        jac[-1] = 0.0
+        res[-1] = 0.0
+        gidx[-1] = -7
+        batches.append(FactorBatch(
+            res=jnp.asarray(res), jac=jnp.asarray(jac),
+            gidx=jnp.asarray(gidx), valid=jnp.ones((rows,), bool)))
+    # reference: per-batch dense accumulation in numpy (independent oracle)
+    Hd = np.zeros((D, D))
+    gd = np.zeros(D)
+    cd = 0.0
+    for b in batches:
+        for i in range(b.jac.shape[0]):
+            gi = np.asarray(b.gidx[i])
+            if (gi < 0).any():
+                continue
+            J = np.asarray(b.jac[i])
+            rr = np.asarray(b.res[i])
+            Hd[np.ix_(gi, gi)] += J.T @ J
+            gd[gi] += J.T @ rr
+        cd += 0.5 * float(np.sum(np.asarray(b.res) ** 2))
+    H, g, cost = assemble_gram(batches, D)
+    np.testing.assert_allclose(np.asarray(H), Hd, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(g), gd, atol=1e-10)
+    np.testing.assert_allclose(float(cost), cd, atol=1e-10)
 
 
 def test_assemble_duplicate_indices_accumulate():
