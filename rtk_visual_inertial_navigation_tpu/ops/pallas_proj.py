@@ -109,7 +109,7 @@ def _proj_kernel(p_ref, lm_ref, Rt_ref, Rct_ref, dc_ref,
                  fid_ref, cid_ref, lid_ref, xy_ref, val_ref,
                  PP_ref, PL_ref, PE_ref, EE_ref, LE_ref, LL_ref,
                  gP_ref, gL_ref, gE_ref, cost_ref,
-                 *, nf, nl, nc, T, weight, cauchy_a):
+                 *, nf, nl, nc, T, weight, cauchy_a, want_ext):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -175,15 +175,19 @@ def _proj_kernel(p_ref, lm_ref, Rt_ref, Rct_ref, dc_ref,
 
     B1 = _mat3_mul(Rct, Rt)                    # Rc^T R^T
     C = _mat3_skew_right(Rct, pts_imu)         # Rc^T [pts_imu]x
-    SXc = _skew9(Xc)
 
     # jac rows (2 residual rows x channel blocks); tangent layout of
-    # factors.visual._single_proj: [dp3, dth3 | dte3, dthe3 | dlm3]
+    # factors.visual._single_proj: [dp3, dth3 | dte3, dthe3 | dlm3].
+    # want_ext=False (extrinsics not estimated, e.g. flagship problem with
+    # ESTIMATE_EXTRINSIC off) skips every extrinsic product — their blocks
+    # would be masked to unit-diagonal by the solve anyway.
     dlm0, dlm1 = _apply_pz(a, c0, c1, B1)
     dp0, dp1 = -dlm0, -dlm1
     dth0, dth1 = _apply_pz(a, c0, c1, C)
-    dte0, dte1 = _apply_pz(-a, -c0, -c1, Rct)
-    dthe0, dthe1 = _apply_pz(a, c0, c1, SXc)
+    if want_ext:
+        SXc = _skew9(Xc)
+        dte0, dte1 = _apply_pz(-a, -c0, -c1, Rct)
+        dthe0, dthe1 = _apply_pz(a, c0, c1, SXc)
 
     if cauchy_a > 0.0:
         a2 = jnp.asarray(cauchy_a * cauchy_a, dtype)
@@ -194,8 +198,9 @@ def _proj_kernel(p_ref, lm_ref, Rt_ref, Rct_ref, dc_ref,
         r0, r1 = r0 * wr, r1 * wr
         dp0, dp1 = dp0 * wr, dp1 * wr
         dth0, dth1 = dth0 * wr, dth1 * wr
-        dte0, dte1 = dte0 * wr, dte1 * wr
-        dthe0, dthe1 = dthe0 * wr, dthe1 * wr
+        if want_ext:
+            dte0, dte1 = dte0 * wr, dte1 * wr
+            dthe0, dthe1 = dthe0 * wr, dthe1 * wr
         dlm0, dlm1 = dlm0 * wr, dlm1 * wr
     else:
         cost_t = 0.5 * jnp.sum(r0 * r0 + r1 * r1)
@@ -204,8 +209,9 @@ def _proj_kernel(p_ref, lm_ref, Rt_ref, Rct_ref, dc_ref,
     # broadcast + lane-merging reshape: "unsupported shape cast") ---
     Jp0 = jnp.concatenate([dp0, dth0], axis=1)     # (T,6) row 0
     Jp1 = jnp.concatenate([dp1, dth1], axis=1)
-    Je0 = jnp.concatenate([dte0, dthe0], axis=1)
-    Je1 = jnp.concatenate([dte1, dthe1], axis=1)
+    if want_ext:
+        Je0 = jnp.concatenate([dte0, dthe0], axis=1)
+        Je1 = jnp.concatenate([dte1, dthe1], axis=1)
 
     def expand2(J0, J1, ids, n, k):
         """Two (T, n*k) arrays with J's k columns placed at segment
@@ -228,17 +234,18 @@ def _proj_kernel(p_ref, lm_ref, Rt_ref, Rct_ref, dc_ref,
         return out0, out1
 
     A0, A1 = expand2(Jp0, Jp1, fid, nf, 6)     # (T, nf*6)
-    E0, E1 = expand2(Je0, Je1, cid, nc, 6)     # (T, nc*6)
     V0, V1 = expand2(dlm0, dlm1, lid, nl, 3)   # (T, nl*3)
 
     PP_ref[:] += dot(A0, A0, TN) + dot(A1, A1, TN)
     PL_ref[:] += dot(A0, V0, TN) + dot(A1, V1, TN)
-    PE_ref[:] += dot(A0, E0, TN) + dot(A1, E1, TN)
-    EE_ref[:] += dot(E0, E0, TN) + dot(E1, E1, TN)
-    LE_ref[:] += dot(V0, E0, TN) + dot(V1, E1, TN)
+    if want_ext:
+        E0, E1 = expand2(Je0, Je1, cid, nc, 6)     # (T, nc*6)
+        PE_ref[:] += dot(A0, E0, TN) + dot(A1, E1, TN)
+        EE_ref[:] += dot(E0, E0, TN) + dot(E1, E1, TN)
+        LE_ref[:] += dot(V0, E0, TN) + dot(V1, E1, TN)
+        gE_ref[:] += dot(E0, r0, TN) + dot(E1, r1, TN)
     gP_ref[:] += dot(A0, r0, TN) + dot(A1, r1, TN)
     gL_ref[:] += dot(V0, r0, TN) + dot(V1, r1, TN)
-    gE_ref[:] += dot(E0, r0, TN) + dot(E1, r1, TN)
 
     # landmark 3x3 diagonal: per-obs ll channels segment-summed by Ol
     ll = jnp.concatenate(
@@ -252,6 +259,7 @@ def _proj_kernel(p_ref, lm_ref, Rt_ref, Rct_ref, dc_ref,
 def proj_segments_pallas(lay: TangentLayout, p, q, tic, qic, landmarks,
                          pbg, f_ids, cam_ids, l_ids, meas_xy, valid,
                          weight, cauchy_a: float = 0.0, tile: int = 128,
+                         want_ext: bool = True,
                          interpret: bool = False):
     """Segment blocks S (as solver.structured._proj_segments) + cost.
 
@@ -301,7 +309,8 @@ def proj_segments_pallas(lay: TangentLayout, p, q, tic, qic, landmarks,
 
     kern = functools.partial(_proj_kernel, nf=nf, nl=nl, nc=nc, T=T,
                              weight=float(weight),
-                             cauchy_a=float(cauchy_a))
+                             cauchy_a=float(cauchy_a),
+                             want_ext=bool(want_ext))
     args = (p, landmarks, Rt, Rct, dc,
             f_ids.astype(jnp.int32)[:, None],
             cam_ids.astype(jnp.int32)[:, None],

@@ -432,10 +432,15 @@ def _solve_one_rtk(prob: RTKWindowProblem, lay: TangentLayout,
             from ..factors.visual import PROJ_SQRT_INFO
             from ..ops.pallas_proj import proj_segments_pallas
             from ..solver.structured import blocks_from_segments
+            # want_ext=False: the flagship free mask never frees the
+            # extrinsic slots (make_synthetic_rtk_windows, ESTIMATE_
+            # EXTRINSIC off) — every extrinsic product would be masked to
+            # unit diagonal anyway, so the kernel skips them
             S, pcost = proj_segments_pallas(
                 lay, win.p, win.q, win.tic, win.qic, win.landmarks,
                 pbg, prob.f_ids, cam_ids, prob.l_ids,
-                prob.obs_xy, prob.obs_valid, PROJ_SQRT_INFO)
+                prob.obs_xy, prob.obs_valid, PROJ_SQRT_INFO,
+                tile=256, want_ext=False)
             bh, g, cost = blocks_from_segments(lay, S, pcost)
         elif use_blocks:
             b_proj = projection_factor_batch(

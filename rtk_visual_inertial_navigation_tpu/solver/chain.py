@@ -285,11 +285,28 @@ def scan_chain_tail_bidir(leaves: ChainTailElem, n_leaves, cap: int):
     revt = jax.tree.map(lambda x: jnp.roll(x, -shift, axis=0), revt)
     both = jax.tree.map(lambda a, b: jnp.stack([a, b], axis=1),
                         leaves, revt)
-    # (power-of-two padding of the scan axis was tried to remove the
-    # odd-length pad/slice ops visible in the device trace — every
-    # variant re-triggers the TPU compiler's >5-D Pad SIGABRT, so the
-    # natural length stays)
-    scanned = jax.lax.associative_scan(_combine_tail, both, axis=0)
+    # SEQUENTIAL prefix scan, not associative_scan: at these shapes the
+    # monoid is latency-bound, and the O(log n) doubling does ~n·log n
+    # combines plus odd-length pad/slice/select churn at every level (the
+    # round-5 device trace put those pads/copies at ~15% of the solve).
+    # cap-1 plain combines with zero pads are faster until cap is large
+    # (callers batch (B, chains, 2dirs) into every combine, so the VPU is
+    # equally fed either way).  associative_scan stays available via
+    # RVI_TPU_CHAIN_ASSOC_SCAN=1 for pod-scale caps.
+    import os
+    if os.environ.get("RVI_TPU_CHAIN_ASSOC_SCAN"):
+        scanned = jax.lax.associative_scan(_combine_tail, both, axis=0)
+    else:
+        first = jax.tree.map(lambda x: x[0], both)
+
+        def step(carry, leaf):
+            nxt = _combine_tail(carry, leaf)
+            return nxt, nxt
+
+        rest = jax.tree.map(lambda x: x[1:], both)
+        _, tail = jax.lax.scan(step, first, rest)
+        scanned = jax.tree.map(
+            lambda f, t: jnp.concatenate([f[None], t], axis=0), first, tail)
     F = jax.tree.map(lambda x: x[:, 0], scanned)
     G = jax.tree.map(lambda x: x[:, 1], scanned)
     return F, G
