@@ -56,6 +56,12 @@ from .chains import (ChainRecord, chain_device_inputs, merge_rows,
 # vmapped-autodiff solves per instance dominated the test-suite wall time
 _GLOBAL_JIT_CACHE: dict = {}
 
+# RVI_REPLAY_STATS=1: per-100-frame solve wall / accepted-step telemetry on
+# stderr (replay performance diagnosis; zero cost when off)
+import os as _os
+
+_REPLAY_STATS = bool(_os.environ.get("RVI_REPLAY_STATS"))
+
 
 def _cfg_signature(cfg) -> tuple:
     return (cfg.nf, cfg.nl, cfg.nb, cfg.max_obs, cfg.imu_capacity,
@@ -175,6 +181,9 @@ class Estimator:
         # MyOrdering guard state (see _prior_couples_landmarks); refreshed
         # by every prior rebuild, keys the solve-variant jit cache
         self._prior_lm_coupled = False
+        self._stat_frames = 0
+        self._stat_solve_s = 0.0
+        self._stat_nacc = 0
         self.g_world = np.asarray([0.0, 0.0, cfg.g])
         self._pbg = np.asarray(cfg.pbg, dtype=float)
 
@@ -1085,6 +1094,8 @@ class Estimator:
             self._last_cov_cols = X
             return res._replace(state=self.x)
 
+        import time as _time
+        _t0 = _time.time()
         res = run()
         c = float(np.asarray(res.cost))
         if not np.isfinite(c) or c > 1e10:
@@ -1093,6 +1104,18 @@ class Estimator:
             # second pass starts from the first pass's accepted iterates
             res = run()
         self.last_solve = res
+        if _REPLAY_STATS:
+            self._stat_frames += 1
+            self._stat_solve_s += _time.time() - _t0
+            self._stat_nacc += int(np.asarray(res.n_accepted))
+            if self._stat_frames % 100 == 0:
+                import sys as _sys
+                print(f"[replay-stats] f={self._stat_frames} "
+                      f"solve={self._stat_solve_s:.1f}s "
+                      f"nacc/frame={self._stat_nacc / 100:.2f} "
+                      f"cost={c:.3e}", file=_sys.stderr, flush=True)
+                self._stat_solve_s = 0.0
+                self._stat_nacc = 0
         self._update_world_mirror()
 
     def _update_world_mirror(self):
