@@ -138,17 +138,27 @@ def _gather_seq(win: WindowState, hid: ChainHidden, st: ChainStatic,
             seq(win.ba, hid.ba), seq(win.bg, hid.bg))
 
 
-def _gnss_row_eval(hid: ChainHidden, phase_bias, rows: ChainRows, R_e):
+def _gnss_row_eval(hid: ChainHidden, phase_bias, rows: ChainRows, R_e,
+                   gathered=None):
     """(res, jac8) per row at the hidden linearization.
 
     Compact per-row tangent t = [dp(3), dv(3), dclk(1), dN(1)].
+
+    ``gathered``: optional per-row (p, v, clk, N) state, pre-gathered by
+    the caller — _epoch_unaries computes them as one-hot matmuls (shared
+    with its segment assembly), replacing the per-row dynamic gathers
+    that lowered to serialized kCustom gather fusions (~45 ms of the
+    batched flagship solve, round-5 trace).
     """
-    def one(row: ChainRows):
-        s = row.state_idx - 1                     # hidden slot
-        p = hid.p[s]
-        v = hid.v[s]
-        clk = hid.clk[s, row.clk_slot]
-        N = phase_bias[row.pb_slot]
+    def one(row: ChainRows, g):
+        if g is None:
+            s = row.state_idx - 1                 # hidden slot
+            p = hid.p[s]
+            v = hid.v[s]
+            clk = hid.clk[s, row.clk_slot]
+            N = phase_bias[row.pb_slot]
+        else:
+            p, v, clk, N = g
 
         def res_fn(t):
             x_e = _ecef_local(p + t[0:3], R_e)
@@ -170,7 +180,9 @@ def _gnss_row_eval(hid: ChainHidden, phase_bias, rows: ChainRows, R_e):
         zero = jnp.zeros((8,), dtype=p.dtype)
         return res_fn(zero), jax.jacrev(res_fn)(zero)
 
-    return jax.vmap(one)(rows)
+    if gathered is None:
+        return jax.vmap(lambda r: one(r, None))(rows)
+    return jax.vmap(one)(rows, gathered)
 
 
 def _epoch_unaries(hid: ChainHidden, phase_bias, rows: ChainRows, R_e,
@@ -188,7 +200,18 @@ def _epoch_unaries(hid: ChainHidden, phase_bias, rows: ChainRows, R_e,
     m = cap - 1
     S = D + NCLK + dn
     dtype = hid.p.dtype
-    res, jac = _gnss_row_eval(hid, phase_bias, rows, R_e)
+    # One-hot placements double as the state GATHER (one-hot matmul rides
+    # the MXU; the per-row dynamic gathers were serialized kCustom gather
+    # fusions, ~45 ms of the batched flagship solve in the round-5 trace)
+    si = jnp.clip(rows.state_idx - 1, 0, m - 1)
+    O_s = jax.nn.one_hot(si, m, dtype=dtype)                   # (CR, m)
+    O_n = jax.nn.one_hot(rows.pb_slot, dn, dtype=dtype)        # (CR, dn)
+    O_sc = jax.nn.one_hot(si * NCLK + rows.clk_slot, m * NCLK,
+                          dtype=dtype)                         # (CR, 13m)
+    gathered = (O_s @ hid.p, O_s @ hid.v,
+                O_sc @ hid.clk.reshape(m * NCLK),
+                O_n @ phase_bias)
+    res, jac = _gnss_row_eval(hid, phase_bias, rows, R_e, gathered)
     vm = rows.valid.astype(dtype)
     res = res * vm[:, None]
     jac = jac * vm[:, None, None]
@@ -199,16 +222,11 @@ def _epoch_unaries(hid: ChainHidden, phase_bias, rows: ChainRows, R_e,
     # matmuls + static block placement instead of a (CR, 8, 8) scatter-add
     # into (m, S, S): the scatter was 123 of the 151 ms chain cost per
     # iteration on TPU (round-3 profile).
-    si = jnp.clip(rows.state_idx - 1, 0, m - 1)
     J = jac[:, 0, :]                               # (CR, 8)
     r = res[:, 0]                                  # (CR,)
     Js = J[:, 0:6]                                 # dp, dv
     Jc = J[:, 6]                                   # clk
     Jn = J[:, 7]                                   # N
-    O_s = jax.nn.one_hot(si, m, dtype=dtype)                   # (CR, m)
-    O_n = jax.nn.one_hot(rows.pb_slot, dn, dtype=dtype)        # (CR, dn)
-    O_sc = jax.nn.one_hot(si * NCLK + rows.clk_slot, m * NCLK,
-                          dtype=dtype)                         # (CR, 13m)
     O_sn = jnp.einsum("bs,bn->bsn", O_s, O_n).reshape(-1, m * dn)
 
     Hss = jnp.einsum("bs,bi,bj->sij", O_s, Js, Js)             # (m,6,6)
