@@ -109,7 +109,7 @@ def _proj_kernel(p_ref, lm_ref, Rt_ref, Rct_ref, dc_ref,
                  fid_ref, cid_ref, lid_ref, xy_ref, val_ref,
                  PP_ref, PL_ref, PE_ref, EE_ref, LE_ref, LL_ref,
                  gP_ref, gL_ref, gE_ref, cost_ref,
-                 *, nf, nl, nc, T, weight, cauchy_a, want_ext):
+                 *, nf, nl, nc, T, weight, cauchy_a, want_ext, mxu_bf16):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -236,16 +236,30 @@ def _proj_kernel(p_ref, lm_ref, Rt_ref, Rct_ref, dc_ref,
     A0, A1 = expand2(Jp0, Jp1, fid, nf, 6)     # (T, nf*6)
     V0, V1 = expand2(dlm0, dlm1, lid, nl, 3)   # (T, nl*3)
 
-    PP_ref[:] += dot(A0, A0, TN) + dot(A1, A1, TN)
-    PL_ref[:] += dot(A0, V0, TN) + dot(A1, V1, TN)
+    # Gram dots.  mxu_bf16 (OFF by default) would halve MXU passes by
+    # feeding bf16 operands with f32 accumulation — one-hot masks are
+    # exact in bf16 and only the GN model would see the rounding — but
+    # this backend's Mosaic rejects every variant tried (bf16 dot
+    # operands: "Bad lhs type"; concat-then-cast: "result/input offset
+    # mismatch on non-concat dimension").  Kept as a documented negative
+    # result; revisit on a newer Mosaic.
+    cast = (lambda x: x.astype(jnp.bfloat16)) if mxu_bf16 else (lambda x: x)
+    fdot = functools.partial(jax.lax.dot_general,
+                             preferred_element_type=dtype)
+    A0c, A1c = cast(A0), cast(A1)
+    V0c, V1c = cast(V0), cast(V1)
+    r0c, r1c = cast(r0), cast(r1)
+    PP_ref[:] += fdot(A0c, A0c, TN) + fdot(A1c, A1c, TN)
+    PL_ref[:] += fdot(A0c, V0c, TN) + fdot(A1c, V1c, TN)
     if want_ext:
         E0, E1 = expand2(Je0, Je1, cid, nc, 6)     # (T, nc*6)
-        PE_ref[:] += dot(A0, E0, TN) + dot(A1, E1, TN)
-        EE_ref[:] += dot(E0, E0, TN) + dot(E1, E1, TN)
-        LE_ref[:] += dot(V0, E0, TN) + dot(V1, E1, TN)
-        gE_ref[:] += dot(E0, r0, TN) + dot(E1, r1, TN)
-    gP_ref[:] += dot(A0, r0, TN) + dot(A1, r1, TN)
-    gL_ref[:] += dot(V0, r0, TN) + dot(V1, r1, TN)
+        E0c, E1c = cast(E0), cast(E1)
+        PE_ref[:] += fdot(A0c, E0c, TN) + fdot(A1c, E1c, TN)
+        EE_ref[:] += fdot(E0c, E0c, TN) + fdot(E1c, E1c, TN)
+        LE_ref[:] += fdot(V0c, E0c, TN) + fdot(V1c, E1c, TN)
+        gE_ref[:] += fdot(E0c, r0c, TN) + fdot(E1c, r1c, TN)
+    gP_ref[:] += fdot(A0c, r0c, TN) + fdot(A1c, r1c, TN)
+    gL_ref[:] += fdot(V0c, r0c, TN) + fdot(V1c, r1c, TN)
 
     # landmark 3x3 diagonal: per-obs ll channels segment-summed by Ol
     ll = jnp.concatenate(
@@ -259,7 +273,7 @@ def _proj_kernel(p_ref, lm_ref, Rt_ref, Rct_ref, dc_ref,
 def proj_segments_pallas(lay: TangentLayout, p, q, tic, qic, landmarks,
                          pbg, f_ids, cam_ids, l_ids, meas_xy, valid,
                          weight, cauchy_a: float = 0.0, tile: int = 128,
-                         want_ext: bool = True,
+                         want_ext: bool = True, mxu_bf16: bool = False,
                          interpret: bool = False):
     """Segment blocks S (as solver.structured._proj_segments) + cost.
 
@@ -310,7 +324,8 @@ def proj_segments_pallas(lay: TangentLayout, p, q, tic, qic, landmarks,
     kern = functools.partial(_proj_kernel, nf=nf, nl=nl, nc=nc, T=T,
                              weight=float(weight),
                              cauchy_a=float(cauchy_a),
-                             want_ext=bool(want_ext))
+                             want_ext=bool(want_ext),
+                             mxu_bf16=bool(mxu_bf16) and not interpret)
     args = (p, landmarks, Rt, Rct, dc,
             f_ids.astype(jnp.int32)[:, None],
             cam_ids.astype(jnp.int32)[:, None],
