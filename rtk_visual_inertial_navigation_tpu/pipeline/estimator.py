@@ -800,30 +800,55 @@ class Estimator:
     # ------------------------------------------------------------------
     # frame insertion + IMU propagation
     # ------------------------------------------------------------------
-    def _interval_arrays(self):
-        """Fixed-capacity (dts, accs, gyrs, valid) from the IMU buffer."""
+    def _interval_arrays(self, lo: int = 0):
+        """Fixed-capacity (dts, accs, gyrs, valid) from buffer[lo:lo+cap]."""
         cap = self.cfg.imu_capacity
-        n = min(len(self._imu_t), cap)
+        n = min(len(self._imu_t) - lo, cap)
         dts = np.zeros(cap)
         accs = np.zeros((cap, 3))
         gyrs = np.zeros((cap, 3))
         valid = np.zeros(cap, dtype=bool)
-        ts = np.asarray(self._imu_t[:n])
+        ts = np.asarray(self._imu_t[lo:lo + n])
         dts[1:n] = np.diff(ts)
-        accs[:n] = np.asarray(self._imu_acc[:n])
-        gyrs[:n] = np.asarray(self._imu_gyr[:n])
+        if lo > 0 and n > 0:
+            # chunk boundary: carry the gap to the previous sample so the
+            # composed sum_dt spans the whole buffer
+            dts[0] = ts[0] - self._imu_t[lo - 1]
+        accs[:n] = np.asarray(self._imu_acc[lo:lo + n])
+        gyrs[:n] = np.asarray(self._imu_gyr[lo:lo + n])
         valid[:n] = True
         return dts, accs, gyrs, valid
 
+    def _preintegrate_buffer(self, k):
+        """Preintegrate the WHOLE IMU buffer, however long.
+
+        The buffer usually holds ≤ imu_capacity samples (consecutive
+        frames are 25–100 Hz apart), but long frame gaps happen — the
+        AVERAGE_IMAGE=60 driver skip leaves ~1.4 s between the init frame
+        and the first processed image (rvi/main3.cpp:180), and outages
+        can gap arbitrarily.  Silently truncating to the first capacity
+        samples (the old behavior) produced a preintegration whose
+        sum_dt disagreed with the frame spacing.  Chunks of capacity
+        compose in closed form (merge_preintegrations — the same O(1)
+        composition SlideWindowFrame uses)."""
+        ba, bg = self.x.ba[k], self.x.bg[k]
+        cap = self.cfg.imu_capacity
+        n = len(self._imu_t)
+        pre = None
+        for lo in range(0, max(n, 1), cap):
+            arrs = self._interval_arrays(lo)
+            chunk = _host(self._jit(preintegrate, "preint")(
+                *arrs, ba, bg, self.cfg.imu_noise))
+            pre = chunk if pre is None else _host(self._jit(
+                merge_preintegrations, "premerge")(pre, chunk))
+        return pre
+
     def _add_frame(self, t):
         k = self.frame_count - 1       # interval index: frame k -> k+1
-        dts, accs, gyrs, valid = self._interval_arrays()
-        pre = _host(self._jit(preintegrate, "preint")(
-            dts, accs, gyrs, valid, self.x.ba[k], self.x.bg[k],
-            self.cfg.imu_noise))
+        pre = self._preintegrate_buffer(k)
         self.pre[k] = pre
         self._last_interval_bad = \
-            float(pre.sum_dt) > 10.0 or not bool(valid.any())
+            float(pre.sum_dt) > 10.0 or len(self._imu_t) == 0
         # dead-reckoning prediction (IMUProcess propagation semantics)
         p, q, v = self._predict(pre, k)
         xp, xq, xv = self.x.p.copy(), self.x.q.copy(), self.x.v.copy()

@@ -179,3 +179,40 @@ def test_vmap_and_jit():
     single = preintegrate(dts, accs, gyrs, valid, jnp.zeros(3), jnp.zeros(3),
                           NOISE)
     np.testing.assert_allclose(out.delta_p[0], single.delta_p, atol=1e-12)
+
+
+def test_estimator_buffer_overflow_spans_full_gap():
+    """A frame gap longer than imu_capacity must preintegrate the WHOLE
+    buffer (chunked + composed), not silently truncate to the first
+    capacity samples — the AVERAGE_IMAGE=60 driver skip leaves ~1.4 s
+    between the init frame and the first image (rvi/main3.cpp:180)."""
+    import numpy as np
+
+    from rtk_visual_inertial_navigation_tpu.config import EstimatorConfig
+    from rtk_visual_inertial_navigation_tpu.pipeline import Estimator
+
+    cfg = EstimatorConfig(nf=4, nl=8, nb=1, max_obs=32, imu_capacity=16,
+                          average_imu=10)
+    est = Estimator(cfg)
+    dt = 1.0 / 100.0
+    acc = np.array([0.0, 0.0, 9.81])
+    gyr = np.zeros(3)
+    t = 0.0
+    for _ in range(12):             # init (average_imu=10)
+        est.process_imu(t, acc, gyr)
+        t += dt
+    # first image creates frame 0
+    est.process_image(t, np.array([0]), np.array([[0.0, 0.0]]))
+    assert est.initialized
+    # 50 more samples into the buffer (> imu_capacity=16), then a frame
+    n_gap = 50
+    for _ in range(n_gap):
+        est.process_imu(t, acc, gyr)
+        t += dt
+    est.process_image(t, np.array([0]), np.array([[0.0, 0.0]]))
+    k = est.frame_count - 2
+    pre = est.pre[k]
+    assert pre is not None
+    # sum_dt must span the whole gap (49 diffs + boundary carries), not
+    # the first 16 samples
+    assert float(pre.sum_dt) > 0.9 * n_gap * dt, float(pre.sum_dt)
