@@ -405,19 +405,19 @@ def solve_chain_interior_affine(F: ChainTailElem, leaves: ChainTailElem,
     A = jnp.where(active[:, None, None], A, eye)
     b = jnp.where(active[:, None], b, 0.0)
 
-    # compose backwards: x_k = (φ_k ∘ φ_{k+1} ∘ … ∘ φ_m)(dx_j); on the
-    # REVERSED array, prefix_j = φ_{m-j+1}∘…∘φ_m with combine(L,R) = R∘L
-    Ar = jnp.flip(A, axis=0)
-    br = jnp.flip(b, axis=0)
+    # apply backwards: x_k = A_k x_{k+1} + b_k starting from x_m+1 = dx_j.
+    # A plain backward lax.scan needs only a 15-matVEC per step — the
+    # associative composition it replaces needed a 15×15 matMUL per
+    # combine plus the doubling scan's odd-length pad/slice churn (the
+    # [.., 5/6→11, 15, 16] pads in the round-5 device trace).  cap ≤ ~11
+    # keeps the serial depth trivial; identity padding still makes
+    # masked lengths exact.
+    def step(x_next, ab):
+        Ak, bk = ab
+        x_k = jnp.einsum("...ij,...j->...i", Ak, x_next) + bk
+        return x_k, x_k
 
-    def compose(L, R):
-        Al, bl = L
-        Ar_, br_ = R
-        return Ar_ @ Al, jnp.einsum("...ij,...j->...i", Ar_, bl) + br_
-
-    As, bs = jax.lax.associative_scan(compose, (Ar, br))
-    xs = jnp.einsum("kij,j->ki", As, dx_j) + bs      # x_{m-j+1}, j=1..m
-    xs = jnp.flip(xs, axis=0)                        # x_k, k = 1..m
+    _, xs = jax.lax.scan(step, dx_j, (A, b), reverse=True)
     return jnp.where(active[:, None], xs, 0.0)
 
 
