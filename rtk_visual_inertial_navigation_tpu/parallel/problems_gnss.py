@@ -440,7 +440,9 @@ def _solve_one_rtk(prob: RTKWindowProblem, lay: TangentLayout,
                 lay, win.p, win.q, win.tic, win.qic, win.landmarks,
                 pbg, prob.f_ids, cam_ids, prob.l_ids,
                 prob.obs_xy, prob.obs_valid, PROJ_SQRT_INFO,
-                tile=256, want_ext=False)
+                tile=256, want_ext=False)   # 352 (8 exact tiles) is 7%
+            # faster standalone but overflows the 16M scoped VMEM limit
+            # by 624K inside the solve context
             bh, g, cost = blocks_from_segments(lay, S, pcost)
         elif use_blocks:
             b_proj = projection_factor_batch(
